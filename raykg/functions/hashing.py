@@ -1,0 +1,123 @@
+"""Deterministic hashing primitives shared by the distributed pipeline, the
+single-process oracle, and the DuckDB oracle SQL.
+
+Two families:
+
+- **SHA-256-based** (`sha_hex`, `mint_uri`, `stable_frac_hex`, `minhash_sig_sha`)
+  — byte-for-byte reproducible in DuckDB (`sha256()`, `substr`, lexicographic
+  hex compare), used wherever an ANSI-SQL oracle must replicate the value.
+  Reference analogs: SHA-256 URI minting (src2/main/scala/DataToPattern.scala:75-79),
+  MinHash cluster keys (src/main/scala/Clustering.scala:80-84).
+- **numpy-vectorized** (`crc_hash_array`, `minhash_matrix`, `simhash64`) — fast
+  64/32-bit hashing for hot paths (near-dup MinHash over millions of shingles)
+  where no SQL parity is needed; stable across processes and partitionings
+  (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+from raykg.config import URI_PREFIX
+
+_MERSENNE = (1 << 61) - 1
+
+
+def sha_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def mint_uri(label: str, entity_id: str) -> str:
+    """`sdpg.gr/<label>/<sha256(id)>` — reference URI scheme
+    (src2/main/scala/DataToPattern.scala:21,75-79)."""
+    return f"{URI_PREFIX}/{label}/{sha_hex(entity_id)}"
+
+
+def stable_frac_hex(key: str) -> float:
+    """Deterministic uniform-ish fraction in [0, 1) from the first 4 hex chars
+    of sha256(key). DuckDB replica: ``substr(sha256(key),1,4) < '<hex(p*65536)>'``
+    (fixed-width lowercase hex compares lexicographically == numerically)."""
+    return int(sha_hex(key)[:4], 16) / 65536.0
+
+
+def hex_threshold(p: float) -> str:
+    """The 4-hex-char threshold string for ``stable_frac_hex(k) < p``."""
+    return format(min(65535, int(p * 65536)), "04x")
+
+
+def minhash_sig_sha(tokens, num_hashes: int, seed: int) -> list[str]:
+    """SQL-replicable MinHash: for each hash index h, min over tokens of
+    ``sha256(token + '#' + h + '#' + seed)[:8]``. Empty token set -> 'f'*8."""
+    out = []
+    for h in range(num_hashes):
+        best = "f" * 8
+        suffix = f"#{h}#{seed}"
+        for t in tokens:
+            v = sha_hex(t + suffix)[:8]
+            if v < best:
+                best = v
+        out.append(best)
+    return out
+
+
+def crc_hash_array(strings: list[str], salt: int = 0) -> np.ndarray:
+    """Stable 32-bit hashes of a list of strings (zlib.crc32 — C speed)."""
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8"), salt) for s in strings),
+        dtype=np.uint64, count=len(strings),
+    )
+
+
+def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
+                   num_hashes: int, seed: int) -> np.ndarray:
+    """Vectorized MinHash over a CSR-style layout.
+
+    token_hashes: uint64 array of all rows' token hashes concatenated.
+    offsets: int array len n_rows+1; row i owns token_hashes[offsets[i]:offsets[i+1]].
+    Returns (n_rows, num_hashes) uint64 signature matrix; empty rows get max.
+    """
+    a, b = _perm_params(num_hashes, seed)
+    n_rows = len(offsets) - 1
+    sig = np.full((n_rows, num_hashes), np.uint64(_MERSENNE), dtype=np.uint64)
+    if len(token_hashes) == 0:
+        return sig
+    # (n_tokens, num_hashes) permuted values, reduced per row with minimum.reduceat
+    permuted = (token_hashes[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    row_sizes = np.diff(offsets)
+    nonempty = row_sizes > 0
+    starts = offsets[:-1][nonempty]
+    reduced = np.minimum.reduceat(permuted, starts, axis=0)
+    # reduceat with strictly increasing starts gives one row per nonempty row
+    sig[nonempty] = reduced
+    return sig
+
+
+def simhash64(token_hashes: np.ndarray) -> np.uint64:
+    """64-bit SimHash of one row's token hashes (uint64)."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def char_shingles(s: str, k: int) -> set[str]:
+    s = f"^{s}$"
+    if len(s) <= k:
+        return {s}
+    return {s[i:i + k] for i in range(len(s) - k + 1)}

@@ -1,0 +1,172 @@
+"""Schema discovery: MinHash-LSH clustering of property-presence signatures.
+
+Reference core (src variant): binary presence matrix
+(src/main/scala/DataProcessor.scala:7-23) -> MinHashLSH
+(src/main/scala/Clustering.scala:59-68) -> groupBy(hashKey) cluster aggregate
+(Clustering.scala:90-97) -> required properties where sum == clusterSize
+(Clustering.scala:113-122); optionality threshold 0.95 from the src2 variant
+(src2/main/scala/Main.scala:268).
+
+Ray-Data-first differences (SURVEY §1.3, §2.3):
+- the binary matrix is never materialized as wide columns — each batch computes
+  a property-signature directly from the `properties` map column;
+- MinHash is deterministic (sha256-based, seeded) so cluster keys are identical
+  across runs, partitionings and cluster sizes — Spark's unseeded fit is not
+  (src/main/scala/Clustering.scala:60-63, documented deviation);
+- the cluster aggregate is two-phase: a per-batch combiner thins each
+  (cluster_key) to one partial row per batch before the groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from raykg import schema
+from raykg.config import KGConfig
+from raykg.functions.hashing import minhash_sig_sha
+
+
+@dataclass
+class DiscoveryResult:
+    node_types: rd.Dataset     # schema.NODE_TYPES
+    clustered: rd.Dataset      # (node_id, cluster_key, label) per input row
+    num_hash_tables: int
+
+
+def assign_clusters(nodes: rd.Dataset, cfg: KGConfig, num_tables: int,
+                    id_col: str = "uri", label_col: str = "label") -> rd.Dataset:
+    """Per node: sorted property-key signature -> deterministic MinHash
+    cluster key. Pure map_batches; no state, no shuffle."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        props = batch.column("properties").to_pylist()
+        keys = []
+        for p in props:
+            names = sorted(k for k, _ in p) if isinstance(p, list) else \
+                sorted(p.keys())
+            keys.append("_".join(
+                minhash_sig_sha(names, num_tables, cfg.seed)))
+        return pa.table({
+            "node_id": batch.column(id_col),
+            "cluster_key": pa.array(keys, pa.string()),
+            "label": batch.column(label_col),
+            "props": pa.array(
+                [sorted(k for k, _ in p) if isinstance(p, list)
+                 else sorted(p.keys()) for p in props],
+                pa.list_(pa.string())),
+        })
+
+    return nodes.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def discover_node_types(nodes: rd.Dataset, cfg: KGConfig,
+                        dataset_size: int | None = None,
+                        id_col: str = "uri",
+                        label_col: str = "label") -> DiscoveryResult:
+    n = dataset_size if dataset_size is not None else nodes.count()
+    num_tables = cfg.derived_minhash_tables(n)
+    clustered = assign_clusters(nodes, cfg, num_tables, id_col, label_col)
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        """Combiner: one row per cluster_key per batch."""
+        by_key: dict[str, tuple[int, Counter, Counter]] = {}
+        for key, label, props in zip(batch.column("cluster_key").to_pylist(),
+                                     batch.column("label").to_pylist(),
+                                     batch.column("props").to_pylist()):
+            if key not in by_key:
+                by_key[key] = (0, Counter(), Counter())
+            n_, pc_, lc_ = by_key[key]
+            pc_.update(props)
+            lc_[label] += 1
+            by_key[key] = (n_ + 1, pc_, lc_)
+        return pa.table({
+            "cluster_key": pa.array(list(by_key.keys()), pa.string()),
+            "n": pa.array([v[0] for v in by_key.values()], pa.int64()),
+            "prop_counts": pa.array([json.dumps(v[1]) for v in by_key.values()],
+                                    pa.string()),
+            "label_counts": pa.array([json.dumps(v[2]) for v in by_key.values()],
+                                     pa.string()),
+        })
+
+    partial = clustered.map_batches(partial_agg, batch_format="pyarrow")
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        key = t.column("cluster_key")[0].as_py()
+        n_total = sum(t.column("n").to_pylist())
+        pc_, lc_ = Counter(), Counter()
+        for s in t.column("prop_counts").to_pylist():
+            pc_.update(json.loads(s))
+        for s in t.column("label_counts").to_pylist():
+            lc_.update(json.loads(s))
+        # majority label: max count, ties -> lexicographically smallest
+        # (reference: row_number over count desc,
+        #  src/main/scala/ClusteringEvaluation.scala:17-21)
+        majority = min(lc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        required = sorted(p for p, c in pc_.items()
+                          if c / n_total >= cfg.optional_threshold)
+        optional = sorted(p for p in pc_ if p not in set(required))
+        return pa.Table.from_pydict({
+            "cluster_key": [key], "label": [majority],
+            "required_props": [required], "optional_props": [optional],
+            "count": [n_total],
+        }, schema=schema.NODE_TYPES)
+
+    node_types = partial.groupby("cluster_key").map_groups(
+        merge_group, batch_format="pyarrow")
+    return DiscoveryResult(node_types=node_types,
+                           clustered=clustered.select_columns(
+                               ["node_id", "cluster_key", "label"]),
+                           num_hash_tables=num_tables)
+
+
+def discover_edge_types(edges: rd.Dataset, uri_to_label: dict[str, str],
+                        cfg: KGConfig) -> rd.Dataset:
+    """Edge-type integration (reference analog:
+    src/main/scala/Clustering.scala:156-181 + Pattern.scala:44-51).
+
+    ``uri_to_label`` is the small node->label side, broadcast once. The
+    reference quirk of dropping same-cluster edges (Clustering.scala:165-170,
+    which loses e.g. Person-KNOWS-Person) is replicated only behind
+    ``cfg.drop_self_cluster_edges``.
+    """
+    import ray
+    ref = ray.put(uri_to_label)
+
+    class Label:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = self.m
+            src = [m.get(s) for s in batch.column("subj").to_pylist()]
+            dst = [m.get(o) for o in batch.column("obj").to_pylist()]
+            rel = batch.column("pred").to_pylist()
+            keep_rows = []
+            for r, s, d in zip(rel, src, dst):
+                if s is None or d is None:
+                    continue  # reference drops unlabeled endpoints
+                if cfg.drop_self_cluster_edges and s == d:
+                    continue
+                keep_rows.append((r, s, d))
+            if not keep_rows:
+                return pa.table({"rel_type": pa.array([], pa.string()),
+                                 "src_label": pa.array([], pa.string()),
+                                 "dst_label": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            c = Counter(keep_rows)
+            return pa.table({
+                "rel_type": pa.array([k[0] for k in c], pa.string()),
+                "src_label": pa.array([k[1] for k in c], pa.string()),
+                "dst_label": pa.array([k[2] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            })
+
+    partial = edges.map_batches(Label, batch_format="pyarrow",
+                                concurrency=(1, 4))
+    return partial.groupby(["rel_type", "src_label", "dst_label"]).sum("n")

@@ -1,0 +1,138 @@
+"""The flagship end-to-end KG-construction pipeline (north star).
+
+documents (interleaved text+media spans)
+  -> stateless extraction           map_batches, zero-copy Arrow
+  -> stateful entity linking        actor pool (alias dict + LSH blocking)
+  -> canonicalization               two-phase dedup + groupby(norm_name)
+                                    union-find + broadcast rewrite
+  -> graph materialization          dedup'd node/edge tables
+
+Stage boundaries that feed two consumers (linked triples feed both the
+canonical-map build and the rewrite) are either checkpointed to partitioned
+Parquet (resumable; pass ``checkpoint_dir``) or pinned via ``materialize()``
+(small runs). Nothing else materializes; every hot stage streams.
+
+Reference lifecycle analog: src/main/scala/Main.scala:6-62 — but with zero
+driver-side funneling of row-level data (SURVEY §4): only the canonical map
+(distinct-entity sized) and final metrics ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from raykg import synth
+from raykg.config import KGConfig
+from raykg.functions.hashing import mint_uri
+from raykg.sources.io import read_table, write_table
+from raykg.stages.canonicalize import (
+    canonical_groups,
+    observed_entities,
+    rewrite_triples,
+)
+from raykg.stages.extract import extract_batch
+from raykg.stages.link import LinkBatches, build_alias_items
+
+
+@dataclass
+class KGResult:
+    triples: rd.Dataset          # canonical (subj, pred, obj, doc_id, span_offset)
+    nodes: rd.Dataset            # (uri, label, properties)
+    edges: rd.Dataset            # distinct (subj, pred, obj, count)
+    canon_map: dict[str, str]    # uri -> canonical uri (distinct entities only)
+
+
+def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
+    """documents -> extraction -> linking (lazy)."""
+    extractions = documents.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    alias_ref = ray.put(build_alias_items(cfg))
+    return extractions.map_batches(
+        LinkBatches,
+        fn_constructor_kwargs={"cfg": cfg, "alias_ref": alias_ref},
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=(1, cfg.link_concurrency), num_cpus=1)
+
+
+def entity_nodes(groups: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
+    """Canonical entities -> node rows with deterministic properties."""
+
+    def mint(batch: pa.Table) -> pa.Table:
+        mask = [u == c for u, c in zip(batch.column("uri").to_pylist(),
+                                       batch.column("canon_uri").to_pylist())]
+        t = batch.filter(pa.array(mask))
+        ids = t.column("canon_ent").to_pylist()
+        idx = [int(e[1:]) for e in ids]
+        return pa.table({
+            "uri": t.column("canon_uri"),
+            "label": pa.array([synth.entity_label(i, cfg) for i in idx]),
+            "properties": pa.array(
+                [synth.entity_properties(i, cfg) for i in idx],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    return groups.map_batches(mint, batch_format="pyarrow")
+
+
+def document_nodes(documents: rd.Dataset) -> rd.Dataset:
+    def mint(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        n_spans = [len(s) for s in batch.column("spans").to_pylist()]
+        return pa.table({
+            "uri": pa.array([mint_uri("Document", d) for d in doc_ids]),
+            "label": pa.array(["Document"] * len(doc_ids)),
+            "properties": pa.array(
+                [{"n_spans": str(n)} for n in n_spans],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    return documents.map_batches(mint, batch_format="pyarrow")
+
+
+def dedup_edges(triples: rd.Dataset) -> rd.Dataset:
+    """Exact edge dedup (reference analog O7): per-batch combiner then a
+    grouped count — the hot (subj,pred,obj) keys are thinned per batch before
+    the shuffle."""
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(["subj", "pred", "obj"]).group_by(
+            ["subj", "pred", "obj"]).aggregate([([], "count_all")]).rename_columns(
+            ["subj", "pred", "obj", "n"])
+
+    partial = triples.map_batches(batch_distinct, batch_format="pyarrow")
+    return partial.groupby(["subj", "pred", "obj"]).sum("n").map_batches(
+        lambda t: t.rename_columns(["subj", "pred", "obj", "count"]),
+        batch_format="pyarrow")
+
+
+def build_kg(documents: rd.Dataset, cfg: KGConfig,
+             checkpoint_dir: str | None = None) -> KGResult:
+    """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS."""
+    linked = linked_triples(documents, cfg)
+    if checkpoint_dir:
+        write_table(linked, f"{checkpoint_dir}/linked")
+        linked = read_table(f"{checkpoint_dir}/linked")
+    else:
+        linked = linked.materialize()
+
+    groups = canonical_groups(observed_entities(linked), cfg).materialize()
+    canon_rows = groups.take_all()   # distinct-entity sized; small by design
+    canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
+                 if r["uri"] != r["canon_uri"]}
+
+    triples = rewrite_triples(linked, canon_map)
+    if checkpoint_dir:
+        write_table(triples, f"{checkpoint_dir}/triples")
+        triples = read_table(f"{checkpoint_dir}/triples")
+    else:
+        triples = triples.materialize()
+
+    edges = dedup_edges(triples)
+    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+    return KGResult(triples=triples, nodes=nodes, edges=edges,
+                    canon_map=canon_map)

@@ -1,0 +1,33 @@
+"""Table IO. The production design targets Lance (per BASELINE.json
+``input_hint``: "Lance table of interleaved text + media documents"), but the
+``lance`` package is not available in this container, so every call is gated
+behind an import-try and falls back to partitioned Parquet — identical
+semantics for this engine (columnar, column-pruned scans, fragment-based
+resumable writes). Swap ``read_table``/``write_table`` when Lance is present.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+try:  # pragma: no cover - lance not installed in this container
+    import lance  # noqa: F401
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Distributed read with column pruning pushed to the scan."""
+    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+        return rd.read_lance(path, columns=columns)
+    return rd.read_parquet(path, columns=columns)
+
+
+def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
+    """Partitioned columnar write (one part file per block — never one giant
+    file, so a rerun can skip or re-emit individual partitions)."""
+    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+        ds.write_lance(path, **kwargs)
+        return
+    ds.write_parquet(path, **kwargs)

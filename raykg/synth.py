@@ -1,0 +1,258 @@
+"""Deterministic synthetic corpora (FIXTURES.md F1-F4). No external data.
+
+Every row is a pure function of ``(cfg.seed, row_index)`` — generation via
+``ray.data.range(n).map_batches`` therefore yields the identical corpus at any
+parallelism level or block layout, which is what lets the single-process oracle
+and the distributed pipeline be compared exactly.
+
+Reference protocol being mirrored: noise-corrupted property-graph dumps scored
+against ground-truth labels carried in the data (SURVEY §5;
+/root/reference/run_tale_ldbc.sh:18 selects corrupted variants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raykg import schema
+from raykg.config import (
+    FILLER_WORDS,
+    KG_LABEL_PROPS,
+    LABEL_SIGNATURES,
+    NODE_LABELS,
+    PREDICATES,
+    REL_TYPES,
+    KGConfig,
+    NodeSynthConfig,
+)
+from raykg.functions.hashing import hex_threshold, sha_hex, stable_frac_hex
+
+# ---------------------------------------------------------------------------
+# Entity universe (closed vocabulary, deterministic from cfg)
+# ---------------------------------------------------------------------------
+
+
+def entity_id(i: int) -> str:
+    return f"E{i:06d}"
+
+
+def is_dup_entity(i: int, cfg: KGConfig) -> bool:
+    return i % cfg.dup_entity_mod == cfg.dup_entity_rem and i > 0
+
+
+def entity_label(i: int, cfg: KGConfig) -> str:
+    if is_dup_entity(i, cfg):   # a coreferent duplicate shares its base label
+        return entity_label(i - 1, cfg)
+    return NODE_LABELS[i % len(NODE_LABELS)]
+
+
+def entity_name(i: int, cfg: KGConfig) -> str:
+    if is_dup_entity(i, cfg):
+        return entity_name(i - 1, cfg) + "-dup"
+    return f"{entity_label(i, cfg).lower()}-{i:06d}"
+
+
+def entity_norm_name(i: int, cfg: KGConfig) -> str:
+    """Canonicalization key: duplicates share the base entity's name."""
+    name = entity_name(i, cfg)
+    return name[:-4] if name.endswith("-dup") else name
+
+
+def entity_aliases(i: int, cfg: KGConfig) -> list[str]:
+    name = entity_name(i, cfg)
+    label = entity_label(i, cfg)
+    return [name, name.replace("-", "_"), f"{label[:3].lower()}{i:06d}"]
+
+
+def entity_properties(i: int, cfg: KGConfig) -> dict[str, str]:
+    """Deterministic per-entity property map following KG_LABEL_PROPS; with
+    cfg.prop_noise > 0, non-name properties are absent when the stable hash
+    fraction falls below the noise level (F4 protocol, never nulls 'name')."""
+    label = entity_label(i, cfg)
+    eid = entity_id(i)
+    props: dict[str, str] = {}
+    for p in KG_LABEL_PROPS[label]:
+        if p != "name" and cfg.prop_noise > 0 and \
+                stable_frac_hex(f"noise|{eid}|{p}|{cfg.seed}") < cfg.prop_noise:
+            continue
+        props[p] = entity_name(i, cfg) if p == "name" \
+            else sha_hex(f"prop|{eid}|{p}")[:12]
+    return props
+
+
+def apply_typo(surface: str, pos: int) -> str:
+    """Drop one character at a deterministic position (mention corruption)."""
+    if len(surface) < 4:
+        return surface
+    k = pos % (len(surface) - 2) + 1   # never first/last char
+    return surface[:k] + surface[k + 1:]
+
+
+# ---------------------------------------------------------------------------
+# Interleaved text+media documents (F1)
+# ---------------------------------------------------------------------------
+
+_PRED_IDS = tuple(PREDICATES.keys())
+
+
+def _pick_entity(rng: np.random.Generator, cfg: KGConfig) -> int:
+    return int(rng.zipf(cfg.zipf_alpha) - 1) % cfg.num_entities
+
+
+def _surface(rng: np.random.Generator, ent: int, cfg: KGConfig) -> str:
+    aliases = entity_aliases(ent, cfg)
+    s = aliases[int(rng.integers(0, len(aliases)))]
+    if rng.random() < cfg.typo_rate:
+        s = apply_typo(s, int(rng.integers(0, 1 << 30)))
+    return s
+
+
+def gen_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
+    """Generate documents for the given indices (pure; batch-callable)."""
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    for di in doc_indices:
+        di = int(di)
+        rng = np.random.default_rng([cfg.seed, di])
+        doc_id = f"doc-{di:08d}"
+        n_spans = 1 + int(rng.integers(0, cfg.max_spans_per_doc))
+        spans: list[dict] = []
+        offset = 0
+        for si in range(n_spans):
+            if rng.random() < cfg.media_span_rate:
+                kind = "image" if rng.random() < 0.6 else "audio"
+                ref = "media://" + sha_hex(f"{doc_id}:{si}")[:16]
+                if rng.random() < 0.6:
+                    ent = _pick_entity(rng, cfg)
+                    caption = f"{kind} of {_surface(rng, ent, cfg)}"
+                else:
+                    caption = ""
+                spans.append({"kind": kind, "text": caption,
+                              "media_ref": ref, "offset": offset})
+                offset += len(caption) + 1
+            else:
+                tokens: list[str] = []
+                n_fill = int(rng.integers(0, 3))
+                tokens += [FILLER_WORDS[int(rng.integers(0, len(FILLER_WORDS)))]
+                           for _ in range(n_fill)]
+                if rng.random() < 0.7:   # relation sentence
+                    subj = _pick_entity(rng, cfg)
+                    obj = _pick_entity(rng, cfg)
+                    if obj == subj:
+                        obj = (subj + 1) % cfg.num_entities
+                    pred = _PRED_IDS[int(rng.integers(0, len(_PRED_IDS)))]
+                    tokens.append(_surface(rng, subj, cfg))
+                    tokens += list(PREDICATES[pred])
+                    tokens.append(_surface(rng, obj, cfg))
+                else:                    # bare-mention sentence
+                    ent = _pick_entity(rng, cfg)
+                    tokens.append(_surface(rng, ent, cfg))
+                tokens += [FILLER_WORDS[int(rng.integers(0, len(FILLER_WORDS)))]
+                           for _ in range(int(rng.integers(0, 2)))]
+                text = " ".join(tokens)
+                spans.append({"kind": "text", "text": text,
+                              "media_ref": "", "offset": offset})
+                offset += len(text) + 1
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=schema.DOCUMENTS)
+
+
+def documents_table(cfg: KGConfig) -> pa.Table:
+    """Driver-side generation (tests / oracle)."""
+    return gen_doc_rows(np.arange(cfg.n_docs), cfg)
+
+
+def documents_dataset(cfg: KGConfig, override_num_blocks: int | None = None):
+    """Distributed generation: range -> map_batches (scales to any n_docs)."""
+    import ray.data as rd
+
+    n_blocks = override_num_blocks or max(1, cfg.n_docs // 2000)
+    ds = rd.range(cfg.n_docs, override_num_blocks=n_blocks)
+    return ds.map_batches(
+        lambda b: gen_doc_rows(b["id"], cfg),
+        batch_format="numpy", batch_size=cfg.batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Property-graph node / relationship tables (F2/F3) with F4 noise
+# ---------------------------------------------------------------------------
+
+
+def _pg_label(i: int) -> str:
+    labels = tuple(LABEL_SIGNATURES.keys())
+    return labels[i % len(labels)]
+
+
+def gen_pg_node_rows(indices: np.ndarray, cfg: NodeSynthConfig) -> pa.Table:
+    """Nodes with per-label property signatures; cells nulled at probability
+    cfg.noise via the stable hash (columns containing 'id' never nulled —
+    reference rule src2/main/scala/Noise.scala:15-17)."""
+    thr = hex_threshold(cfg.noise)
+    node_ids, labels, props_col = [], [], []
+    for i in indices:
+        i = int(i)
+        nid = f"n{i:08d}"
+        label = _pg_label(i)
+        props: dict[str, str] = {}
+        for p in LABEL_SIGNATURES[label]:
+            if "id" not in p.lower() and cfg.noise > 0 and \
+                    sha_hex(f"pgnoise|{nid}|{p}|{cfg.seed}")[:4] < thr:
+                continue
+            props[p] = nid if p == "id" else sha_hex(f"pgval|{nid}|{p}")[:10]
+        node_ids.append(nid)
+        labels.append(label)
+        props_col.append(props)
+    return pa.Table.from_pydict(
+        {"node_id": node_ids, "labels": labels, "properties": props_col},
+        schema=schema.PG_NODES)
+
+
+def gen_pg_rel_rows(indices: np.ndarray, cfg: NodeSynthConfig) -> pa.Table:
+    """Edges between deterministic endpoints, including same-label edges
+    (Person-KNOWS-Person) to exercise the reference's self-cluster-edge-drop
+    quirk (src/main/scala/Clustering.scala:169)."""
+    src, dst, rel, props = [], [], [], []
+    n = cfg.n_nodes
+    for i in indices:
+        i = int(i)
+        rng = np.random.default_rng([cfg.seed + 1, i])
+        a = int(rng.integers(0, n))
+        r = REL_TYPES[i % len(REL_TYPES)]
+        if r == "KNOWS":  # same-label edge: next node with identical label
+            b = (a + len(LABEL_SIGNATURES)) % n
+        else:
+            b = int(rng.integers(0, n))
+        src.append(f"n{a:08d}")
+        dst.append(f"n{b:08d}")
+        rel.append(r)
+        props.append({"creationDate": sha_hex(f"rel|{i}")[:8]})
+    return pa.Table.from_pydict(
+        {"src_id": src, "dst_id": dst, "rel_type": rel, "properties": props},
+        schema=schema.PG_RELATIONSHIPS)
+
+
+def pg_nodes_table(cfg: NodeSynthConfig) -> pa.Table:
+    return gen_pg_node_rows(np.arange(cfg.n_nodes), cfg)
+
+
+def pg_relationships_table(cfg: NodeSynthConfig) -> pa.Table:
+    return gen_pg_rel_rows(np.arange(cfg.n_edges), cfg)
+
+
+def pg_nodes_dataset(cfg: NodeSynthConfig):
+    import ray.data as rd
+
+    ds = rd.range(cfg.n_nodes, override_num_blocks=max(1, cfg.n_nodes // 4000))
+    return ds.map_batches(lambda b: gen_pg_node_rows(b["id"], cfg),
+                          batch_format="numpy", batch_size=4096)
+
+
+def pg_relationships_dataset(cfg: NodeSynthConfig):
+    import ray.data as rd
+
+    ds = rd.range(cfg.n_edges, override_num_blocks=max(1, cfg.n_edges // 4000))
+    return ds.map_batches(lambda b: gen_pg_rel_rows(b["id"], cfg),
+                          batch_format="numpy", batch_size=4096)
