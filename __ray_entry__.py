@@ -1,44 +1,413 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline over sf0.001 documents
+  (wrapped into the interleaved-span shape) unioned with the deterministic
+  synthetic span corpus; returns the canonical triples Dataset.
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data ops); each callable takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
+  the sha256-based hash family used by the engine is reproducible in DuckDB,
+  so even URI minting, hash-noise signatures, MinHash keys, LSH bands,
+  SimHash and cosine ANN have exact SQL oracles. Queries whose semantics are
+  not SQL-expressible (the flagship span pipeline on synthetic documents,
+  LSH-bucketed ANN, media decoding) are rows-only checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers import UDF modules by reference; if the driver's session was
+# started without /root/repo on the workers' sys.path, force by-value
+# serialization of the raykg package so UDFs travel self-contained.
+try:  # pragma: no cover
+    import raykg  # noqa: F401
+    from ray import cloudpickle as _cp
+
+    def _register_by_value():
+        import importlib
+
+        for m in ["raykg", "raykg.config", "raykg.schema", "raykg.synth",
+                  "raykg.oracle", "raykg.functions", "raykg.functions.hashing",
+                  "raykg.sources", "raykg.sources.io",
+                  "raykg.stages", "raykg.stages.extract", "raykg.stages.link",
+                  "raykg.stages.canonicalize",
+                  "raykg.pipelines", "raykg.pipelines.kg",
+                  "raykg.pipelines.discover", "raykg.pipelines.evaluate",
+                  "raykg.ops", "raykg.ops.text", "raykg.ops.dedup",
+                  "raykg.ops.ann", "raykg.ops.relational",
+                  "raykg.ops.multimodal", "raykg.state",
+                  "raykg.state.checkpoint"]:
+            try:
+                _cp.register_pickle_by_value(importlib.import_module(m))
+            except Exception:
+                pass
+
+    _register_by_value()
+except Exception:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
+
+def _documents_as_spans(sf_dir: str):
+    """Wrap the flat testdata documents table into the interleaved-span
+    document shape (one text span per doc)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raykg import schema
+
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = [f"tpc-{d}" for d in t.column("doc_id").to_pylist()]
+        spans = [[{"kind": "text", "text": s, "media_ref": "", "offset": 0}]
+                 for s in t.column("text").to_pylist()]
+        return pa.Table.from_pydict({"doc_id": ids, "spans": spans},
+                                    schema=schema.DOCUMENTS)
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(wrap, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 + synthetic span corpus."""
+    from raykg import synth
+    from raykg.config import KGConfig
+    from raykg.pipelines.kg import build_kg
+
+    cfg = KGConfig(n_docs=300, batch_size=512, link_concurrency=2)
+    docs = _documents_as_spans("/root/testdata/sf0.001") \
+        .union(synth.documents_dataset(cfg))
+    return build_kg(docs, cfg).triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from raykg import synth
+    from raykg.config import KGConfig
+    from raykg.ops import ann, dedup, relational, text
+    from raykg.ops.multimodal import media_features
+    from raykg.pipelines.discover import discover_node_types
+    from raykg.pipelines.kg import build_kg
+
+    def _docs(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def kg_flagship_triples(sf_dir):
+        cfg = KGConfig(n_docs=400, batch_size=512, link_concurrency=2)
+        return build_kg(synth.documents_dataset(cfg), cfg).triples
+
+    def kg_flagship_node_types(sf_dir):
+        cfg = KGConfig(n_docs=400, batch_size=512, link_concurrency=2)
+        result = build_kg(synth.documents_dataset(cfg), cfg)
+        return discover_node_types(result.nodes, cfg).node_types
+
+    def media_feats(sf_dir):
+        cfg = KGConfig(n_docs=400)
+        return media_features(synth.documents_dataset(cfg)) \
+            .select_columns(["doc_id", "span_idx", "media_ref", "kind",
+                             "width", "height"])
+
+    return {
+        # relational operator surface (SURVEY §2)
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "revenue_by_priority": relational.revenue_by_priority,
+        "majority_nation_per_segment": relational.majority_nation_per_segment,
+        "top_orders": relational.top_orders,
+        "event_type_counts": relational.event_type_counts,
+        "hourly_event_stats": relational.hourly_event_stats,
+        "sessionize": relational.sessionize,
+        "props_k_stats": relational.props_k_stats,
+        "kg_nodes": relational.kg_nodes,
+        "kg_edges": relational.kg_edges,
+        "property_signatures": relational.property_signatures,
+        "minhash_cluster_counts": relational.minhash_cluster_counts,
+        # text analysis
+        "token_stats": lambda sf: text.token_stats(_docs(sf)),
+        "quality_score": lambda sf: text.quality_score(_docs(sf)),
+        "lang_id": lambda sf: text.lang_id(_docs(sf)),
+        "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
+        # deduplication
+        "exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "minhash_dedup": lambda sf: dedup.minhash_dedup(_docs(sf)),
+        "lsh_candidate_pairs": lambda sf: dedup.lsh_candidate_pairs(_docs(sf)),
+        "simhash": lambda sf: dedup.simhash(_docs(sf)),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
+        "embedding_neardup_pairs":
+            lambda sf: dedup.embedding_neardup_pairs(_emb(sf)),
+        # similarity search
+        "ann_bruteforce":
+            lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        "ann_lsh": lambda sf: ann.ann_lsh(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        # flagship KG pipeline + multimodal (rows-only: synthetic span corpus)
+        "kg_flagship_triples": kg_flagship_triples,
+        "kg_flagship_node_types": kg_flagship_node_types,
+        "media_features": media_feats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+_GRAMS = f"""
+    CASE WHEN len({_TOKS}) = 0 THEN []::VARCHAR[]
+         WHEN len({_TOKS}) < 3 THEN [array_to_string({_TOKS}, ' ')]
+         ELSE list_sort(list_distinct(list_transform(
+              range(1, len({_TOKS}) - 1),
+              i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))))
+    END
+"""
+
+_MINHASH8 = """list_transform(range(0, 8), h -> coalesce(list_min(
+    list_transform(grams, x -> substr(sha256(x || '#' || h::VARCHAR || '#42'), 1, 8))),
+    'ffffffff'))"""
+
+
+def _sig_sql() -> str:
+    """Per-row hash-noise property signatures (shared CTE body)."""
+    from raykg.ops.relational import SIG_NOISE, SIG_SEED, SIG_SOURCES
+    from raykg.functions.hashing import hex_threshold
+
+    thr = hex_threshold(SIG_NOISE)
+    selects = []
+    for table, label, key, props in SIG_SOURCES:
+        plist = "[" + ", ".join(f"'{p}'" for p in props) + "]"
+        selects.append(f"""
+        SELECT '{label}' AS label, coalesce(array_to_string(list_filter({plist},
+            p -> substr(sha256('noise|{label}|' || {key}::VARCHAR || '|' || p
+                        || '|{SIG_SEED}'), 1, 4) >= '{thr}'), ','), '') AS signature
+        FROM {table}""")
+    return " UNION ALL ".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_body = _sig_sql()
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2""",
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
+        "majority_nation_per_segment": """
+            SELECT c_mktsegment, c_nationkey AS top_nationkey,
+                   count(*) AS n_customers
+            FROM customer GROUP BY 1, 2
+            QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY count(*) DESC, c_nationkey) = 1""",
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "event_type_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(sum(value), 2) AS sum_value, count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            SELECT user_id, count(*) AS n_events,
+                   (1 + sum(CASE WHEN prev_ts IS NOT NULL
+                                 AND epoch(ts - prev_ts) > 1800
+                            THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+            GROUP BY user_id""",
+        "props_k_stats": """
+            SELECT event_type,
+                   round(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                         / count(*)::DOUBLE, 4) AS avg_k,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "kg_nodes": """
+            SELECT 'sdpg.gr/Customer/' || sha256(c_custkey::VARCHAR) AS uri,
+                   'Customer' AS label, 4::BIGINT AS n_props FROM customer
+            UNION ALL SELECT 'sdpg.gr/Supplier/' || sha256(s_suppkey::VARCHAR),
+                   'Supplier', 3 FROM supplier
+            UNION ALL SELECT 'sdpg.gr/Part/' || sha256(p_partkey::VARCHAR),
+                   'Part', 5 FROM part
+            UNION ALL SELECT 'sdpg.gr/Nation/' || sha256(n_nationkey::VARCHAR),
+                   'Nation', 2 FROM nation
+            UNION ALL SELECT 'sdpg.gr/Region/' || sha256(r_regionkey::VARCHAR),
+                   'Region', 1 FROM region""",
+        "kg_edges": """
+            WITH e AS (
+              SELECT 'sdpg.gr/Customer/' || sha256(c_custkey::VARCHAR) AS subj,
+                     'IS_LOCATED_IN' AS pred,
+                     'sdpg.gr/Nation/' || sha256(c_nationkey::VARCHAR) AS obj
+              FROM customer
+              UNION ALL
+              SELECT 'sdpg.gr/Nation/' || sha256(n_nationkey::VARCHAR),
+                     'IN_REGION',
+                     'sdpg.gr/Region/' || sha256(n_regionkey::VARCHAR)
+              FROM nation
+              UNION ALL
+              SELECT 'sdpg.gr/Order/' || sha256(o_orderkey::VARCHAR),
+                     'PLACED_BY',
+                     'sdpg.gr/Customer/' || sha256(o_custkey::VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'sdpg.gr/Order/' || sha256(l_orderkey::VARCHAR),
+                     'HAS_PART',
+                     'sdpg.gr/Part/' || sha256(l_partkey::VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'sdpg.gr/Order/' || sha256(l_orderkey::VARCHAR),
+                     'SUPPLIED_BY',
+                     'sdpg.gr/Supplier/' || sha256(l_suppkey::VARCHAR)
+              FROM lineitem)
+            SELECT subj, pred, obj, count(*) AS n FROM e GROUP BY 1, 2, 3""",
+        "property_signatures": f"""
+            WITH s AS ({sig_body})
+            SELECT label, signature, count(*) AS n FROM s GROUP BY 1, 2""",
+        "minhash_cluster_counts": f"""
+            WITH s AS ({sig_body}),
+            sig_counts AS (SELECT signature, count(*) AS n FROM s GROUP BY 1),
+            keyed AS (SELECT array_to_string(list_transform(range(0, 4),
+                h -> coalesce(list_min(list_transform(
+                     list_filter(string_split(signature, ','), x -> x <> ''),
+                     p -> substr(sha256(p || '#' || h::VARCHAR || '#42'), 1, 8))),
+                     'ffffffff')), '_') AS cluster_key, n
+              FROM sig_counts)
+            SELECT cluster_key, sum(n)::BIGINT AS n FROM keyed GROUP BY 1""",
+        "token_stats": f"""
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_uniq,
+                   round(len(list_filter(toks, t -> t IN ('the', 'a')))
+                         / len(toks)::DOUBLE, 4) AS stop_ratio,
+                   round(len(list_distinct(toks)) / len(toks)::DOUBLE, 4) AS uniq_ratio
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(0.4 * least(1.0, len(toks) / 60.0)
+                         + 0.3 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a')))
+                                        / len(toks)::DOUBLE)
+                         + 0.3 * (len(list_distinct(toks)) / len(toks)::DOUBLE),
+                         4) AS quality
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "lang_id": f"""
+            SELECT doc_id, CASE WHEN c >= 2 THEN 'en'
+                                WHEN c = 1 THEN 'maybe_en'
+                                ELSE 'und' END AS lang_pred
+            FROM (SELECT doc_id,
+                         len(list_filter({_TOKS}, t -> t IN ('the', 'a'))) AS c
+                  FROM documents)""",
+        "fingerprint": f"""
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3
+                        THEN substr(sha256(array_to_string(toks, ' ')), 1, 12)
+                        ELSE list_min(list_transform(range(1, len(toks) - 1),
+                             i -> substr(sha256(array_to_string(
+                                  list_slice(toks, i, i + 2), ' ')), 1, 12)))
+                   END AS fingerprint
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "exact_dedup": """
+            SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1""",
+        "minhash_dedup": f"""
+            WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+            sigs AS (SELECT doc_id,
+                            array_to_string({_MINHASH8}, '_') AS sig FROM g)
+            SELECT sig, min(doc_id) AS doc_id FROM sigs GROUP BY 1""",
+        "lsh_candidate_pairs": f"""
+            WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+            sigs AS (SELECT doc_id, grams, {_MINHASH8} AS mh FROM g),
+            bands AS (SELECT doc_id, b, array_to_string(
+                          list_slice(mh, b * 2 + 1, b * 2 + 2), '_') AS band_key
+                      FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+            j AS (SELECT doc_a, doc_b,
+                         len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                         / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jac
+                  FROM pairs
+                  JOIN g ga ON ga.doc_id = doc_a
+                  JOIN g gb ON gb.doc_id = doc_b)
+            SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+            FROM j WHERE jac >= 0.6""",
+        "simhash": """
+            WITH t AS (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(sha256(tok || '#42'), 1, 16))::UBIGINT AS hv
+                  FROM t),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+                     FROM h, (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+            v AS (SELECT doc_id,
+                         sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT
+                                  ELSE 0 END) AS sh
+                  FROM bits GROUP BY 1)
+            SELECT doc_id,
+                   lpad(lower(to_hex(sh::UBIGINT)), 16, '0') AS simhash_hex
+            FROM v""",
+        "ngram_jaccard_pairs": f"""
+            WITH g AS (SELECT doc_id, source, {_GRAMS} AS grams FROM documents),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+                  FROM g a JOIN g b
+                    ON a.source = b.source AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+            FROM p WHERE jac >= 0.5""",
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 3) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.35""",
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+                  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) <= 5""",
+    }

@@ -116,6 +116,19 @@ def simhash64(token_hashes: np.ndarray) -> np.uint64:
     return out
 
 
+def round_half_away(x, digits: int):
+    """Round half away from zero, computed as round(x * 10^d) / 10^d in
+    float64 — bit-identical to DuckDB's ``round(DOUBLE, d)`` (and therefore
+    to the SQL oracles), unlike Python's banker's rounding or Arrow's
+    default half-to-even `pc.round`."""
+    s = float(10 ** digits)
+    if np.isscalar(x) or isinstance(x, float):
+        xs = float(x) * s
+        return np.copysign(np.floor(np.abs(xs) + 0.5), xs) / s
+    arr = np.asarray(x, dtype=np.float64) * s
+    return np.copysign(np.floor(np.abs(arr) + 0.5), arr) / s
+
+
 def char_shingles(s: str, k: int) -> set[str]:
     s = f"^{s}$"
     if len(s) <= k:

