@@ -1,0 +1,182 @@
+"""Benchmark harness for the raykg engine.
+
+Default mode: times the flagship KG-construction pipeline (the north-star
+metric: docs/s and triples/s over the synthetic interleaved corpus) plus every
+``queries()`` pipeline over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+then prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` mode: runs the identical flagship job twice in FRESH processes
+at num_cpus=8 and num_cpus=32 (the sandbox stand-in for N- vs 4N-node
+clusters per BASELINE.md) and reports both throughputs plus scaling
+efficiency = (tput_32 / tput_8) / 4.
+
+Usage:
+    python bench.py                  # full per-round bench (one JSON line)
+    python bench.py --scaling        # two fresh-process runs + efficiency
+    python bench.py --_worker CPUS N_DOCS   # internal: one flagship run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# flagship corpus size for bench/scaling (fixed input across parallelism levels)
+FLAGSHIP_DOCS = int(os.environ.get("RAYKG_BENCH_DOCS", "60000"))
+SCALING_DOCS = int(os.environ.get("RAYKG_SCALING_DOCS", "40000"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+
+def _consume(res) -> int:
+    """Drive a query result to completion; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+            n += b.num_rows
+        return n
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_flagship(num_cpus: int, n_docs: int) -> dict:
+    """One full KG-construction run over the deterministic synthetic corpus.
+    Returns wall seconds, docs/s, triples/s."""
+    from raykg import synth
+    from raykg.config import KGConfig
+    from raykg.pipelines.kg import build_kg
+
+    _init_ray(num_cpus)
+    cfg = KGConfig(n_docs=n_docs, batch_size=2048,
+                   link_concurrency=max(2, num_cpus // 2))
+    t0 = time.perf_counter()
+    docs = synth.documents_dataset(
+        cfg, override_num_blocks=max(8, num_cpus * 4))
+    result = build_kg(docs, cfg)
+    n_triples = _consume(result.triples)
+    n_edges = _consume(result.edges)
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "n_edges": n_edges,
+        "docs_per_s": round(n_docs / wall, 1),
+        "triples_per_s": round(n_triples / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Time every queries() pipeline over sf_dir."""
+    import __ray_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(sf_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures visibly, keep going
+            print(f"[bench] query {name} FAILED: {e!r}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    flagship = run_flagship(NUM_CPUS, FLAGSHIP_DOCS)
+    queries = run_queries(SF_DIR)
+    line = {
+        "metric": "kg_flagship_wall",
+        "value": flagship["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "flagship": flagship,
+    }
+    print(json.dumps(line))
+
+
+def main_worker(num_cpus: int, n_docs: int) -> None:
+    stats = run_flagship(num_cpus, n_docs)
+    stats["num_cpus"] = num_cpus
+    print("WORKER_RESULT " + json.dumps(stats))
+
+
+def _spawn_worker(num_cpus: int, n_docs: int) -> dict:
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_worker",
+         str(num_cpus), str(n_docs)],
+        capture_output=True, text=True, env=env, timeout=3600)
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("WORKER_RESULT "):
+            return json.loads(ln[len("WORKER_RESULT "):])
+    raise RuntimeError(
+        f"worker (num_cpus={num_cpus}) produced no result:\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}")
+
+
+def main_scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+    lo = _spawn_worker(lo_cpus, SCALING_DOCS)
+    hi = _spawn_worker(hi_cpus, SCALING_DOCS)
+    eff = (hi["triples_per_s"] / lo["triples_per_s"]) / (hi_cpus / lo_cpus)
+    line = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "n_docs": SCALING_DOCS,
+        "low": lo,
+        "high": hi,
+        "target": 0.8,
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    if "--_worker" in sys.argv:
+        i = sys.argv.index("--_worker")
+        main_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    elif "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

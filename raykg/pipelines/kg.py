@@ -110,6 +110,48 @@ def dedup_edges(triples: rd.Dataset) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
+                       n_shards: int = 8,
+                       fail_after_shards: int | None = None) -> KGResult:
+    """Flagship pipeline over the synthetic corpus with per-partition lineage
+    checkpointing (north rule). The dominant extract+link phase runs shard by
+    shard; each shard's LINKED_TRIPLES output commits atomically with a
+    lineage manifest (rows + doc counters), so a killed run resumes by
+    skipping committed shards. Downstream (canonicalize / materialize)
+    streams over the union of committed shards.
+
+    ``fail_after_shards`` is a test hook: raise after that many shards have
+    been newly committed (simulates a mid-job crash).
+    """
+    from raykg.state.checkpoint import LineageCheckpoint, shard_bounds
+
+    ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
+    ran = 0
+    for part, (lo, hi) in enumerate(shard_bounds(cfg.n_docs, n_shards)):
+        status = ckpt.run_partition(
+            part,
+            lambda lo=lo, hi=hi: linked_triples(
+                synth.documents_dataset_range(lo, hi, cfg), cfg),
+            counters={"n_docs": hi - lo})
+        if status == "ran":
+            ran += 1
+            if fail_after_shards is not None and ran >= fail_after_shards:
+                raise RuntimeError(
+                    f"injected failure after {ran} shards (test hook)")
+
+    linked = ckpt.dataset()
+    groups = canonical_groups(observed_entities(linked), cfg).materialize()
+    canon_rows = groups.take_all()
+    canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
+                 if r["uri"] != r["canon_uri"]}
+    triples = rewrite_triples(linked, canon_map).materialize()
+    edges = dedup_edges(triples)
+    documents = synth.documents_dataset(cfg)
+    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+    return KGResult(triples=triples, nodes=nodes, edges=edges,
+                    canon_map=canon_map)
+
+
 def build_kg(documents: rd.Dataset, cfg: KGConfig,
              checkpoint_dir: str | None = None) -> KGResult:
     """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS."""

@@ -176,6 +176,21 @@ def documents_dataset(cfg: KGConfig, override_num_blocks: int | None = None):
         batch_format="numpy", batch_size=cfg.batch_size)
 
 
+def documents_dataset_range(lo: int, hi: int, cfg: KGConfig,
+                            override_num_blocks: int | None = None):
+    """Documents for doc indices [lo, hi) — one resumable input shard.
+    Identical rows to the corresponding slice of ``documents_dataset`` (every
+    row is a pure function of (seed, index))."""
+    import ray.data as rd
+
+    n = hi - lo
+    n_blocks = override_num_blocks or max(1, n // 2000)
+    ds = rd.range(n, override_num_blocks=n_blocks)
+    return ds.map_batches(
+        lambda b: gen_doc_rows(b["id"] + lo, cfg),
+        batch_format="numpy", batch_size=cfg.batch_size)
+
+
 # ---------------------------------------------------------------------------
 # Property-graph node / relationship tables (F2/F3) with F4 noise
 # ---------------------------------------------------------------------------

@@ -1,0 +1,63 @@
+"""Resume-after-kill test (SURVEY §5d / north rule): a run killed mid-job
+restarts from per-partition lineage and produces the identical triple set,
+without re-running committed shards."""
+
+import pytest
+
+from raykg import synth
+from raykg.config import KGConfig
+from raykg.pipelines.kg import build_kg, build_kg_resumable
+from raykg.state.checkpoint import LineageCheckpoint, shard_bounds
+
+CFG = KGConfig(n_docs=160, batch_size=64, link_concurrency=2)
+
+
+def _triple_set(ds):
+    return {(r["subj"], r["pred"], r["obj"], r["doc_id"], r["span_offset"])
+            for r in ds.take_all()}
+
+
+def test_shard_bounds():
+    b = shard_bounds(10, 4)
+    assert b == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    assert shard_bounds(2, 8) == [(0, 1), (1, 2)]
+
+
+def test_resume_after_kill(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt")
+
+    # crash after 2 of 4 shards committed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_kg_resumable(CFG, root, n_shards=4, fail_after_shards=2)
+    ckpt = LineageCheckpoint(f"{root}/linked")
+    committed = ckpt.committed_parts()
+    assert len(committed) == 2
+    for m in committed.values():
+        assert m["rows"] > 0 and m["counters"]["n_docs"] == 40
+
+    # restart: skips the 2 committed shards, finishes the rest
+    result = build_kg_resumable(CFG, root, n_shards=4)
+    total = ckpt.total_counters()
+    assert total["parts"] == 4 and total["n_docs"] == CFG.n_docs
+
+    # identical triple set to a clean unsharded run
+    clean = build_kg(synth.documents_dataset(CFG), CFG)
+    assert _triple_set(result.triples) == _triple_set(clean.triples)
+
+
+def test_skip_is_free(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    build_kg_resumable(CFG, root, n_shards=2)
+    ckpt = LineageCheckpoint(f"{root}/linked")
+
+    calls = []
+
+    def boom(part):
+        def make():
+            calls.append(part)
+            raise AssertionError("make_ds must not run for committed shards")
+        return make
+
+    for part in range(2):
+        assert ckpt.run_partition(part, boom(part)) == "skipped"
+    assert calls == []
