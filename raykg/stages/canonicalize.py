@@ -126,4 +126,5 @@ def rewrite_triples(linked: rd.Dataset, canon_map: dict[str, str]) -> rd.Dataset
                 "span_offset": batch.column("span_offset"),
             })
 
-    return linked.map_batches(Rewrite, batch_format="pyarrow", concurrency=(1, 8))
+    return linked.map_batches(Rewrite, batch_format="pyarrow",
+                              concurrency=(2, 16))
