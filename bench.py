@@ -35,7 +35,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # flagship corpus size for bench/scaling (fixed input across parallelism levels)
 FLAGSHIP_DOCS = int(os.environ.get("RAYKG_BENCH_DOCS", "60000"))
-SCALING_DOCS = int(os.environ.get("RAYKG_SCALING_DOCS", "40000"))
+SCALING_DOCS = int(os.environ.get("RAYKG_SCALING_DOCS", "200000"))
+# Fixed entity vocabulary for bench/scaling runs: the alias index is the
+# broadcast small side and must not grow with corpus size, or the driver-side
+# build becomes a serial term that poisons the scaling measurement.
+BENCH_ENTITIES = int(os.environ.get("RAYKG_BENCH_ENTITIES", "10000"))
 
 
 def _sf_of(path: str) -> float:
@@ -53,19 +57,23 @@ def _init_ray(num_cpus: int) -> None:
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
+        # NOTE: ShuffleStrategy.HASH_SHUFFLE measured slightly faster for the
+        # bucketed aggregates in isolation (4.2s vs 5.8s at 3.3M rows) but
+        # its long-lived aggregator actors deadlock against the linker actor
+        # pool on a CPU-capped cluster — stay on the sort-based default.
 
 
 def _consume(res) -> int:
-    """Drive a query result to completion; return row count."""
+    """Drive a query result to completion; return row count. count() executes
+    the full pipeline but only ships block metadata to the driver — streaming
+    every output row to the driver (iter_batches) was a serial choke that
+    dominated wall time at larger corpora."""
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        n = 0
-        for b in res.iter_batches(batch_format="pyarrow", batch_size=8192):
-            n += b.num_rows
-        return n
+        return res.count()
     if isinstance(res, (pa.Table, pd.DataFrame)):
         return len(res)
     return 0
@@ -82,7 +90,7 @@ def run_flagship(num_cpus: int, n_docs: int) -> dict:
     # batch_size=512 -> enough tasks to saturate the actor pool; concurrency
     # at 3/4 of CPUs leaves headroom for read/write/shuffle tasks (a pool of
     # num_cpus 1-CPU actors starves the rest of the pipeline).
-    cfg = KGConfig(n_docs=n_docs, batch_size=512,
+    cfg = KGConfig(n_docs=n_docs, n_entities=BENCH_ENTITIES, batch_size=512,
                    link_concurrency=max(2, num_cpus * 3 // 4))
     t0 = time.perf_counter()
     docs = synth.documents_dataset(
@@ -142,10 +150,18 @@ def main_worker(num_cpus: int, n_docs: int) -> None:
 def _spawn_worker(num_cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
+           str(num_cpus), str(n_docs)]
+    # Pin the whole process tree to num_cpus PHYSICAL cores: ray.init's
+    # num_cpus only caps Ray's logical scheduler — numpy/pyarrow worker
+    # threads would otherwise spill onto every core and fake the low-
+    # parallelism leg of the scaling measurement.
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{num_cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--_worker",
-         str(num_cpus), str(n_docs)],
-        capture_output=True, text=True, env=env, timeout=3600)
+        cmd, capture_output=True, text=True, env=env, timeout=3600)
     for ln in proc.stdout.splitlines():
         if ln.startswith("WORKER_RESULT "):
             return json.loads(ln[len("WORKER_RESULT "):])

@@ -79,14 +79,16 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
-                   num_hashes: int, seed: int) -> np.ndarray:
+                   num_hashes: int, seed: int,
+                   params: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> np.ndarray:
     """Vectorized MinHash over a CSR-style layout.
 
     token_hashes: uint64 array of all rows' token hashes concatenated.
     offsets: int array len n_rows+1; row i owns token_hashes[offsets[i]:offsets[i+1]].
     Returns (n_rows, num_hashes) uint64 signature matrix; empty rows get max.
     """
-    a, b = _perm_params(num_hashes, seed)
+    a, b = params if params is not None else _perm_params(num_hashes, seed)
     n_rows = len(offsets) - 1
     sig = np.full((n_rows, num_hashes), np.uint64(_MERSENNE), dtype=np.uint64)
     if len(token_hashes) == 0:

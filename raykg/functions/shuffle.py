@@ -19,6 +19,10 @@ bucketed variant on the 60k-doc flagship edge dedup at 32 CPUs). Instead:
 
 At cluster scale, ``num_buckets`` should be ≥ total cores so every node gets
 work; buckets are independent, so a failed bucket re-executes alone.
+``num_buckets`` must be LARGE (default 1024): Ray's sort-based groupby
+range-partitions on sampled key quantiles, and a key with only ~64 distinct
+values collapses the ranges (measured 37 s vs 5.8 s at 3.3M rows, 64 vs 1024
+buckets). Hash-shuffle strategy (set on the DataContext) helps further.
 """
 
 from __future__ import annotations
@@ -46,7 +50,8 @@ def bucketed_group_agg(ds: rd.Dataset,
                        combiner: Callable[[pa.Table], pa.Table],
                        key_col: str,
                        finalize: Callable[[pa.Table], pa.Table],
-                       num_buckets: int = 64) -> rd.Dataset:
+                       num_buckets: int = 1024,
+                       combine_batch_size: int | None = None) -> rd.Dataset:
     """Two-phase grouped aggregation over ``key_col``.
 
     ``combiner``: batch -> partial table that MUST contain ``key_col``
@@ -63,6 +68,11 @@ def bucketed_group_agg(ds: rd.Dataset,
     def per_bucket(t: pa.Table) -> pa.Table:
         return finalize(t.drop_columns(["bucket"]))
 
-    partial = ds.map_batches(with_bucket, batch_format="pyarrow")
+    # combine_batch_size=None -> whole-block batches: the combiner's dedup
+    # power scales with batch size (hot keys recur in every small batch, so
+    # 512-row batches emitted ~6x more partial rows into the exchange than
+    # block-sized ones on the Zipfian entity stream).
+    partial = ds.map_batches(with_bucket, batch_format="pyarrow",
+                             batch_size=combine_batch_size)
     return partial.groupby("bucket").map_groups(
         per_bucket, batch_format="pyarrow")

@@ -374,37 +374,54 @@ _EDGE_SOURCES = [
 
 
 def kg_edges(sf_dir: str) -> rd.Dataset:
-    """FK edges with minted URIs, exact-deduped with counts (O7 analog)."""
-    parts = []
-    for table, pred, src_key, src_label, dst_key, dst_label in _EDGE_SOURCES:
-        ds = _read(sf_dir, table, [src_key, dst_key])
+    """FK edges with minted URIs, exact-deduped with counts (O7 analog).
 
-        def mint(t: pa.Table, pred=pred, src_key=src_key, src_label=src_label,
-                 dst_key=dst_key, dst_label=dst_label) -> pa.Table:
-            s = t.column(src_key).to_pylist()
-            d = t.column(dst_key).to_pylist()
+    Mint-last plan: the dedup aggregate runs on (edge_source_id, src_key,
+    dst_key) — three small ints — so the shuffle never moves URI strings and
+    sha256 minting happens once per DISTINCT edge after the aggregate, not
+    once per input row (~2x sha calls saved on lineitem, ~10x lighter
+    exchange than shuffling two 80-char URIs per row)."""
+
+    def make_partial(esrc: int, src_key: str, dst_key: str):
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
+                          "dk": pc.cast(t.column(dst_key), pa.int64())}) \
+                .group_by(["sk", "dk"]).aggregate([([], "count_all")])
             return pa.table({
-                "subj": pa.array(
-                    [f"sdpg.gr/{src_label}/{sha_hex(str(x))}" for x in s],
-                    pa.string()),
-                "pred": pa.array([pred] * len(s), pa.string()),
-                "obj": pa.array(
-                    [f"sdpg.gr/{dst_label}/{sha_hex(str(x))}" for x in d],
-                    pa.string()),
+                "esrc": pa.array([esrc] * g.num_rows, pa.int32()),
+                "sk": g.column("sk"), "dk": g.column("dk"),
+                "n": g.column("count_all"),
             })
+        return partial
 
-        parts.append(ds.map_batches(mint, batch_format="pyarrow"))
+    parts = []
+    for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
+        ds = _read(sf_dir, table, [src_key, dst_key])
+        parts.append(ds.map_batches(make_partial(esrc, src_key, dst_key),
+                                    batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    agg = out.groupby(["esrc", "sk", "dk"]).aggregate(*_sums(["n"]))
 
-    def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["subj", "pred", "obj"]).aggregate([([], "count_all")])
+    def mint(t: pa.Table) -> pa.Table:
+        esrcs = t.column("esrc").to_pylist()
+        sks = t.column("sk").to_pylist()
+        dks = t.column("dk").to_pylist()
+        subj, pred, obj = [], [], []
+        for e, sk, dk in zip(esrcs, sks, dks):
+            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[e]
+            subj.append(f"sdpg.gr/{src_label}/{sha_hex(str(sk))}")
+            pred.append(p)
+            obj.append(f"sdpg.gr/{dst_label}/{sha_hex(str(dk))}")
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "n": t.column("sum(n)"),
+        })
 
-    return _finalize_rename(
-        out.map_batches(partial, batch_format="pyarrow")
-        .groupby(["subj", "pred", "obj"]).aggregate(*_sums(["count_all"])),
-        ["subj", "pred", "obj", "n"])
+    return agg.map_batches(mint, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ from raykg.stages.canonicalize import (
     rewrite_triples,
 )
 from raykg.stages.extract import extract_batch
-from raykg.stages.link import LinkBatches, build_alias_items
+from raykg.stages.link import LinkBatches, build_index_ref
 
 
 @dataclass
@@ -51,17 +51,25 @@ def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     """documents -> extraction -> linking (lazy)."""
     extractions = documents.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
-    alias_ref = ray.put(build_alias_items(cfg))
-    # Autoscaling pool with a warm floor of half the target: starting from 1
-    # actor leaves CPUs idle through the ramp, but a FIXED pool of
-    # link_concurrency 1-CPU actors deadlocks a small cluster (idle actors
-    # hold every CPU, upstream read tasks never schedule).
+    index_ref = build_index_ref(cfg)
+    # Pool floor == the target concurrency: Ray Data's actor-pool autoscaler
+    # is too conservative to climb from a low floor within a short job
+    # (measured 12.6s -> 8.9s at 200k docs just by lifting the floor from 12
+    # to 24 of 32 CPUs). The ceiling stays a little higher for burst, but
+    # must remain below the cluster CPU count — a pool holding EVERY CPU
+    # deadlocks upstream read tasks. link_concurrency is therefore sized by
+    # callers at ~3/4 of CPUs.
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    cap = max(1, total_cpus - 2)     # always leave CPUs for read/write tasks
+    floor = min(cfg.link_concurrency, cap)
+    ceiling = min(cfg.link_concurrency
+                  + max(2, cfg.link_concurrency // 6), cap)
     return extractions.map_batches(
         LinkBatches,
-        fn_constructor_kwargs={"cfg": cfg, "alias_ref": alias_ref},
+        fn_constructor_kwargs={"cfg": cfg, "index_ref": index_ref},
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(max(1, cfg.link_concurrency // 2),
-                     cfg.link_concurrency),
+        concurrency=(floor, max(floor, ceiling)),
         num_cpus=1)
 
 
@@ -133,6 +141,76 @@ def dedup_edges(triples: rd.Dataset) -> rd.Dataset:
     return bucketed_group_agg(triples, combiner, "k", finalize)
 
 
+def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
+                    cfg: KGConfig) -> rd.Dataset:
+    """Edge dedup in compact ID space — the scale path used by build_kg.
+
+    The generic ``dedup_edges`` exchanges full URI strings (~160 B/key);
+    here the combiner keys on (entity-id | pred | entity-id) (~25 B/key,
+    canonicalized through the broadcast ent->canon map), and URIs are minted
+    AFTER the aggregate, once per distinct subject/object (memoized per
+    bucket). Same output table, ~6x less shuffle volume and ~10^6 fewer
+    sha256 calls at 13M triples.
+    """
+    import pyarrow.compute as pc
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    SEP = "\x1f"
+    ent_ref = ray.put(ent_canon)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        m = ray.get(ent_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        subj_ents = batch.column("subj_ent").to_pylist()
+        obj_ents = batch.column("obj_ent").to_pylist()
+        subj_keys = [m.get(e, e) if e else "D" + SEP + d
+                     for e, d in zip(subj_ents, doc_ids)]
+        obj_keys = [m.get(e, e) for e in obj_ents]
+        t = pa.table({
+            "s": pa.array(subj_keys, pa.string()),
+            "p": batch.column("pred"),
+            "o": pa.array(obj_keys, pa.string()),
+        }).group_by(["s", "p", "o"]).aggregate([([], "count_all")])
+        key = pc.binary_join_element_wise(
+            t.column("s"), t.column("p"), t.column("o"), SEP)
+        return pa.table({"k": key, "n": t.column("count_all")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum")])
+        uri_cache: dict[str, str] = {}
+
+        def to_uri(key_parts: list[str]) -> str:
+            if key_parts[0] == "D":          # document subject: ["D", doc_id]
+                ident = key_parts[1]
+                hit = uri_cache.get("D" + ident)
+                if hit is None:
+                    hit = mint_uri("Document", ident)
+                    uri_cache["D" + ident] = hit
+                return hit
+            eid = key_parts[0]
+            hit = uri_cache.get(eid)
+            if hit is None:
+                hit = mint_uri(synth.entity_label(int(eid[1:]), cfg), eid)
+                uri_cache[eid] = hit
+            return hit
+
+        subj, pred, obj = [], [], []
+        for k in g.column("k").to_pylist():
+            parts = k.split(SEP)
+            obj.append(to_uri([parts[-1]]))
+            pred.append(parts[-2])
+            subj.append(to_uri(parts[:-2]))
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "count": g.column("n_sum"),
+        })
+
+    return bucketed_group_agg(linked, combiner, "k", finalize)
+
+
 def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                        n_shards: int = 8,
                        fail_after_shards: int | None = None) -> KGResult:
@@ -167,8 +245,10 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
     canon_rows = groups.take_all()
     canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
                  if r["uri"] != r["canon_uri"]}
-    triples = rewrite_triples(linked, canon_map).materialize()
-    edges = dedup_edges(triples)
+    ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
+               if r["entity_id"] != r["canon_ent"]}
+    triples = rewrite_triples(linked, canon_map)
+    edges = dedup_edges_ids(linked, ent_map, cfg)
     documents = synth.documents_dataset(cfg)
     nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
     return KGResult(triples=triples, nodes=nodes, edges=edges,
@@ -189,15 +269,17 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
     canon_rows = groups.take_all()   # distinct-entity sized; small by design
     canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
                  if r["uri"] != r["canon_uri"]}
+    ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
+               if r["entity_id"] != r["canon_ent"]}
 
     triples = rewrite_triples(linked, canon_map)
     if checkpoint_dir:
         write_table(triples, f"{checkpoint_dir}/triples")
         triples = read_table(f"{checkpoint_dir}/triples")
-    else:
-        triples = triples.materialize()
+    # else: leave lazy — a map-only stage over the pinned ``linked`` table;
+    # materializing it only paid an extra multi-GB object-store round trip.
 
-    edges = dedup_edges(triples)
+    edges = dedup_edges_ids(linked, ent_map, cfg)
     nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
     return KGResult(triples=triples, nodes=nodes, edges=edges,
                     canon_map=canon_map)

@@ -1,6 +1,6 @@
 """Canonicalization: resolve coreferent entities via union-find over a
-``groupby(entity_key)`` shuffle, then rewrite triples through the canonical
-mapping.
+bucketed ``groupby(entity_key)`` shuffle, then rewrite triples through the
+canonical mapping.
 
 Reference analog: the cluster aggregate + driver-collected label map
 (src/main/scala/Clustering.scala:90-105). The reference collects the whole
@@ -11,11 +11,16 @@ batch.
 
 Skew note (north rule): mention observations follow a Zipfian entity
 distribution — the hot-key guard is a per-batch combiner (each batch emits
-each distinct entity at most once) before the global ``groupby(entity_id)``
-dedup, which caps any one key's shuffle fan-in at the number of input blocks.
-This is the salted/partial two-phase aggregation pattern: phase 1 (combiner)
-runs embarrassingly parallel inside ``map_batches``; phase 2 groups the
-already-thinned partials.
+each distinct entity at most once) before the bucketed global dedup, which
+caps any one key's shuffle fan-in at the number of input blocks, and the
+exchange key is a uniform crc bucket, so hot entities cannot overload one
+partition. This is the salted/partial two-phase aggregation pattern.
+
+All wide steps go through functions/shuffle.bucketed_group_agg: Ray's
+per-group ``map_groups`` costs ~0.3 ms of block slicing per group — at one
+group per distinct entity that overhead alone dwarfed the actual union-find
+work, so groups are processed per *bucket* with vectorized boundaries
+instead.
 """
 
 from __future__ import annotations
@@ -29,12 +34,13 @@ import ray.data as rd
 from raykg import synth
 from raykg.config import KGConfig
 from raykg.functions.hashing import mint_uri
+from raykg.functions.shuffle import bucketed_group_agg
 
 
 def observed_entities(linked: rd.Dataset) -> rd.Dataset:
     """LINKED_TRIPLES -> distinct observed entity ids (two-phase dedup)."""
 
-    def batch_distinct(batch: pa.Table) -> pa.Table:
+    def combiner(batch: pa.Table) -> pa.Table:
         ents = pa.concat_arrays([
             batch.column("subj_ent").combine_chunks(),
             batch.column("obj_ent").combine_chunks(),
@@ -42,15 +48,16 @@ def observed_entities(linked: rd.Dataset) -> rd.Dataset:
         ents = pc.drop_null(ents.filter(pc.not_equal(ents, "")))
         return pa.table({"entity_id": pc.unique(ents)})
 
-    partial = linked.map_batches(batch_distinct, batch_format="pyarrow")
-    # phase 2: global exact dedup — grouped first-row per key
-    return partial.groupby("entity_id").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"entity_id": pc.unique(t.column("entity_id").combine_chunks())})
+
+    return bucketed_group_agg(linked, combiner, "entity_id", finalize)
 
 
 def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
-    """Distinct entities -> (uri, canon_uri, canon_ent) via groupby(norm_name)
-    + union-find within each group.
+    """Distinct entities -> (uri, canon_uri, canon_ent): bucketed shuffle on
+    ``norm_name``, union-find within each name group.
 
     Today the equivalence evidence within a group is "shares the normalized
     name", so each group is one component; the union-find is kept explicit so
@@ -61,19 +68,17 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
         ids = batch.column("entity_id").to_pylist()
         idx = [int(e[1:]) for e in ids]
         return pa.table({
-            "entity_id": ids,
-            "uri": [mint_uri(synth.entity_label(i, cfg), e)
-                    for i, e in zip(idx, ids)],
-            "norm_name": [synth.entity_norm_name(i, cfg) for i in idx],
+            "entity_id": pa.array(ids, pa.string()),
+            "uri": pa.array([mint_uri(synth.entity_label(i, cfg), e)
+                             for i, e in zip(idx, ids)], pa.string()),
+            "norm_name": pa.array([synth.entity_norm_name(i, cfg)
+                                   for i in idx], pa.string()),
         })
 
-    keyed = entities.map_batches(add_keys, batch_format="pyarrow")
-
-    def resolve_group(t: pa.Table) -> pa.Table:
-        ids = t.column("entity_id").to_pylist()
-        uris = t.column("uri").to_pylist()
-        # union-find over equivalence pairs; all members of a norm_name group
-        # are pairwise equivalent -> single component
+    def resolve_slice(ids: list[str], uris: list[str]
+                      ) -> tuple[list, list, list, list]:
+        """Union-find over one norm_name group (all members pairwise
+        equivalent -> one component; canon = min uri)."""
         parent = list(range(len(ids)))
 
         def find(x: int) -> int:
@@ -92,36 +97,68 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
         comp: dict[int, list[int]] = {}
         for k in range(len(ids)):
             comp.setdefault(find(k), []).append(k)
-        out_uri, out_canon, out_ent = [], [], []
+        out_id, out_uri, out_canon, out_ent = [], [], [], []
         for members in comp.values():
             canon = min(members, key=lambda k: uris[k])
             for k in members:
+                out_id.append(ids[k])
                 out_uri.append(uris[k])
                 out_canon.append(uris[canon])
                 out_ent.append(ids[canon])
-        return pa.table({"uri": out_uri, "canon_uri": out_canon,
-                         "canon_ent": out_ent})
+        return out_id, out_uri, out_canon, out_ent
 
-    return keyed.groupby("norm_name").map_groups(
-        resolve_group, batch_format="pyarrow")
+    def finalize(t: pa.Table) -> pa.Table:
+        # one sorted pass over the bucket; per-group union-find on slices
+        t = t.sort_by("norm_name")
+        names = t.column("norm_name").to_pylist()
+        ids = t.column("entity_id").to_pylist()
+        uris = t.column("uri").to_pylist()
+        out_id: list[str] = []
+        out_uri: list[str] = []
+        out_canon: list[str] = []
+        out_ent: list[str] = []
+        lo = 0
+        for hi in range(1, len(names) + 1):
+            if hi == len(names) or names[hi] != names[lo]:
+                i_, u, c, e = resolve_slice(ids[lo:hi], uris[lo:hi])
+                out_id.extend(i_)
+                out_uri.extend(u)
+                out_canon.extend(c)
+                out_ent.extend(e)
+                lo = hi
+        return pa.table({
+            "entity_id": pa.array(out_id, pa.string()),
+            "uri": pa.array(out_uri, pa.string()),
+            "canon_uri": pa.array(out_canon, pa.string()),
+            "canon_ent": pa.array(out_ent, pa.string()),
+        })
+
+    keyed = entities.map_batches(add_keys, batch_format="pyarrow")
+    return bucketed_group_agg(keyed, lambda t: t, "norm_name", finalize)
 
 
 def rewrite_triples(linked: rd.Dataset, canon_map: dict[str, str]) -> rd.Dataset:
-    """Rewrite subj/obj through the canonical map (broadcast once)."""
-    ref = ray.put(canon_map)
+    """Rewrite subj/obj through the canonical map — broadcast once, applied
+    vectorized (pc.index_in + take; no per-row Python)."""
+    keys = pa.array(list(canon_map.keys()), pa.string())
+    vals = pa.array(list(canon_map.values()), pa.string())
+    ref = ray.put((keys, vals))
 
     class Rewrite:
         def __init__(self):
-            self.map = ray.get(ref)
+            self.keys, self.vals = ray.get(ref)
+
+        def _remap(self, col: pa.ChunkedArray) -> pa.Array:
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            idx = pc.index_in(col, value_set=self.keys)
+            mapped = self.vals.take(idx)          # null where no mapping
+            return pc.coalesce(mapped, col)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = self.map
-            subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
-            obj = [m.get(o, o) for o in batch.column("obj").to_pylist()]
             return pa.table({
-                "subj": pa.array(subj, pa.string()),
+                "subj": self._remap(batch.column("subj")),
                 "pred": batch.column("pred"),
-                "obj": pa.array(obj, pa.string()),
+                "obj": self._remap(batch.column("obj")),
                 "doc_id": batch.column("doc_id"),
                 "span_offset": batch.column("span_offset"),
             })

@@ -25,6 +25,7 @@ import ray
 from raykg import synth
 from raykg.config import MEDIA_PREDICATE, KGConfig
 from raykg.functions.hashing import (
+    _perm_params,
     char_shingles,
     crc_hash_array,
     mint_uri,
@@ -51,6 +52,14 @@ def build_alias_items(cfg: KGConfig) -> list[tuple[str, int]]:
     return items
 
 
+def build_index_ref(cfg: KGConfig):
+    """Build the AliasIndex ONCE on the driver and place it in the object
+    store; every linker actor fetches it in __init__ (broadcast-once, never
+    re-shipped per batch — reference analog T3/T4). At production scale this
+    is where a sharded alias table would be loaded instead."""
+    return ray.put(AliasIndex(cfg))
+
+
 class AliasIndex:
     """Exact dict + MinHash-LSH blocked fuzzy lookup. Deterministic."""
 
@@ -65,42 +74,128 @@ class AliasIndex:
         self._ents = np.array([e for _, e in items], dtype=np.int64)
         self._shingle_sets = [frozenset(char_shingles(s, cfg.link_shingle_k))
                               for s in self._aliases]
-        flat: list[str] = []
-        offsets = [0]
-        for ss in self._shingle_sets:
-            flat.extend(ss)
-            offsets.append(len(flat))
-        sig = minhash_matrix(crc_hash_array(flat), np.array(offsets),
-                             cfg.link_num_hashes, cfg.seed)
-        rows_per_band = cfg.link_num_hashes // cfg.link_num_bands
-        self._rows_per_band = rows_per_band
-        self.bands: list[dict[bytes, list[int]]] = []
-        for b in range(cfg.link_num_bands):
-            d: dict[bytes, list[int]] = {}
-            keys = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            for idx in range(len(self._aliases)):
-                d.setdefault(keys[idx].tobytes(), []).append(idx)
-            self.bands.append(d)
+        # Permutation params derived once (re-deriving the seeded rng per
+        # lookup cost more than the MinHash itself).
+        self._perm = _perm_params(cfg.link_num_hashes, cfg.seed)
+        # LSH band index is built LAZILY (first fallback lookup): it is the
+        # generic-corruption fallback, rarely hit, and its ~20 MB of dicts
+        # dominated the broadcast pickle + per-actor deserialize cost.
+        self._bands: list[dict[bytes, list[int]]] | None = None
+        self._rows_per_band = cfg.link_num_hashes // cfg.link_num_bands
+        # SymSpell-style single-deletion blocking: corrupted mentions are
+        # overwhelmingly one-char drops, and in an alias space of
+        # near-identical strings the LSH buckets degenerate (measured ~2,700
+        # candidates per lookup — every alias of the same label family
+        # collides). Stored as SORTED numpy (crc32(variant), alias_idx)
+        # arrays: ~3 MB broadcast instead of a ~35 MB python dict, O(log n)
+        # lookup via searchsorted. crc collisions only ADD candidates, and
+        # every candidate is verified by exact Jaccard, so they are harmless.
+        import zlib
+
+        n_del = sum(len(s) for s in self._aliases)
+        keys = np.empty(n_del, dtype=np.uint32)
+        vals = np.empty(n_del, dtype=np.int32)
+        w = 0
+        for idx, s in enumerate(self._aliases):
+            enc = s.encode("utf-8")
+            for k in range(len(s)):
+                v = s[:k] + s[k + 1:]
+                keys[w] = zlib.crc32(v.encode("utf-8"))
+                vals[w] = idx
+                w += 1
+        order = np.argsort(keys[:w], kind="stable")
+        self._del_keys = keys[:w][order]
+        self._del_vals = vals[:w][order]
+
+    def _deletion_candidates(self, surface: str) -> np.ndarray | None:
+        import zlib
+
+        h = np.uint32(zlib.crc32(surface.encode("utf-8")))
+        lo = np.searchsorted(self._del_keys, h, side="left")
+        hi = np.searchsorted(self._del_keys, h, side="right")
+        if lo == hi:
+            return None
+        return np.unique(self._del_vals[lo:hi])
+
+    def _ensure_bands(self) -> list[dict[bytes, list[int]]]:
+        if self._bands is None:
+            cfg = self.cfg
+            flat: list[str] = []
+            offsets = [0]
+            for ss in self._shingle_sets:
+                flat.extend(ss)
+                offsets.append(len(flat))
+            sig = minhash_matrix(crc_hash_array(flat), np.array(offsets),
+                                 cfg.link_num_hashes, cfg.seed,
+                                 params=self._perm)
+            r = self._rows_per_band
+            bands: list[dict[bytes, list[int]]] = []
+            for b in range(cfg.link_num_bands):
+                d: dict[bytes, list[int]] = {}
+                keys = sig[:, b * r:(b + 1) * r]
+                for idx in range(len(self._aliases)):
+                    d.setdefault(keys[idx].tobytes(), []).append(idx)
+                bands.append(d)
+            self._bands = bands
+        return self._bands
 
     def resolve(self, surface: str) -> int | None:
-        ent = self.exact.get(surface)
-        if ent is not None:
-            return ent
+        return self.resolve_many([surface])[0]
+
+    def resolve_many(self, surfaces: list[str]) -> list[int | None]:
+        """Resolve a batch of surfaces: exact dict hits first; misses go
+        through single-deletion blocking (typo'd mentions), falling back to
+        one vectorized MinHash + LSH band lookup for any residue; both
+        blocking paths share the same exact-Jaccard argmax scoring."""
         cfg = self.cfg
-        shingles = frozenset(char_shingles(surface, cfg.link_shingle_k))
-        flat = list(shingles)
-        sig = minhash_matrix(crc_hash_array(flat),
-                             np.array([0, len(flat)]),
-                             cfg.link_num_hashes, cfg.seed)[0]
-        cand: set[int] = set()
-        r = self._rows_per_band
-        for b, d in enumerate(self.bands):
-            cand.update(d.get(sig[b * r:(b + 1) * r].tobytes(), ()))
+        out: list[int | None] = [None] * len(surfaces)
+        fuzzy_idx: list[int] = []
+        for i, s in enumerate(surfaces):
+            ent = self.exact.get(s)
+            if ent is not None:
+                out[i] = ent
+            else:
+                fuzzy_idx.append(i)
+        if not fuzzy_idx:
+            return out
+        shingle_sets = [frozenset(char_shingles(surfaces[i], cfg.link_shingle_k))
+                        for i in fuzzy_idx]
+        thr = cfg.link_jaccard_threshold
+        lsh_rows: list[int] = []       # positions within fuzzy_idx needing LSH
+        for pos, (i, shingles) in enumerate(zip(fuzzy_idx, shingle_sets)):
+            cand_ids = self._deletion_candidates(surfaces[i])
+            if cand_ids is None:
+                lsh_rows.append(pos)
+                continue
+            out[i] = self._score(cand_ids, shingles, thr)
+        if lsh_rows:
+            bands = self._ensure_bands()
+            flat: list[str] = []
+            offsets = [0]
+            for pos in lsh_rows:
+                flat.extend(shingle_sets[pos])
+                offsets.append(len(flat))
+            sig = minhash_matrix(crc_hash_array(flat), np.array(offsets),
+                                 cfg.link_num_hashes, cfg.seed,
+                                 params=self._perm)
+            r = self._rows_per_band
+            for row, pos in enumerate(lsh_rows):
+                cand: set[int] = set()
+                srow = sig[row]
+                for b, d in enumerate(bands):
+                    cand.update(d.get(srow[b * r:(b + 1) * r].tobytes(), ()))
+                out[fuzzy_idx[pos]] = self._score(
+                    cand, shingle_sets[pos], thr)
+        return out
+
+    def _score(self, cand_ids, shingles: frozenset, thr: float) -> int | None:
+        """Exact-Jaccard argmax over a candidate set (ties -> smallest alias
+        string) — the one scoring rule used by both blocking paths."""
         best: tuple[float, str, int] | None = None
-        for idx in cand:
+        for idx in cand_ids:
             ss = self._shingle_sets[idx]
             j = len(shingles & ss) / len(shingles | ss)
-            if j < cfg.link_jaccard_threshold:
+            if j < thr:
                 continue
             key = (-j, self._aliases[idx])
             if best is None or key < (best[0], best[1]):
@@ -119,28 +214,36 @@ class LinkBatches:
       caption   -> (doc_uri, "depicts", uri)
     """
 
-    def __init__(self, cfg: KGConfig, alias_ref=None):
-        items = ray.get(alias_ref) if alias_ref is not None else None
+    def __init__(self, cfg: KGConfig, alias_ref=None, index_ref=None):
         self.cfg = cfg
-        self.index = AliasIndex(cfg, items)
+        if index_ref is not None:
+            # Prebuilt on the driver, ray.put once, fetched once per actor —
+            # rebuilding per actor cost 7-24 s at 12.5k entities and
+            # serialized pool ramp-up. (Plain-arg passing auto-dereferences.)
+            self.index = index_ref if isinstance(index_ref, AliasIndex) \
+                else ray.get(index_ref)
+        else:
+            items = ray.get(alias_ref) if alias_ref is not None else None
+            self.index = AliasIndex(cfg, items)
         self._cache: dict[str, tuple[str, str] | None] = {}
 
-    def _uri(self, surface: str) -> tuple[str, str] | None:
-        """surface -> (uri, entity_id) or None."""
-        hit = self._cache.get(surface, False)
-        if hit is not False:
-            return hit
-        ent = self.index.resolve(surface)
-        if ent is None:
-            out = None
-        else:
-            eid = synth.entity_id(ent)
-            out = (mint_uri(synth.entity_label(ent, self.cfg), eid), eid)
-        self._cache[surface] = out
-        return out
+    def _resolve_all(self, surfaces: list[str]) -> None:
+        """Fill the memo cache for every surface not yet seen (one vectorized
+        resolve_many call per batch)."""
+        cache = self._cache
+        todo = list({s for s in surfaces if s not in cache})
+        if not todo:
+            return
+        ents = self.index.resolve_many(todo)
+        for s, ent in zip(todo, ents):
+            if ent is None:
+                cache[s] = None
+            else:
+                eid = synth.entity_id(ent)
+                cache[s] = (mint_uri(synth.entity_label(ent, self.cfg), eid),
+                            eid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
         out: list[tuple] = []
         doc_ids = batch.column("doc_id").to_pylist()
         offsets = batch.column("span_offset").to_pylist()
@@ -148,11 +251,14 @@ class LinkBatches:
         preds = batch.column("pred").to_pylist()
         s1 = batch.column("surface").to_pylist()
         s2 = batch.column("surface2").to_pylist()
+        self._resolve_all(s1 + [b for e, b in zip(etypes, s2)
+                                if e == "relation"])
+        cache = self._cache
         for doc_id, off, etype, pred, a, b in zip(doc_ids, offsets, etypes,
                                                   preds, s1, s2):
-            ra = self._uri(a)
+            ra = cache.get(a)
             if etype == "relation":
-                rb = self._uri(b)
+                rb = cache.get(b)
                 if ra is not None and rb is not None:
                     out.append((ra[0], pred, rb[0], doc_id, off, ra[1], rb[1]))
             elif ra is not None:

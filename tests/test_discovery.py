@@ -1,0 +1,82 @@
+"""Schema discovery + evaluation against the reference protocol (SURVEY §5):
+noise-corrupted property-graph nodes, clustered by property-signature MinHash,
+scored with majority-vote cluster purity P/R/F1
+(/root/reference output logs: P/R/F1 ~0.99/1.0 at 10% noise, degrading with
+noise while recall stays 1.0)."""
+
+from raykg import synth
+from raykg.config import KGConfig, LABEL_SIGNATURES, NodeSynthConfig
+from raykg.pipelines.discover import discover_edge_types, discover_node_types
+from raykg.pipelines.evaluate import cluster_metrics
+
+CFG = KGConfig()
+
+
+def _discover(ray_session, noise: float):
+    nodes = synth.pg_nodes_dataset(NodeSynthConfig(n_nodes=1000, noise=noise))
+    return discover_node_types(nodes, CFG, dataset_size=1000,
+                               id_col="node_id", label_col="labels")
+
+
+def test_clean_nodes_recover_exact_schema(ray_session):
+    result = _discover(ray_session, 0.0)
+    types = result.node_types.take_all()
+    # no noise -> one cluster per DISTINCT property signature. Place and
+    # Organisation share an identical signature (id,name,url,type) and are
+    # inherently indistinguishable to property-signature clustering — they
+    # merge into one cluster whose majority label wins (same confusion the
+    # reference exhibits on identical-signature labels).
+    distinct_sigs = {tuple(sorted(sig)) for sig in LABEL_SIGNATURES.values()}
+    assert len(types) == len(distinct_sigs)
+    by_label = {t["label"]: t for t in types}
+    assert "Place" in by_label and "Organisation" not in by_label
+    for label, sig in LABEL_SIGNATURES.items():
+        if label in by_label:
+            assert by_label[label]["required_props"] == sorted(sig)
+            assert by_label[label]["optional_props"] == []
+    m = cluster_metrics(result.clustered)
+    # the merged Place/Organisation cluster contributes its minority rows as
+    # FP; every row still lands in a cluster -> recall 1.0
+    assert m["recall"] == 1.0
+    assert 0.85 <= m["precision"] < 1.0
+
+
+def test_noise_sweep_metrics_degrade_gracefully(ray_session):
+    """Mirror of the reference's noise sweep: recall stays 1.0 (every node is
+    clustered), precision degrades as signatures fragment."""
+    prev_clusters = 0
+    for noise in (0.1, 0.4):
+        result = _discover(ray_session, noise)
+        m = cluster_metrics(result.clustered)
+        assert m["recall"] == 1.0
+        assert m["precision"] >= 0.5
+        assert m["num_clusters"] >= prev_clusters
+        prev_clusters = m["num_clusters"]
+
+
+def test_edge_types_and_self_cluster_quirk(ray_session):
+    rels = synth.pg_relationships_dataset(
+        NodeSynthConfig(n_nodes=1000, n_edges=2000))
+    node_label = {f"n{i:08d}": synth._pg_label(i) for i in range(1000)}
+
+    def as_triples(t):
+        import pyarrow as pa
+
+        return pa.table({"subj": t.column("src_id"),
+                         "pred": t.column("rel_type"),
+                         "obj": t.column("dst_id")})
+
+    edges = rels.map_batches(as_triples, batch_format="pyarrow")
+    types = discover_edge_types(edges, node_label, CFG).take_all()
+    keys = {(t["rel_type"], t["src_label"], t["dst_label"]) for t in types}
+    assert ("KNOWS", "Person", "Person") in keys or \
+           any(k[0] == "KNOWS" and k[1] == k[2] for k in keys)
+
+    import dataclasses
+
+    cfg_drop = dataclasses.replace(CFG, drop_self_cluster_edges=True)
+    types2 = discover_edge_types(edges, node_label, cfg_drop).take_all()
+    keys2 = {(t["rel_type"], t["src_label"], t["dst_label"]) for t in types2}
+    # the reference quirk (Clustering.scala:165-170) drops same-label edges
+    assert all(k[1] != k[2] for k in keys2)
+    assert keys2 < keys
