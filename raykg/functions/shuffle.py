@@ -51,7 +51,7 @@ def bucketed_group_agg(ds: rd.Dataset,
                        key_col: str,
                        finalize: Callable[[pa.Table], pa.Table],
                        num_buckets: int = 1024,
-                       combine_batch_size: int | None = None) -> rd.Dataset:
+                       combine_batch_size: int | None = 65536) -> rd.Dataset:
     """Two-phase grouped aggregation over ``key_col``.
 
     ``combiner``: batch -> partial table that MUST contain ``key_col``
@@ -68,10 +68,11 @@ def bucketed_group_agg(ds: rd.Dataset,
     def per_bucket(t: pa.Table) -> pa.Table:
         return finalize(t.drop_columns(["bucket"]))
 
-    # combine_batch_size=None -> whole-block batches: the combiner's dedup
-    # power scales with batch size (hot keys recur in every small batch, so
-    # 512-row batches emitted ~6x more partial rows into the exchange than
-    # block-sized ones on the Zipfian entity stream).
+    # Large combine batches (64k default; None = block-sized): the combiner's
+    # dedup power scales with batch size — hot keys recur in every small
+    # batch, so small batches emit multiples more partial rows into the
+    # exchange on a Zipfian key stream, and upstream stages often produce
+    # many small blocks that are worth coalescing here.
     partial = ds.map_batches(with_bucket, batch_format="pyarrow",
                              batch_size=combine_batch_size)
     return partial.groupby("bucket").map_groups(
