@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": relational.kg_edges,
         "property_signatures": relational.property_signatures,
         "minhash_cluster_counts": relational.minhash_cluster_counts,
+        "infer_column_types": relational.infer_column_types,
         # text analysis
         "token_stats": lambda sf: text.token_stats(_docs(sf)),
         "quality_score": lambda sf: text.quality_score(_docs(sf)),
@@ -310,6 +311,26 @@ def oracle_sql() -> dict[str, str]:
                      'ffffffff')), '_') AS cluster_key, n
               FROM sig_counts)
             SELECT cluster_key, sum(n)::BIGINT AS n FROM keyed GROUP BY 1""",
+        "infer_column_types": """
+            WITH s AS (SELECT event_type::VARCHAR AS c0, props::VARCHAR AS c1,
+                              user_id::VARCHAR AS c2
+                       FROM events LIMIT 1000),
+            u AS (SELECT 'event_type' AS col, c0 AS v FROM s
+                  UNION ALL SELECT 'props', c1 FROM s
+                  UNION ALL SELECT 'user_id', c2 FROM s),
+            cls AS (SELECT col,
+                CASE WHEN regexp_full_match(v, '-?\\d+')
+                          AND abs(TRY_CAST(v AS HUGEINT)) < 2147483648
+                     THEN 'INT'
+                     WHEN regexp_full_match(v, '-?\\d+') THEN 'LONG'
+                     WHEN regexp_full_match(v, '-?\\d+\\.\\d+') THEN 'DOUBLE'
+                     WHEN lower(v) IN ('true', 'false') THEN 'BOOLEAN'
+                     ELSE 'STRING' END AS t
+                FROM u),
+            counts AS (SELECT col, t, count(*) AS n FROM cls GROUP BY 1, 2)
+            SELECT col, t AS inferred_type FROM counts
+            QUALIFY row_number() OVER (PARTITION BY col
+                ORDER BY n DESC, t) = 1""",
         "token_stats": f"""
             SELECT doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_uniq,

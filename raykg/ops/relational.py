@@ -477,6 +477,44 @@ def property_signatures(sf_dir: str) -> rd.Dataset:
         ["label", "signature", "n"])
 
 
+def infer_column_types(sf_dir: str, table: str = "events",
+                       columns: tuple[str, ...] = ("event_type", "props",
+                                                   "user_id"),
+                       sample: int = 1000) -> pa.Table:
+    """Per-column logical type inference by majority vote over a row sample
+    (reference analog: src2/main/scala/Main.scala:299-318 — 1,000-row
+    ``take``, vote over {INT, LONG, DOUBLE, FLOAT, BOOLEAN, STRING}).
+
+    Values are classified from their string form with the same rules the
+    DuckDB oracle uses; ties break by type name. Output: (col,
+    inferred_type), one row per column."""
+    import re
+
+    from collections import Counter
+
+    int_re = re.compile(r"-?\d+$")
+    dbl_re = re.compile(r"-?\d+\.\d+$")
+
+    def classify(v: str) -> str:
+        if int_re.match(v):
+            return "INT" if abs(int(v)) < 2147483648 else "LONG"
+        if dbl_re.match(v):
+            return "DOUBLE"
+        if v.lower() in ("true", "false"):
+            return "BOOLEAN"
+        return "STRING"
+
+    rows = _read(sf_dir, table, list(columns)).limit(sample).take_all()
+    out_col, out_type = [], []
+    for col in columns:
+        votes = Counter(classify(str(r[col])) for r in rows)
+        winner = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out_col.append(col)
+        out_type.append(winner)
+    return pa.table({"col": pa.array(out_col, pa.string()),
+                     "inferred_type": pa.array(out_type, pa.string())})
+
+
 def minhash_cluster_counts(sf_dir: str) -> rd.Dataset:
     """Per deterministic MinHash cluster key over the property signature:
     row count. cluster_key = '_'-join over h of

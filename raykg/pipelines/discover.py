@@ -125,6 +125,46 @@ def discover_node_types(nodes: rd.Dataset, cfg: KGConfig,
                            num_hash_tables=num_tables)
 
 
+def merge_pattern_snapshot(node_types: rd.Dataset, path: str) -> rd.Dataset:
+    """Incremental merged-pattern snapshot (reference analog S5:
+    src2/main/scala/Main.scala:102-113 — read prior parquet if present,
+    set-union with the new patterns, overwrite).
+
+    Identity = (label, required_props, optional_props); counts from the new
+    run win for existing patterns. The overwrite is atomic-ish: written to a
+    temp dir then renamed, so a crashed merge leaves the prior snapshot."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    new = pa.Table.from_pylist(node_types.take_all(),
+                               schema=schema.NODE_TYPES)
+
+    def key(row: dict) -> tuple:
+        return (row["label"], tuple(row["required_props"]),
+                tuple(row["optional_props"]))
+
+    merged: dict[tuple, dict] = {}
+    if os.path.isdir(path):
+        for frag in sorted(os.listdir(path)):
+            if frag.endswith(".parquet"):
+                for row in pq.read_table(os.path.join(path, frag)).to_pylist():
+                    merged[key(row)] = row
+    for row in new.to_pylist():
+        merged[key(row)] = row      # new run wins
+    out = pa.Table.from_pylist(
+        sorted(merged.values(), key=lambda r: (r["label"], r["cluster_key"])),
+        schema=schema.NODE_TYPES)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(out, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    return rd.from_arrow(out)
+
+
 def discover_edge_types(edges: rd.Dataset, uri_to_label: dict[str, str],
                         cfg: KGConfig) -> rd.Dataset:
     """Edge-type integration (reference analog:

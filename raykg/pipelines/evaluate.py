@@ -80,6 +80,30 @@ def cluster_metrics(clustered: rd.Dataset) -> dict[str, float]:
             "num_clusters": len(majority)}
 
 
+def pattern_set_metrics(detected: dict[str, frozenset],
+                        truth: dict[str, frozenset]) -> dict:
+    """Pattern-set P/R (reference analog: src2/main/scala/Metrics.scala:4-47).
+
+    Per shared label: propertyPrecision = |t∩g|/|t|, propertyRecall =
+    |t∩g|/|g|. Overall: exact-set-match TP over detected / ground-truth
+    pattern lists, then P/R/F1. Driver-side over the (small) pattern sets."""
+    per_label = {}
+    for label in sorted(set(detected) & set(truth)):
+        t, g = detected[label], truth[label]
+        inter = len(t & g)
+        per_label[label] = {
+            "property_precision": inter / len(t) if t else 0.0,
+            "property_recall": inter / len(g) if g else 0.0,
+        }
+    tp = sum(1 for label, t in detected.items()
+             if label in truth and truth[label] == t)
+    p = tp / len(detected) if detected else 0.0
+    r = tp / len(truth) if truth else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"per_label": per_label, "precision": p, "recall": r, "f1": f1,
+            "exact_matches": tp}
+
+
 def triple_prf(pred: set[tuple], gold: set[tuple]) -> dict[str, float]:
     inter = len(pred & gold)
     p = inter / len(pred) if pred else 0.0

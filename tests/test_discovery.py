@@ -54,6 +54,42 @@ def test_noise_sweep_metrics_degrade_gracefully(ray_session):
         prev_clusters = m["num_clusters"]
 
 
+def test_pattern_set_metrics():
+    from raykg.pipelines.evaluate import pattern_set_metrics
+
+    truth = {"Person": frozenset({"id", "name"}),
+             "Place": frozenset({"id", "url"})}
+    detected = {"Person": frozenset({"id", "name"}),       # exact
+                "Place": frozenset({"id"}),                # partial
+                "Ghost": frozenset({"x"})}                 # spurious
+    m = pattern_set_metrics(detected, truth)
+    assert m["exact_matches"] == 1
+    assert m["precision"] == 1 / 3 and m["recall"] == 1 / 2
+    assert m["per_label"]["Place"]["property_precision"] == 1.0
+    assert m["per_label"]["Place"]["property_recall"] == 0.5
+
+
+def test_merge_pattern_snapshot(ray_session, tmp_path):
+    from raykg.pipelines.discover import merge_pattern_snapshot
+
+    path = str(tmp_path / "merged_patterns")
+    r1 = _discover(ray_session, 0.0)
+    first = merge_pattern_snapshot(r1.node_types, path)
+    n1 = first.count()
+    assert n1 > 0
+
+    # second run with noise discovers additional fragmented patterns;
+    # merge unions them with the prior snapshot (S5 semantics)
+    r2 = _discover(ray_session, 0.4)
+    second = merge_pattern_snapshot(r2.node_types, path)
+    n2 = second.count()
+    assert n2 > n1
+
+    # idempotent: re-merging the same run changes nothing
+    third = merge_pattern_snapshot(r2.node_types, path)
+    assert third.count() == n2
+
+
 def test_edge_types_and_self_cluster_quirk(ray_session):
     rels = synth.pg_relationships_dataset(
         NodeSynthConfig(n_nodes=1000, n_edges=2000))
