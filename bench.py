@@ -109,10 +109,24 @@ def run_flagship(num_cpus: int, n_docs: int) -> dict:
     }
 
 
+def _warm_workers(num_cpus: int) -> None:
+    """Spawn the task-worker pool and trigger raykg imports in each worker so
+    the first timed query doesn't absorb ~4s of process cold-start."""
+    import ray.data as rd
+
+    def touch(b):
+        import raykg.ops.relational  # noqa: F401
+        return b
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
+        .map_batches(touch, batch_format="pyarrow").count()
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Time every queries() pipeline over sf_dir."""
     import __ray_entry__ as entrymod
 
+    _warm_workers(NUM_CPUS)
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

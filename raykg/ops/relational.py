@@ -394,6 +394,8 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
             })
         return partial
 
+    from raykg.functions.shuffle import bucketed_group_agg
+
     parts = []
     for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
         ds = _read(sf_dir, table, [src_key, dst_key])
@@ -402,26 +404,43 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    agg = out.groupby(["esrc", "sk", "dk"]).aggregate(*_sums(["n"]))
 
-    def mint(t: pa.Table) -> pa.Table:
-        esrcs = t.column("esrc").to_pylist()
-        sks = t.column("sk").to_pylist()
-        dks = t.column("dk").to_pylist()
+    SEP = "\x1f"
+
+    def combiner(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("esrc"), pa.string()),
+            pc.cast(t.column("sk"), pa.string()),
+            pc.cast(t.column("dk"), pa.string()), SEP)
+        return pa.table({"k": key, "n": t.column("n")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum")])
         subj, pred, obj = [], [], []
-        for e, sk, dk in zip(esrcs, sks, dks):
-            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[e]
-            subj.append(f"sdpg.gr/{src_label}/{sha_hex(str(sk))}")
+        uri_cache: dict[tuple, str] = {}
+        for k in g.column("k").to_pylist():
+            e, sk, dk = k.split(SEP)
+            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[int(e)]
+            ks, kd = (src_label, sk), (dst_label, dk)
+            s_uri = uri_cache.get(ks)
+            if s_uri is None:
+                s_uri = f"sdpg.gr/{src_label}/{sha_hex(sk)}"
+                uri_cache[ks] = s_uri
+            d_uri = uri_cache.get(kd)
+            if d_uri is None:
+                d_uri = f"sdpg.gr/{dst_label}/{sha_hex(dk)}"
+                uri_cache[kd] = d_uri
+            subj.append(s_uri)
             pred.append(p)
-            obj.append(f"sdpg.gr/{dst_label}/{sha_hex(str(dk))}")
+            obj.append(d_uri)
         return pa.table({
             "subj": pa.array(subj, pa.string()),
             "pred": pa.array(pred, pa.string()),
             "obj": pa.array(obj, pa.string()),
-            "n": t.column("sum(n)"),
+            "n": g.column("n_sum"),
         })
 
-    return agg.map_batches(mint, batch_format="pyarrow")
+    return bucketed_group_agg(out, combiner, "k", finalize)
 
 
 # ---------------------------------------------------------------------------
