@@ -1,0 +1,128 @@
+"""End-to-end KG-construction job — the ``ray job submit`` entry point.
+
+Reads an interleaved-span documents table (parquet/Lance directory, schema
+``raykg.schema.DOCUMENTS``) or generates the deterministic synthetic corpus,
+runs the full pipeline (extract → link → canonicalize → materialize →
+schema discovery), and writes every output as partitioned parquet under
+``--output``::
+
+    output/
+      triples/        canonical (subj, pred, obj, doc_id, span_offset)
+      nodes/          (uri, label, properties)
+      edges/          distinct (subj, pred, obj, count)
+      node_types/     discovered schema (merged snapshot across runs)
+      metrics.json    row counts + discovery stats
+
+With ``--checkpoint`` the extract+link phase commits per-partition lineage
+manifests (state/checkpoint.py), so re-running the same command resumes
+after a crash instead of starting over.
+
+Usage:
+    python -m raykg.job --synth-docs 10000 --output /tmp/kg_out
+    python -m raykg.job --input /data/documents --output /tmp/kg_out \
+        --checkpoint /tmp/kg_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def run_job(args) -> dict:
+    from raykg import synth
+    from raykg.config import KGConfig
+    from raykg.pipelines.discover import (
+        discover_node_types,
+        merge_pattern_snapshot,
+    )
+    from raykg.pipelines.kg import build_kg, build_kg_resumable
+    from raykg.sources.io import read_table, write_table
+
+    cfg = KGConfig(n_docs=args.synth_docs,
+                   n_entities=args.entities,
+                   batch_size=args.batch_size,
+                   link_concurrency=args.link_concurrency)
+    t0 = time.perf_counter()
+    if args.input:
+        docs = read_table(args.input)
+        result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint)
+    elif args.checkpoint:
+        result = build_kg_resumable(cfg, args.checkpoint,
+                                    n_shards=args.shards)
+    else:
+        docs = synth.documents_dataset(cfg)
+        result = build_kg(docs, cfg)
+
+    import shutil
+
+    out = args.output
+    for sub in ("triples", "edges", "nodes"):
+        # idempotent overwrite: write_parquet otherwise APPENDS part files
+        # to a prior run's directory (node_types below accumulates on
+        # purpose — that one is the incremental snapshot)
+        shutil.rmtree(os.path.join(out, sub), ignore_errors=True)
+    write_table(result.triples, os.path.join(out, "triples"))
+    write_table(result.edges, os.path.join(out, "edges"))
+    nodes = result.nodes.materialize()   # consumed twice: write + discovery
+    write_table(nodes, os.path.join(out, "nodes"))
+
+    discovery = discover_node_types(nodes, cfg)
+    node_types = merge_pattern_snapshot(
+        discovery.node_types, os.path.join(out, "node_types"))
+
+    metrics = {
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "n_triples": result.triples.count(),
+        "n_nodes": nodes.count(),
+        "n_edges": result.edges.count(),
+        "n_node_types": node_types.count(),
+        "n_canonicalized": len(result.canon_map),
+        "num_hash_tables": discovery.num_hash_tables,
+        "config": {"n_docs": cfg.n_docs, "n_entities": cfg.num_entities,
+                   "seed": cfg.seed},
+    }
+    tmp = os.path.join(out, "metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=2)
+    os.replace(tmp, os.path.join(out, "metrics.json"))
+    return metrics
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", default=None,
+                   help="documents table dir (parquet/lance); omit for synth")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="lineage checkpoint dir (enables resume)")
+    p.add_argument("--synth-docs", type=int, default=10000)
+    p.add_argument("--entities", type=int, default=0)
+    p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--link-concurrency", type=int, default=0)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    if args.link_concurrency <= 0:
+        args.link_concurrency = max(2, args.num_cpus * 3 // 4)
+    metrics = run_job(args)
+    print(json.dumps(metrics))
+    if owns_ray:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
