@@ -1,0 +1,245 @@
+"""Fully-distributed entity linking — the 10^12-document scale path.
+
+The default linker (stages/link.py) broadcasts one AliasIndex to every
+actor, which assumes the alias dictionary fits in a worker heap. At
+10^8+ entities it does not: here the dictionary is a *Dataset* (at
+production scale a Lance table) and resolution is pure keyed shuffle —
+no broadcast state anywhere:
+
+1. distinct mention surfaces           (bucketed two-phase dedup)
+2. exact resolution                    hash join surfaces ⋈ aliases
+3. corrupted-surface resolution        hash join surfaces ⋈ the aliases'
+                                       single-deletion variant table, then
+                                       exact-Jaccard argmax per surface
+                                       (same scoring rule as AliasIndex)
+4. triple assembly                     hash joins extractions ⋈ resolution
+
+Tie-breaks replicate AliasIndex exactly: exact hits take the smallest
+entity index (the broadcast dict's first-writer-wins under ascending build
+order); fuzzy hits argmax Jaccard with ties to the smallest alias string.
+One documented divergence: AliasIndex blocks deletion candidates by crc32
+hash, so a hash *collision* can add a spurious candidate that could in
+principle win; the join path matches variant strings exactly and has no
+such candidates. On the synthetic corpora both paths produce identical
+triples (tests/test_link_distributed.py asserts set equality).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from raykg import synth
+from raykg.config import MEDIA_PREDICATE, KGConfig
+from raykg.functions.hashing import char_shingles, mint_uri
+from raykg.functions.shuffle import bucketed_group_agg
+from raykg.stages.extract import extract_batch
+from raykg.stages.link import LINKED_TRIPLES, build_alias_items
+
+
+def alias_dataset(cfg: KGConfig) -> rd.Dataset:
+    """The alias dictionary as data: (alias, ent). At production scale this
+    is a read_lance of the curated alias table, not an in-memory build."""
+    items = build_alias_items(cfg)
+    return rd.from_arrow(pa.table({
+        "alias": pa.array([s for s, _ in items], pa.string()),
+        "ent": pa.array([e for _, e in items], pa.int64()),
+    }))
+
+
+def variant_dataset(aliases: rd.Dataset) -> rd.Dataset:
+    """Single-deletion variants of every alias: (variant, alias, ent)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        va, al, en = [], [], []
+        for a, e in zip(t.column("alias").to_pylist(),
+                        t.column("ent").to_pylist()):
+            for k in range(len(a)):
+                va.append(a[:k] + a[k + 1:])
+                al.append(a)
+                en.append(e)
+        return pa.table({"variant": pa.array(va, pa.string()),
+                         "alias": pa.array(al, pa.string()),
+                         "ent": pa.array(en, pa.int64())})
+
+    return aliases.map_batches(explode, batch_format="pyarrow")
+
+
+def distinct_surfaces(extractions: rd.Dataset) -> rd.Dataset:
+    """All distinct mention surfaces in the corpus (subject and object)."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        s1 = batch.column("surface").combine_chunks()
+        rel = batch.filter(pc.equal(batch.column("etype"), "relation"))
+        s2 = rel.column("surface2").combine_chunks()
+        surf = pc.unique(pa.concat_arrays([s1, s2]))
+        return pa.table({"surface": surf})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"surface": pc.unique(t.column("surface").combine_chunks())})
+
+    return bucketed_group_agg(extractions, combiner, "surface", finalize)
+
+
+def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
+                     cfg: KGConfig, num_partitions: int = 32) -> rd.Dataset:
+    """surfaces (surface) -> resolution table (surface, ent). Surfaces with
+    no exact or single-deletion match are absent from the output."""
+    # --- exact: min(ent) per surface == AliasIndex first-writer-wins ---
+    exact_join = surfaces.join(aliases, join_type="left_outer",
+                               num_partitions=num_partitions,
+                               on=("surface",), right_on=("alias",),
+                               validate_schemas=True) \
+        .materialize()   # single-join executions; see linked_triples_distributed
+
+    # join partitions with no rows can come through schema-less; every
+    # filter below is a schema-guarded map_batches so downstream joins
+    # always see (surface[, ent]) blocks
+    def hits_only(t: pa.Table) -> pa.Table:
+        if "ent" not in t.column_names:
+            return pa.table({"surface": pa.array([], pa.string()),
+                             "ent": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t.column("ent")))
+        return pa.table({"surface": t.column("surface"),
+                         "ent": pc.cast(t.column("ent"), pa.int64())})
+
+    def misses_only(t: pa.Table) -> pa.Table:
+        if "ent" not in t.column_names:
+            missing = pa.array([], pa.string())
+        else:
+            missing = t.filter(pc.is_null(t.column("ent"))) \
+                .column("surface").combine_chunks()
+        # sentinel "" row: Ray replaces a ZERO-ROW map output with a
+        # schema-less block, and join partitions crash on those
+        # (pa.Table.join FieldRef "no match"). Extraction never emits an
+        # empty surface, so "" matches nothing and the inner join drops it.
+        return pa.table({"surface": pa.concat_arrays(
+            [missing, pa.array([""], pa.string())])})
+
+    exact = exact_join.map_batches(hits_only, batch_format="pyarrow") \
+        .groupby("surface").min("ent") \
+        .map_batches(lambda t: t.rename_columns(["surface", "ent"]),
+                     batch_format="pyarrow")
+    misses = exact_join.map_batches(misses_only, batch_format="pyarrow")
+
+    # --- fuzzy: join against deletion variants, Jaccard argmax ---
+    variants = variant_dataset(aliases)
+    cand = misses.join(variants, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("surface",), right_on=("variant",),
+                       validate_schemas=True)
+
+    k = cfg.link_shingle_k
+    thr = cfg.link_jaccard_threshold
+
+    def score(t: pa.Table) -> pa.Table:
+        if "alias" not in t.column_names:
+            return pa.table({"surface": pa.array([], pa.string()),
+                             "alias": pa.array([], pa.string()),
+                             "ent": pa.array([], pa.int64()),
+                             "jac": pa.array([], pa.float64())})
+        surf, alias, ent, jac = [], [], [], []
+        for s, a, e in zip(t.column("surface").to_pylist(),
+                           t.column("alias").to_pylist(),
+                           t.column("ent").to_pylist()):
+            ss, sa = char_shingles(s, k), char_shingles(a, k)
+            j = len(ss & sa) / len(ss | sa)
+            if j >= thr:
+                surf.append(s)
+                alias.append(a)
+                ent.append(e)
+                jac.append(j)
+        return pa.table({"surface": pa.array(surf, pa.string()),
+                         "alias": pa.array(alias, pa.string()),
+                         "ent": pa.array(ent, pa.int64()),
+                         "jac": pa.array(jac, pa.float64())})
+
+    scored = cand.map_batches(score, batch_format="pyarrow")
+
+    def argmax(t: pa.Table) -> pa.Table:
+        # max Jaccard, ties -> smallest alias string (AliasIndex._score)
+        t = t.sort_by([("jac", "descending"), ("alias", "ascending")])
+        return pa.table({"surface": t.column("surface").slice(0, 1),
+                         "ent": t.column("ent").slice(0, 1)})
+
+    fuzzy = scored.groupby("surface").map_groups(argmax,
+                                                 batch_format="pyarrow")
+    return exact.union(fuzzy)
+
+
+def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
+                               num_partitions: int = 32) -> rd.Dataset:
+    """documents -> LINKED_TRIPLES via pure keyed shuffles (no broadcast)."""
+    extractions = documents.map_batches(
+        extract_batch, batch_format="pyarrow",
+        batch_size=cfg.batch_size).materialize()
+    # materialize boundaries keep each execution to a single hash-shuffle
+    # join: stacking several JoinOperators (each with its own aggregator
+    # actors) plus the linker pool into one DAG deadlocks small clusters.
+    # The resolution table is distinct-surface sized — the natural
+    # checkpoint between the dictionary phase and triple assembly.
+    resolution = resolve_surfaces(distinct_surfaces(extractions),
+                                  alias_dataset(cfg), cfg,
+                                  num_partitions).materialize()
+
+    # join subject surfaces, then (for relations) object surfaces
+    j1 = extractions.join(resolution, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=("surface",), right_on=("surface",),
+                          right_suffix="_r",
+                          validate_schemas=True).materialize()
+    res2 = resolution.map_batches(
+        lambda t: t.rename_columns(["surface2", "ent2"]),
+        batch_format="pyarrow")
+    j2 = j1.join(res2, join_type="left_outer",
+                 num_partitions=num_partitions,
+                 on=("surface2",), right_on=("surface2",),
+                 right_suffix="_r2", validate_schemas=True)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if "ent" not in t.column_names or "ent2" not in t.column_names:
+            return LINKED_TRIPLES.empty_table()
+        out: list[tuple] = []
+        uri_cache: dict[int, tuple[str, str]] = {}
+
+        def ent_uri(e: int) -> tuple[str, str]:
+            hit = uri_cache.get(e)
+            if hit is None:
+                eid = synth.entity_id(e)
+                hit = (mint_uri(synth.entity_label(e, cfg), eid), eid)
+                uri_cache[e] = hit
+            return hit
+
+        for doc_id, off, etype, pred, ea, eb in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("span_offset").to_pylist(),
+                t.column("etype").to_pylist(),
+                t.column("pred").to_pylist(),
+                t.column("ent").to_pylist(),
+                t.column("ent2").to_pylist()):
+            if ea is None:
+                continue
+            ua, ia = ent_uri(ea)
+            if etype == "relation":
+                if eb is None:
+                    continue
+                ub, ib = ent_uri(eb)
+                out.append((ua, pred, ub, doc_id, off, ia, ib))
+            else:
+                p = MEDIA_PREDICATE if etype == "caption" else "mentions"
+                out.append((mint_uri("Document", doc_id), p, ua,
+                            doc_id, off, "", ia))
+        if not out:
+            return LINKED_TRIPLES.empty_table()
+        cols = list(zip(*out))
+        return pa.Table.from_arrays(
+            [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
+             pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
+             pa.array(cols[4], pa.int32()), pa.array(cols[5], pa.string()),
+             pa.array(cols[6], pa.string())],
+            schema=LINKED_TRIPLES)
+
+    return j2.map_batches(assemble, batch_format="pyarrow")
