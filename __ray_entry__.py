@@ -38,11 +38,14 @@ try:  # pragma: no cover
 
         for m in ["raykg", "raykg.config", "raykg.schema", "raykg.synth",
                   "raykg.oracle", "raykg.functions", "raykg.functions.hashing",
+                  "raykg.functions.shuffle",
                   "raykg.sources", "raykg.sources.io",
                   "raykg.stages", "raykg.stages.extract", "raykg.stages.link",
+                  "raykg.stages.link_distributed",
                   "raykg.stages.canonicalize",
                   "raykg.pipelines", "raykg.pipelines.kg",
                   "raykg.pipelines.discover", "raykg.pipelines.evaluate",
+                  "raykg.pipelines.incremental",
                   "raykg.ops", "raykg.ops.text", "raykg.ops.dedup",
                   "raykg.ops.ann", "raykg.ops.relational",
                   "raykg.ops.multimodal", "raykg.state",
