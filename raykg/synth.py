@@ -96,15 +96,46 @@ def apply_typo(surface: str, pos: int) -> str:
 _PRED_IDS = tuple(PREDICATES.keys())
 
 
-def _pick_entity(rng: np.random.Generator, cfg: KGConfig) -> int:
-    return int(rng.zipf(cfg.zipf_alpha) - 1) % cfg.num_entities
+class _Tape:
+    """Pre-drawn random tape: one bulk draw per pool instead of ~100 rng
+    calls per document (each Generator call costs ~2-3 us of dispatch; the
+    tape is ~4 bulk draws). Still a pure function of (seed, doc index)."""
+
+    __slots__ = ("u", "z", "i", "ui", "zi", "ii")
+
+    def __init__(self, rng: np.random.Generator, cfg: KGConfig):
+        m = cfg.max_spans_per_doc
+        # worst-case draws per span: 6 uniforms, 2 zipf, 12 ints
+        self.u = rng.random(6 * m + 6)
+        self.z = rng.zipf(cfg.zipf_alpha, 2 * m + 2)
+        self.i = rng.integers(0, 1 << 30, size=12 * m + 8)
+        self.ui = self.zi = self.ii = 0
+
+    def random(self) -> float:
+        v = self.u[self.ui]
+        self.ui += 1
+        return float(v)
+
+    def zipf(self) -> int:
+        v = self.z[self.zi]
+        self.zi += 1
+        return int(v)
+
+    def integers(self, n: int) -> int:
+        v = self.i[self.ii]
+        self.ii += 1
+        return int(v) % n
 
 
-def _surface(rng: np.random.Generator, ent: int, cfg: KGConfig) -> str:
+def _pick_entity(rng: _Tape, cfg: KGConfig) -> int:
+    return (rng.zipf() - 1) % cfg.num_entities
+
+
+def _surface(rng: _Tape, ent: int, cfg: KGConfig) -> str:
     aliases = entity_aliases(ent, cfg)
-    s = aliases[int(rng.integers(0, len(aliases)))]
+    s = aliases[rng.integers(len(aliases))]
     if rng.random() < cfg.typo_rate:
-        s = apply_typo(s, int(rng.integers(0, 1 << 30)))
+        s = apply_typo(s, rng.integers(1 << 30))
     return s
 
 
@@ -114,9 +145,10 @@ def gen_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
     spans_col: list[list[dict]] = []
     for di in doc_indices:
         di = int(di)
-        rng = np.random.default_rng([cfg.seed, di])
+        base = np.random.default_rng([cfg.seed, di])
         doc_id = f"doc-{di:08d}"
-        n_spans = 1 + int(rng.integers(0, cfg.max_spans_per_doc))
+        n_spans = 1 + int(base.integers(0, cfg.max_spans_per_doc))
+        rng = _Tape(base, cfg)
         spans: list[dict] = []
         offset = 0
         for si in range(n_spans):
@@ -133,23 +165,23 @@ def gen_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
                 offset += len(caption) + 1
             else:
                 tokens: list[str] = []
-                n_fill = int(rng.integers(0, 3))
-                tokens += [FILLER_WORDS[int(rng.integers(0, len(FILLER_WORDS)))]
+                n_fill = rng.integers(3)
+                tokens += [FILLER_WORDS[rng.integers(len(FILLER_WORDS))]
                            for _ in range(n_fill)]
                 if rng.random() < 0.7:   # relation sentence
                     subj = _pick_entity(rng, cfg)
                     obj = _pick_entity(rng, cfg)
                     if obj == subj:
                         obj = (subj + 1) % cfg.num_entities
-                    pred = _PRED_IDS[int(rng.integers(0, len(_PRED_IDS)))]
+                    pred = _PRED_IDS[rng.integers(len(_PRED_IDS))]
                     tokens.append(_surface(rng, subj, cfg))
                     tokens += list(PREDICATES[pred])
                     tokens.append(_surface(rng, obj, cfg))
                 else:                    # bare-mention sentence
                     ent = _pick_entity(rng, cfg)
                     tokens.append(_surface(rng, ent, cfg))
-                tokens += [FILLER_WORDS[int(rng.integers(0, len(FILLER_WORDS)))]
-                           for _ in range(int(rng.integers(0, 2)))]
+                tokens += [FILLER_WORDS[rng.integers(len(FILLER_WORDS))]
+                           for _ in range(rng.integers(2))]
                 text = " ".join(tokens)
                 spans.append({"kind": "text", "text": text,
                               "media_ref": "", "offset": offset})
