@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce":
             lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_lsh": lambda sf: ann.ann_lsh(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        "ann_ivf": lambda sf: ann.ann_ivf(_emb(sf), [0, 1, 2, 3, 4], k=5),
         # flagship KG pipeline + multimodal (rows-only: synthetic span corpus)
         "kg_flagship_triples": kg_flagship_triples,
         "kg_flagship_node_types": kg_flagship_node_types,
@@ -432,6 +433,31 @@ def oracle_sql() -> dict[str, str]:
                          list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
                   FROM q JOIN embeddings e ON e.vec_id != q.query_id)
             SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) <= 5""",
+        "ann_ivf": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                       FROM embeddings WHERE vec_id < 16),
+            sims AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, c.cid,
+                            list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.ce) AS s
+                     FROM embeddings e, c),
+            assign AS (SELECT vec_id, ve, cid FROM sims
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cid) = 1),
+            qprobe AS (SELECT vec_id AS query_id, cid FROM sims
+                       WHERE vec_id IN (0, 1, 2, 3, 4)
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cid) <= 4),
+            qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+                            list_cosine_similarity(qv.qe, a.ve) AS sim
+                     FROM qprobe qp
+                     JOIN assign a ON a.cid = qp.cid
+                     JOIN qv ON qv.query_id = qp.query_id
+                     WHERE a.vec_id != qp.query_id)
+            SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM cand
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) <= 5""",
     }

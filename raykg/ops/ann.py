@@ -98,6 +98,81 @@ def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
                      "cos_sim": pa.array(out_s, pa.float64())})
 
 
+def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+            nlist: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    embeddings of vec_id < nlist — a seeded-"training" stand-in that keeps
+    the DuckDB oracle exact), inverted-list assignment by nearest centroid,
+    and per-query probing of the ``nprobe`` nearest lists. Scan volume drops
+    to ~nprobe/nlist of brute force; recall measured against ann_bruteforce
+    in tests. Output schema matches ann_bruteforce."""
+    cent_rows = _rows_for_ids(embeddings, list(range(nlist)))
+    cent_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                  for r in cent_rows}
+    cent_ids = sorted(cent_by_id)
+    cent = _unit(np.stack([cent_by_id[i] for i in cent_ids]))
+
+    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in q_rows}
+    q_ids = sorted(q_by_id)
+    q_mat = _unit(np.stack([q_by_id[i] for i in q_ids]))
+    # per-query probe lists: nprobe nearest centroids (ties -> smaller id)
+    q_cent_sims = q_mat @ cent.T
+    probes = {}
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((np.array(cent_ids), -q_cent_sims[qi]))[:nprobe]
+        probes[qid] = {cent_ids[j] for j in order}
+    ref = ray.put((q_ids, q_mat, cent, np.array(cent_ids), probes))
+
+    class ProbeScan:
+        def __init__(self):
+            (self.q_ids, self.q_mat, self.cent, self.cent_ids,
+             self.probes) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mat = _unit(np.array(batch.column("embedding").to_pylist(),
+                                 dtype=np.float64))
+            sims_c = mat @ self.cent.T
+            # assignment: max centroid sim, ties -> smaller centroid id
+            order = np.lexsort((self.cent_ids[None, :].repeat(len(ids), 0),
+                                -sims_c), axis=1)[:, 0]
+            assigned = self.cent_ids[order]
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(assigned, list(self.probes[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ self.q_mat[qi]
+                cand = ids[mask]
+                sel = np.lexsort((cand, -sims))[:k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(cand[sel].tolist())
+                out_s.extend(sims[sel].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "cos_sim": pa.array(out_s, pa.float64())})
+
+    partial = embeddings.map_batches(ProbeScan, batch_format="pyarrow",
+                                     concurrency=(1, 8), batch_size=4096)
+    merged: dict[int, list] = {}
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for q, n, s in zip(b.column("query_id").to_pylist(),
+                           b.column("neighbor_id").to_pylist(),
+                           b.column("cos_sim").to_pylist()):
+            merged.setdefault(q, []).append((-s, n))
+    out_q, out_n, out_s = [], [], []
+    for q in sorted(merged):
+        for neg_s, n in heapq.nsmallest(k, merged[q]):
+            out_q.append(q)
+            out_n.append(n)
+            out_s.append(round_half_away(-neg_s, 3))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cos_sim": pa.array(out_s, pa.float64())})
+
+
 def lsh_bucket_ids(mat: np.ndarray, dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, bits))
