@@ -131,8 +131,12 @@ def merge_pattern_snapshot(node_types: rd.Dataset, path: str) -> rd.Dataset:
     set-union with the new patterns, overwrite).
 
     Identity = (label, required_props, optional_props); counts from the new
-    run win for existing patterns. The overwrite is atomic-ish: written to a
-    temp dir then renamed, so a crashed merge leaves the prior snapshot."""
+    run win for existing patterns. The overwrite is crash-safe: the merged
+    snapshot is written to ``path + '.tmp'``, the prior snapshot is renamed
+    aside (never deleted while it is the only copy), the new one is renamed
+    into place, and only then is the old copy removed — a crash at any point
+    leaves either the prior snapshot at ``path`` or a complete new one, and a
+    leftover ``.old`` directory is cleaned up on the next merge."""
     import os
     import shutil
 
@@ -145,6 +149,11 @@ def merge_pattern_snapshot(node_types: rd.Dataset, path: str) -> rd.Dataset:
         return (row["label"], tuple(row["required_props"]),
                 tuple(row["optional_props"]))
 
+    # recover from a crash that happened between the two renames below
+    # (prior snapshot set aside at .old, new one not yet in place)
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        os.replace(path + ".old", path)
+
     merged: dict[tuple, dict] = {}
     if os.path.isdir(path):
         for frag in sorted(os.listdir(path)):
@@ -156,12 +165,15 @@ def merge_pattern_snapshot(node_types: rd.Dataset, path: str) -> rd.Dataset:
     out = pa.Table.from_pylist(
         sorted(merged.values(), key=lambda r: (r["label"], r["cluster_key"])),
         schema=schema.NODE_TYPES)
-    tmp = path + ".tmp"
+    tmp, old = path + ".tmp", path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)   # debris from a prior crash
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(out, os.path.join(tmp, "part-00000.parquet"))
-    shutil.rmtree(path, ignore_errors=True)
-    os.replace(tmp, path)
+    if os.path.isdir(path):
+        os.replace(path, old)                # prior snapshot set aside, intact
+    os.replace(tmp, path)                    # new snapshot in place
+    shutil.rmtree(old, ignore_errors=True)
     return rd.from_arrow(out)
 
 

@@ -110,15 +110,27 @@ class IncrementalPatternRun:
         safe = os.path.basename(path).replace("/", "_")
         return os.path.join(self.manifest_dir, safe + ".json")
 
+    def _file_table(self, path: str) -> str:
+        safe = os.path.basename(path).replace("/", "_")
+        return os.path.join(self.manifest_dir, safe + ".parquet")
+
     def is_committed(self, path: str) -> bool:
         return os.path.exists(self._manifest(path))
 
-    def _load_snapshot(self) -> Counter:
+    def _merge_committed(self) -> Counter:
+        """Global pattern counts derived from COMMITTED per-file tables only.
+        A crash anywhere in ``process_file`` cannot double-count: a file's
+        counts enter the merge iff its manifest (the single atomic commit
+        marker) exists, and its pattern table is rewritten idempotently on
+        re-processing."""
         import pyarrow.parquet as pq
 
         merged: Counter = Counter()
-        if os.path.exists(self.snapshot):
-            t = pq.read_table(self.snapshot)
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            t = pq.read_table(
+                os.path.join(self.manifest_dir, name[:-len(".json")] + ".parquet"))
             for label, props, n in zip(t.column("label").to_pylist(),
                                        t.column("properties").to_pylist(),
                                        t.column("n").to_pylist()):
@@ -141,22 +153,30 @@ class IncrementalPatternRun:
                      vocabulary: tuple[str, ...] = NODE_LABELS) -> str:
         if self.is_committed(path):
             return "skipped"
+        import pyarrow.parquet as pq
+
         new = extract_file_patterns(path, vocabulary)
-        merged = self._load_snapshot()
-        for label, props, n in zip(new.column("label").to_pylist(),
-                                   new.column("properties").to_pylist(),
-                                   new.column("n").to_pylist()):
-            merged[(label, tuple(props))] += n
-        self._write_snapshot(merged)
+        # 1. per-file pattern table (idempotent: safe to rewrite on retry)
+        tmp_t = self._file_table(path) + ".tmp"
+        pq.write_table(new, tmp_t)
+        os.replace(tmp_t, self._file_table(path))
+        # 2. manifest = THE atomic commit point for this file
         manifest = {"file": path, "rows": int(sum(new.column("n").to_pylist())),
                     "patterns": new.num_rows}
-        tmp = self._manifest(path) + ".tmp"
+        tmp = self._manifest(path) + ".json.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest(path))
+        # 3. snapshot = derived cache over committed files (crash before or
+        #    after this line loses nothing — patterns() re-derives)
+        self._write_snapshot(self._merge_committed())
         return "ran"
 
     def patterns(self) -> pa.Table:
+        """Merged pattern table, derived from committed per-file tables (the
+        snapshot parquet is refreshed as a read-optimized artifact)."""
+        merged = self._merge_committed()
+        self._write_snapshot(merged)
         import pyarrow.parquet as pq
 
         return pq.read_table(self.snapshot)

@@ -224,8 +224,13 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
     ``fail_after_shards`` is a test hook: raise after that many shards have
     been newly committed (simulates a mid-job crash).
     """
+    import dataclasses
+    import json as _json
+
+    from raykg.functions.hashing import sha_hex
     from raykg.state.checkpoint import LineageCheckpoint, shard_bounds
 
+    cfg_hash = sha_hex(_json.dumps(dataclasses.asdict(cfg), sort_keys=True))[:12]
     ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
     ran = 0
     for part, (lo, hi) in enumerate(shard_bounds(cfg.n_docs, n_shards)):
@@ -233,7 +238,9 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
             part,
             lambda lo=lo, hi=hi: linked_triples(
                 synth.documents_dataset_range(lo, hi, cfg), cfg),
-            counters={"n_docs": hi - lo})
+            counters={"n_docs": hi - lo},
+            fingerprint={"lo": lo, "hi": hi, "n_docs": cfg.n_docs,
+                         "n_shards": n_shards, "cfg": cfg_hash})
         if status == "ran":
             ran += 1
             if fail_after_shards is not None and ran >= fail_after_shards:
@@ -255,12 +262,23 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                     canon_map=canon_map)
 
 
+def _fresh_dir(path: str) -> str:
+    """Wipe a checkpoint subdirectory before writing: ``write_parquet``
+    APPENDS part files to an existing directory, so re-running the same
+    command against the same checkpoint dir (the crash-resume scenario this
+    path exists for) would otherwise duplicate every row downstream."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def build_kg(documents: rd.Dataset, cfg: KGConfig,
              checkpoint_dir: str | None = None) -> KGResult:
     """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS."""
     linked = linked_triples(documents, cfg)
     if checkpoint_dir:
-        write_table(linked, f"{checkpoint_dir}/linked")
+        write_table(linked, _fresh_dir(f"{checkpoint_dir}/linked"))
         linked = read_table(f"{checkpoint_dir}/linked")
     else:
         linked = linked.materialize()
@@ -274,7 +292,7 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
 
     triples = rewrite_triples(linked, canon_map)
     if checkpoint_dir:
-        write_table(triples, f"{checkpoint_dir}/triples")
+        write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
         triples = read_table(f"{checkpoint_dir}/triples")
     # else: leave lazy — a map-only stage over the pinned ``linked`` table;
     # materializing it only paid an extra multi-GB object-store round trip.

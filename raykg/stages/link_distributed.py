@@ -12,7 +12,12 @@ no broadcast state anywhere:
                                        single-deletion variant table, then
                                        exact-Jaccard argmax per surface
                                        (same scoring rule as AliasIndex)
-4. triple assembly                     hash joins extractions ⋈ resolution
+4. LSH residue resolution              surfaces matched by NEITHER join
+                                       (substitutions, transpositions, ...)
+                                       hash join on MinHash band keys ⋈ the
+                                       aliases' band table — the distributed
+                                       twin of AliasIndex's LSH fallback
+5. triple assembly                     hash joins extractions ⋈ resolution
 
 Tie-breaks replicate AliasIndex exactly: exact hits take the smallest
 entity index (the broadcast dict's first-writer-wins under ascending build
@@ -33,7 +38,13 @@ import ray.data as rd
 
 from raykg import synth
 from raykg.config import MEDIA_PREDICATE, KGConfig
-from raykg.functions.hashing import char_shingles, mint_uri
+from raykg.functions.hashing import (
+    _perm_params,
+    char_shingles,
+    crc_hash_array,
+    minhash_matrix,
+    mint_uri,
+)
 from raykg.functions.shuffle import bucketed_group_agg
 from raykg.stages.extract import extract_batch
 from raykg.stages.link import LINKED_TRIPLES, build_alias_items
@@ -65,6 +76,46 @@ def variant_dataset(aliases: rd.Dataset) -> rd.Dataset:
                          "ent": pa.array(en, pa.int64())})
 
     return aliases.map_batches(explode, batch_format="pyarrow")
+
+
+def band_table(strings_ds: rd.Dataset, col: str, cfg: KGConfig,
+               carry: list[str] | None = None) -> rd.Dataset:
+    """MinHash-LSH band keys as data: one row per (string, band) with the
+    band key hex-encoded — the join-able twin of AliasIndex._ensure_bands
+    (identical shingling, permutation params and band layout, so a band
+    collision here IFF the broadcast index would bucket them together)."""
+    import numpy as np
+
+    carry = carry or []
+    r = cfg.link_num_hashes // cfg.link_num_bands
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        flat: list[str] = []
+        offsets = [0]
+        for s in vals:
+            flat.extend(frozenset(char_shingles(s, cfg.link_shingle_k)))
+            offsets.append(len(flat))
+        sig = minhash_matrix(crc_hash_array(flat), np.array(offsets),
+                             cfg.link_num_hashes, cfg.seed,
+                             params=_perm_params(cfg.link_num_hashes, cfg.seed))
+        out_val, out_band, out_key = [], [], []
+        carried: dict[str, list] = {c: [] for c in carry}
+        for idx, s in enumerate(vals):
+            for b in range(cfg.link_num_bands):
+                out_val.append(s)
+                out_band.append(b)
+                out_key.append(sig[idx, b * r:(b + 1) * r].tobytes().hex())
+                for c in carry:
+                    carried[c].append(t.column(c)[idx].as_py())
+        cols = {col: pa.array(out_val, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.string())}
+        for c in carry:
+            cols[c] = pa.array(carried[c])
+        return pa.table(cols)
+
+    return strings_ds.map_batches(explode, batch_format="pyarrow")
 
 
 def distinct_surfaces(extractions: rd.Dataset) -> rd.Dataset:
@@ -126,11 +177,13 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
     misses = exact_join.map_batches(misses_only, batch_format="pyarrow")
 
     # --- fuzzy: join against deletion variants, Jaccard argmax ---
+    # (materialized: both the scoring pass and the residue computation
+    # consume it, and each execution should contain at most one hash join)
     variants = variant_dataset(aliases)
     cand = misses.join(variants, join_type="inner",
                        num_partitions=num_partitions,
                        on=("surface",), right_on=("variant",),
-                       validate_schemas=True)
+                       validate_schemas=True).materialize()
 
     k = cfg.link_shingle_k
     thr = cfg.link_jaccard_threshold
@@ -167,7 +220,57 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
 
     fuzzy = scored.groupby("surface").map_groups(argmax,
                                                  batch_format="pyarrow")
-    return exact.union(fuzzy)
+
+    # --- LSH residue: surfaces with NO deletion candidate at all
+    # (substitutions, transpositions, multi-char damage). AliasIndex falls
+    # back to LSH exactly when _deletion_candidates returns None — a surface
+    # whose candidates all scored below threshold stays unresolved — so the
+    # residue is misses MINUS surfaces that appeared in ``cand``, computed as
+    # a bucketed tag-max group (no extra hash join). Same band layout as
+    # AliasIndex._ensure_bands; at production scale the alias band table is
+    # precomputed next to the alias table, not rebuilt per run.
+    def tag_miss(t: pa.Table) -> pa.Table:
+        return pa.table({"surface": t.column("surface"),
+                         "had_cand": pa.array([0] * t.num_rows, pa.int8())})
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        if "surface" not in t.column_names:
+            surf = pa.array([], pa.string())
+        else:
+            surf = pc.unique(t.column("surface").combine_chunks())
+        # sentinel "" per block: zero-row map outputs become schema-less
+        # blocks that crash downstream shuffles (see misses_only)
+        surf = pa.concat_arrays([surf, pa.array([""], pa.string())])
+        return pa.table({"surface": surf,
+                         "had_cand": pa.array([1] * len(surf), pa.int8())})
+
+    def residue_comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("surface").aggregate([("had_cand", "max")])
+        return pa.table({"surface": g.column("surface"),
+                         "had_cand": pc.cast(g.column("had_cand_max"),
+                                             pa.int8())})
+
+    def residue_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("surface").aggregate([("had_cand", "max")])
+        surf = g.filter(pc.equal(g.column("had_cand_max"), 0)) \
+            .column("surface").combine_chunks()
+        # sentinel "" again: its shingle set {"^$"} scores ~0 Jaccard against
+        # any alias, so even a freak band collision dies at the threshold
+        return pa.table({"surface": pa.concat_arrays(
+            [surf, pa.array([""], pa.string())])})
+
+    tagged = misses.map_batches(tag_miss, batch_format="pyarrow") \
+        .union(cand.map_batches(tag_cand, batch_format="pyarrow"))
+    residue = bucketed_group_agg(tagged, residue_comb, "surface", residue_fin,
+                                 num_buckets=num_partitions)
+    lsh_cand = band_table(residue, "surface", cfg).join(
+        band_table(aliases, "alias", cfg, carry=["ent"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("band", "band_key"), right_on=("band", "band_key"),
+        validate_schemas=True)
+    lsh_hits = lsh_cand.map_batches(score, batch_format="pyarrow") \
+        .groupby("surface").map_groups(argmax, batch_format="pyarrow")
+    return exact.union(fuzzy).union(lsh_hits)
 
 
 def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,

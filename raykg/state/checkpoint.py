@@ -63,31 +63,51 @@ class LineageCheckpoint:
                 out[m["part"]] = m
         return out
 
-    def _commit(self, part: int, rows: int, counters: dict) -> None:
+    def _commit(self, part: int, rows: int, counters: dict,
+                fingerprint: dict | None) -> None:
         manifest = {
             "part": part,
             "rows": rows,
             "counters": counters,
             "committed_at": time.time(),
         }
+        if fingerprint is not None:
+            manifest["fingerprint"] = fingerprint
         tmp = self.manifest_path(part) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self.manifest_path(part))
 
     def run_partition(self, part: int, make_ds: Callable[[], rd.Dataset],
-                      counters: dict | None = None) -> str:
+                      counters: dict | None = None,
+                      fingerprint: dict | None = None) -> str:
         """Execute + commit one shard; returns "skipped" or "ran".
 
         ``make_ds`` is lazy so a skipped shard costs nothing.
+
+        ``fingerprint`` identifies WHAT this shard computes (e.g. its
+        (lo, hi) doc range, shard count, config hash). It is recorded in the
+        manifest and validated on resume: a committed shard whose stored
+        fingerprint differs from the one passed now was generated under
+        different bounds/seed/config, and silently reusing it would mix
+        stale data into the output — that is an error, not a skip.
         """
         if self.is_committed(part):
+            if fingerprint is not None:
+                with open(self.manifest_path(part)) as f:
+                    stored = json.load(f).get("fingerprint")
+                if stored != fingerprint:
+                    raise ValueError(
+                        f"checkpoint shard {part} at {self.root} was committed "
+                        f"with fingerprint {stored!r} but this run expects "
+                        f"{fingerprint!r}; the checkpoint is stale — delete "
+                        f"{self.root} or restore the original parameters")
             return "skipped"
         out = self.part_dir(part)
         shutil.rmtree(out, ignore_errors=True)  # partial output from a crash
         make_ds().write_parquet(out)
         rows = _count_rows(out)
-        self._commit(part, rows, dict(counters or {}))
+        self._commit(part, rows, dict(counters or {}), fingerprint)
         return "ran"
 
     def dataset(self, columns: list[str] | None = None) -> rd.Dataset:

@@ -45,6 +45,37 @@ def test_resume_after_kill(ray_session, tmp_path):
     assert _triple_set(result.triples) == _triple_set(clean.triples)
 
 
+def test_stale_checkpoint_rejected(ray_session, tmp_path):
+    """Resuming with changed bounds/config must fail loudly, not silently mix
+    shards generated under the old parameters into the output."""
+    root = str(tmp_path / "ckpt_stale")
+    build_kg_resumable(CFG, root, n_shards=2)
+
+    # changed doc count -> different shard bounds -> stale fingerprint
+    with pytest.raises(ValueError, match="stale"):
+        build_kg_resumable(KGConfig(n_docs=320, batch_size=64,
+                                    link_concurrency=2), root, n_shards=2)
+    # changed shard count on the same corpus -> also stale
+    with pytest.raises(ValueError, match="stale"):
+        build_kg_resumable(CFG, root, n_shards=4)
+    # unchanged parameters -> clean skip
+    result = build_kg_resumable(CFG, root, n_shards=2)
+    assert result.triples.count() > 0
+
+
+def test_build_kg_checkpoint_rerun_no_duplicates(ray_session, tmp_path):
+    """Re-running build_kg against the SAME checkpoint dir (the crash-resume
+    scenario) must not append duplicate part files / double the counts."""
+    ckpt = str(tmp_path / "bk")
+    cfg = KGConfig(n_docs=80, batch_size=64, link_concurrency=2)
+    first = build_kg(synth.documents_dataset(cfg), cfg, checkpoint_dir=ckpt)
+    n1 = first.triples.count()
+    first_set = _triple_set(first.triples)
+    second = build_kg(synth.documents_dataset(cfg), cfg, checkpoint_dir=ckpt)
+    assert second.triples.count() == n1
+    assert _triple_set(second.triples) == first_set
+
+
 def test_skip_is_free(ray_session, tmp_path):
     root = str(tmp_path / "ckpt2")
     build_kg_resumable(CFG, root, n_shards=2)

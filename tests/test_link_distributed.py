@@ -34,8 +34,11 @@ def test_resolution_tie_breaks(ray_session):
 
     from raykg.stages.link import AliasIndex
 
-    # exact surfaces + one typo'd surface, resolved both ways
-    surfaces = ["person-000000", "org000001", "place-00002",   # typo: drop 'l'
+    # exact surfaces, a deletion typo, a substitution + a transposition
+    # (neither exact nor single-deletion -> must take the LSH residue path,
+    # matching AliasIndex's LSH fallback), and a non-entity string
+    surfaces = ["person-000000", "org000001", "place-00002",
+                "persxn-000000", "perosn-000000",
                 "nonexistent-zzz"]
     ds = rd.from_arrow(pa.table({"surface": surfaces}))
     res = {r["surface"]: r["ent"]
