@@ -435,6 +435,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) <= 5""",
+        "ann_lsh": """
+            WITH dots AS (
+              SELECT vec_id, b,
+                     list_sum(list_transform(range(1, len(embedding) + 1),
+                       d -> embedding[d] * (CASE WHEN substr(sha256(
+                                 'plane|' || b::VARCHAR || '|'
+                                 || (d - 1)::VARCHAR || '|42'), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END))) AS dot
+              FROM embeddings, (SELECT unnest(range(0, 8)) AS b)),
+            buckets AS (SELECT vec_id,
+                               sum(CASE WHEN dot >= 0
+                                   THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                               AS bucket
+                        FROM dots GROUP BY 1),
+            q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe,
+                         bk.bucket
+                  FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id
+                  WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+            cand AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                            list_cosine_similarity(q.qe,
+                                e.embedding::DOUBLE[]) AS sim
+                     FROM q
+                     JOIN buckets be ON be.bucket = q.bucket
+                     JOIN embeddings e ON e.vec_id = be.vec_id
+                                      AND e.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM cand
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) <= 5""",
         "ann_ivf": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

@@ -4,14 +4,17 @@
   query matrix broadcast ONCE via ``ray.put`` (read per actor/task from the
   object store, never re-shipped per batch), then a per-batch partial top-k
   and a tiny final merge. This is the correctness baseline.
-- ``ann_lsh``: the scale path — seeded random-hyperplane (sign) LSH buckets;
-  queries only scan their own bucket (plus multi-probe neighbors), trading
-  recall for a ~2^bits reduction in scanned rows.
+- ``ann_lsh``: the scale path — sha-derived ±1 hyperplane (sign) LSH
+  buckets; queries only scan their own bucket, trading recall for a ~2^bits
+  reduction in scanned rows. Bucket ids are SQL-replicable (exact DuckDB
+  oracle), recall additionally measured against brute force in tests.
+
+All three share a distributed final merge (``_merge_topk``): partial top-k
+per block, then a ``groupby(query_id)`` reduction on the cluster — the
+driver only ever receives k rows per query.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -20,7 +23,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from raykg.functions.hashing import round_half_away
+from raykg.functions.hashing import round_half_away, sha_hex
 
 
 def _rows_for_ids(embeddings: rd.Dataset, ids: list[int]) -> list[dict]:
@@ -36,6 +39,37 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def _merge_topk(partial: rd.Dataset, k: int) -> pa.Table:
+    """Distributed final top-k merge: the per-block partials (at most k rows
+    per query per block) are merged ON THE CLUSTER with a ``groupby(query_id)``
+    — each group reduces its q*k*n_blocks candidate rows to k — so the driver
+    receives exactly k rows per query, never the full partial set. Ties break
+    by ascending neighbor_id (deterministic, matches the SQL oracles)."""
+
+    def topk(t: pa.Table) -> pa.Table:
+        sims = t.column("cos_sim").to_numpy(zero_copy_only=False)
+        nids = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((nids, -sims))
+        # a neighbor can reach the merge through several partials/probes —
+        # keep the first (max-sim) row per neighbor before the cut
+        _, first = np.unique(nids[sel], return_index=True)
+        sel = sel[np.sort(first)][:k]
+        return pa.table({
+            "query_id": t.column("query_id").take(pa.array(sel)),
+            "neighbor_id": pa.array(nids[sel]),
+            "cos_sim": pa.array(round_half_away(sims[sel], 3), pa.float64()),
+        })
+
+    merged = partial.groupby("query_id").map_groups(topk,
+                                                    batch_format="pyarrow")
+    out = pa.Table.from_pylist(merged.take_all(), schema=pa.schema([
+        ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("cos_sim", pa.float64())]))
+    return out.sort_by([("query_id", "ascending"),
+                        ("cos_sim", "descending"),
+                        ("neighbor_id", "ascending")])
 
 
 def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
@@ -80,22 +114,7 @@ def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
 
     partial = embeddings.map_batches(PartialTopK, batch_format="pyarrow",
                                      concurrency=(1, 8), batch_size=4096)
-    # final merge: q * k * n_blocks rows -> driver
-    merged: dict[int, list] = {}
-    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for q, n, s in zip(b.column("query_id").to_pylist(),
-                           b.column("neighbor_id").to_pylist(),
-                           b.column("cos_sim").to_pylist()):
-            merged.setdefault(q, []).append((-s, n))
-    out_q, out_n, out_s = [], [], []
-    for q in sorted(merged):
-        for neg_s, n in heapq.nsmallest(k, merged[q]):
-            out_q.append(q)
-            out_n.append(n)
-            out_s.append(round_half_away(-neg_s, 3))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "cos_sim": pa.array(out_s, pa.float64())})
+    return _merge_topk(partial, k)
 
 
 def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
@@ -156,35 +175,32 @@ def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
 
     partial = embeddings.map_batches(ProbeScan, batch_format="pyarrow",
                                      concurrency=(1, 8), batch_size=4096)
-    merged: dict[int, list] = {}
-    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for q, n, s in zip(b.column("query_id").to_pylist(),
-                           b.column("neighbor_id").to_pylist(),
-                           b.column("cos_sim").to_pylist()):
-            merged.setdefault(q, []).append((-s, n))
-    out_q, out_n, out_s = [], [], []
-    for q in sorted(merged):
-        for neg_s, n in heapq.nsmallest(k, merged[q]):
-            out_q.append(q)
-            out_n.append(n)
-            out_s.append(round_half_away(-neg_s, 3))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "cos_sim": pa.array(out_s, pa.float64())})
+    return _merge_topk(partial, k)
+
+
+def sha_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    """±1 hyperplanes derived from sha256 — the deterministic, SQL-replicable
+    hash family used across the engine (DuckDB twin: sign(b,d) = +1 iff
+    substr(sha256('plane|b|d|seed'),1,1) >= '8'). Rademacher entries are a
+    standard random-projection choice (Achlioptas 2003), so bucket quality
+    matches Gaussian planes while every bucket id has an exact SQL oracle."""
+    flat = np.array([1.0 if int(sha_hex(f"plane|{b}|{d}|{seed}")[0], 16) >= 8
+                     else -1.0
+                     for d in range(dim) for b in range(bits)], np.float64)
+    return flat.reshape(dim, bits)
 
 
 def lsh_bucket_ids(mat: np.ndarray, dim: int, bits: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits))
-    signs = (mat @ planes) >= 0
+    signs = (mat @ sha_planes(dim, bits, seed)) >= 0
     return (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
 
 
 def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
             bits: int = 8, seed: int = 42) -> pa.Table:
-    """Approximate top-k: random-hyperplane buckets; each query scans only
-    its own bucket. Output schema matches ann_bruteforce. Recall < 1 by
-    design (scale path; measured against the brute-force baseline in tests)."""
+    """Approximate top-k: sha-derived hyperplane buckets; each query scans
+    only its own bucket. Output schema matches ann_bruteforce. Recall < 1 by
+    design (scale path; measured against the brute-force baseline in tests);
+    bucket assignment is deterministic and SQL-exact (see sha_planes)."""
     q_rows = _rows_for_ids(embeddings, query_ids)
     dim = len(q_rows[0]["embedding"])
     q_ids = sorted(r["vec_id"] for r in q_rows)
@@ -227,18 +243,4 @@ def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
 
     partial = embeddings.map_batches(BucketScan, batch_format="pyarrow",
                                      concurrency=(1, 8), batch_size=4096)
-    merged: dict[int, list] = {}
-    for b in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for q, n, s in zip(b.column("query_id").to_pylist(),
-                           b.column("neighbor_id").to_pylist(),
-                           b.column("cos_sim").to_pylist()):
-            merged.setdefault(q, []).append((-s, n))
-    out_q, out_n, out_s = [], [], []
-    for q in sorted(merged):
-        for neg_s, n in heapq.nsmallest(k, merged[q]):
-            out_q.append(q)
-            out_n.append(n)
-            out_s.append(round_half_away(-neg_s, 3))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "cos_sim": pa.array(out_s, pa.float64())})
+    return _merge_topk(partial, k)

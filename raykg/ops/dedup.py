@@ -107,61 +107,132 @@ def minhash_dedup(documents: rd.Dataset, num_hashes: int = 8,
 
 def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
                         num_bands: int = 4, gram: int = 3, seed: int = 42,
-                        jaccard_threshold: float = 0.6) -> rd.Dataset:
+                        jaccard_threshold: float = 0.6,
+                        num_partitions: int = 8) -> rd.Dataset:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
-    groupby -> within-bucket candidate pairs -> exact Jaccard verification.
+    groupby -> within-bucket candidate pairs -> exact Jaccard verification
+    via a hash join back to the grams table.
+
+    Shuffle discipline: the band explode carries ONLY (doc_id, band,
+    band_key) — never the shingle sets, which would amplify exchange bytes
+    by num_bands x the full gram payload. The (few) surviving candidate
+    pairs are then joined back to the (doc_id, grams) table twice to compute
+    exact Jaccard, so gram bytes cross the wire at most twice total instead
+    of once per band per doc.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 4.
     Deterministic and SQL-replicable (band keys are sha-derived).
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(documents, num_hashes, gram, seed)
+    # materialized once: both the band explode and the two verify joins
+    # consume it, and the sha MinHash pass must not run twice
+    sigs = minhash_signatures(documents, num_hashes, gram, seed).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids, bands, keys, grams_out = [], [], [], []
-        for d, sig, gs in zip(t.column("doc_id").to_pylist(),
-                              t.column("sig").to_pylist(),
-                              t.column("grams").to_pylist()):
+        doc_ids, bands, keys = [], [], []
+        for d, sig in zip(t.column("doc_id").to_pylist(),
+                          t.column("sig").to_pylist()):
             parts = sig.split("_")
             for b in range(num_bands):
                 doc_ids.append(d)
                 bands.append(b)
                 keys.append("_".join(parts[b * rows_per_band:(b + 1) * rows_per_band]))
-                grams_out.append(gs)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "band": pa.array(bands, pa.int32()),
             "band_key": pa.array(keys, pa.string()),
-            "grams": pa.array(grams_out, pa.list_(pa.string())),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        docs = t.column("doc_id").to_pylist()
-        grams = t.column("grams").to_pylist()
-        order = np.argsort(docs)
-        a_col, b_col, j_col = [], [], []
-        for i, j in combinations(order, 2):
-            ga, gb = set(grams[i]), set(grams[j])
-            union = len(ga | gb)
-            jac = len(ga & gb) / union if union else 0.0
-            if jac >= jaccard_threshold:
-                a_col.append(docs[i])
-                b_col.append(docs[j])
-                j_col.append(round_half_away(jac, 4))
-        return pa.table({
-            "doc_a": pa.array(a_col, pa.int64()),
-            "doc_b": pa.array(b_col, pa.int64()),
-            "jaccard": pa.array(j_col, pa.float64()),
-        })
+        docs = sorted(t.column("doc_id").to_pylist())
+        a_col, b_col = [], []
+        for i, j in combinations(range(len(docs)), 2):
+            a_col.append(docs[i])
+            b_col.append(docs[j])
+        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
+                         "doc_b": pa.array(b_col, pa.int64())})
 
     pairs = exploded.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    # a pair can surface from several bands -> exact dedup
-    return pairs.groupby(["doc_a", "doc_b"]).max("jaccard").map_batches(
-        lambda t: t.rename_columns(["doc_a", "doc_b", "jaccard"]),
-        batch_format="pyarrow")
+
+    # a pair can surface from several bands -> distinct pairs first
+    distinct = pairs.groupby(["doc_a", "doc_b"]).count()
+
+    # --- join back to the (doc_id, grams) table, expressed as the engine's
+    # bucketed shuffle pattern (functions/shuffle.py) rather than Acero hash
+    # joins: grams are list<string> (Acero rejects list payloads) and two
+    # Dataset.joins cost ~6 s of aggregator-actor setup at fixture scale.
+    # Stage A shuffles pair-sides and grams together on doc_id and attaches
+    # each side's grams; stage B shuffles on the pair key and combines the
+    # two sides into one exact-Jaccard verdict. Grams bytes cross the wire
+    # once for the corpus + once per pair side — never once per band.
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    SEP = "\x1f"    # gram separator inside the packed string
+    PSEP = "\x1e"   # pair-key separator ("a\x1eb")
+
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_pylist()
+        b = t.column("doc_b").to_pylist()
+        doc = [str(x) for x in a] + [str(x) for x in b]
+        pk = [f"{x}{PSEP}{y}" for x, y in zip(a, b)] * 2
+        return pa.table({"doc": pa.array(doc, pa.string()),
+                         "pair": pa.array(pk, pa.string()),
+                         "grams": pa.array([""] * len(doc), pa.string())})
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = [str(d) for d in t.column("doc_id").to_pylist()]
+        gs = [SEP.join(g) for g in t.column("grams").to_pylist()]
+        return pa.table({"doc": pa.array(ids, pa.string()),
+                         "pair": pa.array([""] * len(ids), pa.string()),
+                         "grams": pa.array(gs, pa.string())})
+
+    tagged = distinct.map_batches(pair_side_rows, batch_format="pyarrow") \
+        .union(sigs.map_batches(gram_rows, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        docs = t.column("doc").to_pylist()
+        pks = t.column("pair").to_pylist()
+        grs = t.column("grams").to_pylist()
+        gmap = {d: g for d, p, g in zip(docs, pks, grs) if not p}
+        out_p = [p for p in pks if p]
+        out_g = [gmap.get(d, "") for d, p in zip(docs, pks) if p]
+        # sentinel row: zero-row map outputs become schema-less blocks that
+        # crash downstream stages; "" pairs are dropped in combine()
+        out_p.append("")
+        out_g.append("")
+        return pa.table({"pair": pa.array(out_p, pa.string()),
+                         "grams": pa.array(out_g, pa.string())})
+
+    sided = bucketed_group_agg(tagged, lambda t: t, "doc", attach,
+                               num_buckets=max(64, num_partitions))
+
+    def combine(t: pa.Table) -> pa.Table:
+        by_pair: dict[str, list[str]] = {}
+        for p, g in zip(t.column("pair").to_pylist(),
+                        t.column("grams").to_pylist()):
+            if p:
+                by_pair.setdefault(p, []).append(g)
+        a_col, b_col, j_col = [], [], []
+        for p in sorted(by_pair):
+            gs = by_pair[p]
+            sx = set(gs[0].split(SEP)) if gs and gs[0] else set()
+            sy = set(gs[1].split(SEP)) if len(gs) > 1 and gs[1] else set()
+            union = len(sx | sy)
+            jac = len(sx & sy) / union if union else 0.0
+            if jac >= jaccard_threshold:
+                a, b = p.split(PSEP)
+                a_col.append(int(a))
+                b_col.append(int(b))
+                j_col.append(round_half_away(jac, 4))
+        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
+                         "doc_b": pa.array(b_col, pa.int64()),
+                         "jaccard": pa.array(j_col, pa.float64())})
+
+    return bucketed_group_agg(sided, lambda t: t, "pair", combine,
+                              num_buckets=max(64, num_partitions))
 
 
 def simhash(documents: rd.Dataset, seed: int = 42) -> rd.Dataset:

@@ -103,35 +103,34 @@ def _sums(cols: list[str]):
 
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     """orders ⋈ customer ⋈ nation, dims broadcast once: per n_name total
-    o_totalprice and order count."""
+    o_totalprice and order count. The broadcast lookup on the fact side is
+    fully vectorized — ``pc.index_in`` + ``take`` + Arrow ``group_by`` per
+    batch, zero Python rows touched on the orders table."""
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     nat_name = dict(zip(nation.column("n_nationkey").to_pylist(),
                         nation.column("n_name").to_pylist()))
-    cust_nation = {c: nat_name[n]
-                   for c, n in zip(cust.column("c_custkey").to_pylist(),
-                                   cust.column("c_nationkey").to_pylist())}
-    ref = ray.put(cust_nation)
+    keys = pc.cast(cust.column("c_custkey").combine_chunks(), pa.int64())
+    names = pa.array([nat_name[n]
+                      for n in cust.column("c_nationkey").to_pylist()],
+                     pa.string())
+    ref = ray.put((keys, names))
 
     class Partial:
         def __init__(self):
-            self.m = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = self.m
-            agg: dict[str, list[float]] = {}
-            for ck, price in zip(t.column("o_custkey").to_pylist(),
-                                 t.column("o_totalprice").to_pylist()):
-                name = m[ck]
-                if name not in agg:
-                    agg[name] = [0.0, 0]
-                agg[name][0] += price
-                agg[name][1] += 1
-            return pa.table({
-                "n_name": pa.array(list(agg.keys()), pa.string()),
-                "rev": pa.array([v[0] for v in agg.values()], pa.float64()),
-                "cnt": pa.array([v[1] for v in agg.values()], pa.int64()),
-            })
+            idx = pc.index_in(pc.cast(t.column("o_custkey").combine_chunks(),
+                                      pa.int64()), value_set=self.keys)
+            g = pa.table({
+                "n_name": self.names.take(idx),
+                "price": t.column("o_totalprice"),
+            }).group_by("n_name").aggregate([("price", "sum"),
+                                             ([], "count_all")])
+            return pa.table({"n_name": g.column("n_name"),
+                             "rev": g.column("price_sum"),
+                             "cnt": g.column("count_all")})
 
     part = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
@@ -269,24 +268,57 @@ def hourly_event_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               num_buckets: int = 256) -> rd.Dataset:
     """Per user: event count and session count (session = maximal run of
-    events with inter-arrival gap <= gap_minutes). groupby(user).map_groups
-    over ts-sorted groups — the ordering contract is per-group sort."""
+    events with inter-arrival gap <= gap_minutes).
+
+    Bucketed, not per-user: ``groupby(user).map_groups`` costs ~0.3 ms of
+    block slicing per group (see stages/canonicalize.py), which dies at 10^8
+    users. Instead users are hashed into ``num_buckets`` uniform buckets, the
+    shuffle exchanges on the small-int bucket key, and each bucket does ONE
+    vectorized pass: sort by (user, ts), numpy diff for gap flags, and
+    ``add.reduceat`` over user segment boundaries."""
+    import numpy as np
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(df):
-        import pandas as pd
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # Knuth multiplicative hash: uniform buckets regardless of id ranges
+        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return t.append_column("bucket", pa.array(b.astype(np.int32),
+                                                  pa.int32()))
 
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds() > gap_minutes * 60
-        return pd.DataFrame({
-            "user_id": [int(df["user_id"].iloc[0])],
-            "n_events": [len(df)],
-            "n_sessions": [int(1 + gaps.sum())],
-        })
+    gap_s = gap_minutes * 60
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        unit = t.schema.field("ts").type.unit
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        same_user = uid[1:] == uid[:-1]
+        gap_break = same_user & ((ts[1:] - ts[:-1]) > gap_s * per_s)
+        breaks = np.concatenate(([False], gap_break)).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], ~same_user)))
+        n_events = np.diff(np.concatenate((starts, [len(uid)])))
+        n_sessions = 1 + np.add.reduceat(breaks, starts)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "n_events": pa.array(n_events, pa.int64()),
+                         "n_sessions": pa.array(n_sessions, pa.int64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
