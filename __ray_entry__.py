@@ -11,9 +11,11 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
   the sha256-based hash family used by the engine is reproducible in DuckDB,
   so even URI minting, hash-noise signatures, MinHash keys, LSH bands,
-  SimHash and cosine ANN have exact SQL oracles. Queries whose semantics are
-  not SQL-expressible (the flagship span pipeline on synthetic documents,
-  LSH-bucketed ANN, media decoding) are rows-only checked.
+  SimHash, cosine ANN (brute force, IVF and hyperplane-LSH) and the FULL
+  flagship KG pipeline over the SQL-exact corpus (kg_flagship_exact*,
+  corpus generation -> extraction -> linking -> canonicalization -> graph
+  materialization in one DuckDB statement) have exact SQL oracles. Only the
+  tape-corpus flagship (numpy zipf draws) and media decoding are rows-only.
 """
 
 from __future__ import annotations
@@ -98,6 +100,140 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
+# flagship exact oracle (SQL-exact corpus; see raykg/synth.py sha_doc_rows)
+# ---------------------------------------------------------------------------
+
+
+def _flagship_exact_cfg():
+    from raykg.config import KGConfig
+
+    return KGConfig(n_docs=400, typo_rate=0.0, batch_size=512,
+                    link_concurrency=2)
+
+
+_flagship_memo: dict = {}
+
+
+def _flagship_exact_result():
+    """One build_kg run shared by the three kg_flagship_exact_* queries."""
+    if "r" not in _flagship_memo:
+        from raykg import synth
+        from raykg.pipelines.kg import build_kg
+
+        cfg = _flagship_exact_cfg()
+        _flagship_memo["r"] = build_kg(synth.sha_documents_dataset(cfg), cfg)
+    return _flagship_memo["r"]
+
+
+def flagship_exact_sql(cfg=None, what: str = "triples") -> str:
+    """Single-statement DuckDB oracle for the flagship KG pipeline over the
+    SQL-exact corpus (synth.sha_doc_rows): corpus generation, extraction,
+    exact alias linking, canonicalization (min-uri per norm-name group over
+    OBSERVED entities) and graph materialization, all from ``range()`` — no
+    input views needed. ``what``: 'triples' | 'edges' | 'nodes'.
+
+    Reference semantics being checked end-to-end:
+    src2/main/scala/DataToPattern.scala:11-79 (instance extraction + sha256
+    URI minting) composed with the engine's linking/canonicalization."""
+    from raykg import synth as _synth
+    from raykg.config import NODE_LABELS, PREDICATES
+    from raykg.functions.hashing import hex_threshold8
+
+    if cfg is None:
+        cfg = _flagship_exact_cfg()
+    E, N, seed = cfg.num_entities, cfg.n_docs, cfg.seed
+    mod, rem = cfg.dup_entity_mod, cfg.dup_entity_rem
+    labels = "[" + ", ".join(f"'{x}'" for x in NODE_LABELS) + "]"
+    preds = "[" + ", ".join(f"'{p}'" for p in PREDICATES) + "]"
+
+    def H(key: str) -> str:
+        return f"(('0x' || substr(sha256({key}), 1, 8))::UBIGINT)"
+
+    def K(tag: str) -> str:
+        return f"'{tag}|{seed}|' || di::VARCHAR || '|' || si::VARCHAR"
+
+    def LT(tag: str, p: float) -> str:
+        return f"substr(sha256({K(tag)}), 1, 8) < '{hex_threshold8(p)}'"
+
+    body = f"""
+    WITH ent AS (
+      SELECT i, (i % {mod} = {rem} AND i > 0) AS dup,
+             CASE WHEN i % {mod} = {rem} AND i > 0 THEN i - 1 ELSE i END AS base
+      FROM range({E}) t(i)),
+    ent2 AS (
+      SELECT i, {labels}[(base % {len(NODE_LABELS)}) + 1] AS label, base
+      FROM ent),
+    ent3 AS (
+      SELECT i, label,
+             lower(label) || '-' || lpad(base::VARCHAR, 6, '0') AS norm_name,
+             'sdpg.gr/' || label || '/'
+               || sha256('E' || lpad(i::VARCHAR, 6, '0')) AS uri
+      FROM ent2),
+    docs AS (
+      SELECT di, 'sdoc-' || lpad(di::VARCHAR, 8, '0') AS doc_id,
+             1 + ({H(f"'ns|{seed}|' || di::VARCHAR")}
+                  % {cfg.max_spans_per_doc})::BIGINT AS n_spans
+      FROM range({N}) t(di)),
+    spans AS (SELECT di, doc_id, unnest(range(0, n_spans)) AS si FROM docs),
+    sp AS (
+      SELECT di, doc_id, si,
+             {LT("md", cfg.media_span_rate)} AS is_media,
+             {LT("mc", _synth._SHA_DOC_CAP_P)} AS has_cap,
+             ({H(K("me"))} % {E})::BIGINT AS cap_ent,
+             {LT("tr", _synth._SHA_DOC_REL_P)} AS is_rel,
+             ({H(K("ts"))} % {E})::BIGINT AS subj0,
+             ({H(K("to"))} % {E})::BIGINT AS obj0,
+             ({H(K("tp"))} % {len(PREDICATES)})::BIGINT AS pred_i,
+             ({H(K("tm"))} % {E})::BIGINT AS ment
+      FROM spans),
+    rel AS (
+      SELECT doc_id, si, subj0 AS se,
+             CASE WHEN obj0 = subj0 THEN (subj0 + 1) % {E} ELSE obj0 END AS oe,
+             {preds}[pred_i + 1] AS pred
+      FROM sp WHERE NOT is_media AND is_rel),
+    men AS (
+      SELECT doc_id, si, se AS ent FROM rel
+      UNION ALL SELECT doc_id, si, oe FROM rel
+      UNION ALL SELECT doc_id, si, ment FROM sp
+                WHERE NOT is_media AND NOT is_rel),
+    ev AS (
+      SELECT doc_id, si, 'mentions' AS pred, NULL::BIGINT AS se, ent AS oe
+      FROM men
+      UNION ALL SELECT doc_id, si, 'depicts', NULL::BIGINT, cap_ent
+                FROM sp WHERE is_media AND has_cap
+      UNION ALL SELECT doc_id, si, pred, se, oe FROM rel),
+    obs AS (SELECT oe AS i FROM ev
+            UNION SELECT se FROM ev WHERE se IS NOT NULL),
+    canon AS (
+      SELECT e.i, e.label, e.uri,
+             min(e.uri) OVER (PARTITION BY e.norm_name) AS canon_uri
+      FROM ent3 e JOIN obs ON obs.i = e.i),
+    triples AS (
+      SELECT CASE WHEN ev.se IS NULL
+                  THEN 'sdpg.gr/Document/' || sha256(ev.doc_id)
+                  ELSE cs.canon_uri END AS subj,
+             ev.pred AS pred, co.canon_uri AS obj, ev.doc_id AS doc_id,
+             ev.si::INT AS span_offset
+      FROM ev
+      LEFT JOIN canon cs ON cs.i = ev.se
+      JOIN canon co ON co.i = ev.oe)
+    """
+    finals = {
+        "triples": "SELECT * FROM triples",
+        "edges": """
+            SELECT subj, pred, obj, count(*)::BIGINT AS count
+            FROM triples GROUP BY 1, 2, 3""",
+        "nodes": """
+            SELECT DISTINCT c.canon_uri AS uri, e.label AS label
+            FROM canon c JOIN ent3 e ON e.uri = c.canon_uri
+            UNION ALL
+            SELECT 'sdpg.gr/Document/' || sha256(doc_id), 'Document'
+            FROM docs""",
+    }
+    return body + finals[what]
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
@@ -133,6 +269,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "span_idx", "media_ref", "kind",
                              "width", "height"])
 
+    def kg_flagship_exact(sf_dir):
+        return _flagship_exact_result().triples
+
+    def kg_flagship_exact_edges(sf_dir):
+        return _flagship_exact_result().edges
+
+    def kg_flagship_exact_nodes(sf_dir):
+        return _flagship_exact_result().nodes.select_columns(["uri", "label"])
+
     return {
         # relational operator surface (SURVEY §2)
         "pricing_summary": relational.pricing_summary,
@@ -167,10 +312,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_lsh": lambda sf: ann.ann_lsh(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_ivf": lambda sf: ann.ann_ivf(_emb(sf), [0, 1, 2, 3, 4], k=5),
-        # flagship KG pipeline + multimodal (rows-only: synthetic span corpus)
+        # flagship KG pipeline + multimodal (rows-only: tape span corpus)
         "kg_flagship_triples": kg_flagship_triples,
         "kg_flagship_node_types": kg_flagship_node_types,
         "media_features": media_feats,
+        # flagship KG pipeline over the SQL-exact corpus: extraction ->
+        # exact linking -> canonicalization -> materialization, hash-checked
+        # end-to-end against a single DuckDB statement
+        "kg_flagship_exact": kg_flagship_exact,
+        "kg_flagship_exact_edges": kg_flagship_exact_edges,
+        "kg_flagship_exact_nodes": kg_flagship_exact_nodes,
     }
 
 
@@ -435,6 +586,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) <= 5""",
+        "kg_flagship_exact": flagship_exact_sql(what="triples"),
+        "kg_flagship_exact_edges": flagship_exact_sql(what="edges"),
+        "kg_flagship_exact_nodes": flagship_exact_sql(what="nodes"),
         "ann_lsh": """
             WITH dots AS (
               SELECT vec_id, b,

@@ -48,6 +48,20 @@ def hex_threshold(p: float) -> str:
     return format(min(65535, int(p * 65536)), "04x")
 
 
+def hex_threshold8(p: float) -> str:
+    """8-hex-char threshold: ``sha_hex(k)[:8] < hex_threshold8(p)`` is a
+    deterministic Bernoulli(p) draw, bit-identical to DuckDB's
+    ``substr(sha256(k), 1, 8) < '<thr>'`` (lowercase fixed-width hex compares
+    lexicographically == numerically)."""
+    return format(min((1 << 32) - 1, int(p * (1 << 32))), "08x")
+
+
+def sha_int(key: str) -> int:
+    """First 8 hex chars of sha256(key) as an int — the engine's uniform
+    integer draw; DuckDB twin: ``('0x' || substr(sha256(key),1,8))::UBIGINT``."""
+    return int(sha_hex(key)[:8], 16)
+
+
 def minhash_sig_sha(tokens, num_hashes: int, seed: int) -> list[str]:
     """SQL-replicable MinHash: for each hash index h, min over tokens of
     ``sha256(token + '#' + h + '#' + seed)[:8]``. Empty token set -> 'f'*8."""

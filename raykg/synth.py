@@ -224,6 +224,105 @@ def documents_dataset_range(lo: int, hi: int, cfg: KGConfig,
 
 
 # ---------------------------------------------------------------------------
+# SQL-exact corpus (flagship driver oracle): every decision is a sha256 draw
+# ---------------------------------------------------------------------------
+#
+# The tape corpus above uses numpy Generator draws (zipf, uniform) that no
+# SQL engine can replicate, so the flagship pipeline over it can only be
+# rows-only checked by the driver. This variant derives EVERY decision from
+# ``sha256('<tag>|<seed>|<doc>|<span>')`` — the same hash family the DuckDB
+# oracles already replicate — so extraction -> exact linking ->
+# canonicalization -> edge dedup over it has a bit-exact single-statement
+# SQL oracle (__ray_entry__.flagship_exact_sql). Structure mirrors the tape
+# corpus (relation / bare-mention / media-caption spans, filler words,
+# closed alias vocabulary); differences: no typos (exact linking), span
+# ``offset`` = span index (char offsets would drag filler lengths into SQL),
+# and entity picks are uniform rather than Zipfian (skew is exercised by the
+# tape corpus; correctness here).
+
+from raykg.functions.hashing import hex_threshold8, sha_int  # noqa: E402
+
+_SHA_DOC_REL_P = 0.7       # P(text span carries a relation sentence)
+_SHA_DOC_CAP_P = 0.6       # P(media span has an entity caption)
+_SHA_DOC_IMG_P = 0.6       # P(media span is an image vs audio)
+
+
+def _sha_lt(key: str, p: float) -> bool:
+    return sha_hex(key)[:8] < hex_threshold8(p)
+
+
+def sha_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
+    """Generate SQL-exact documents for the given indices (pure)."""
+    E = cfg.num_entities
+    seed = cfg.seed
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    for di in doc_indices:
+        di = int(di)
+        doc_id = f"sdoc-{di:08d}"
+        n_spans = 1 + sha_int(f"ns|{seed}|{di}") % cfg.max_spans_per_doc
+        spans: list[dict] = []
+        for si in range(n_spans):
+            def k(tag: str) -> str:
+                return f"{tag}|{seed}|{di}|{si}"
+
+            def fill(tag: str, n_mod: int) -> list[str]:
+                n = sha_int(k(tag)) % n_mod
+                return [FILLER_WORDS[sha_int(f"{tag}{j}|{seed}|{di}|{si}")
+                                     % len(FILLER_WORDS)]
+                        for j in range(n)]
+
+            if _sha_lt(k("md"), cfg.media_span_rate):
+                kind = "image" if _sha_lt(k("mk"), _SHA_DOC_IMG_P) else "audio"
+                ref = "media://" + sha_hex(f"{doc_id}:{si}")[:16]
+                if _sha_lt(k("mc"), _SHA_DOC_CAP_P):
+                    ent = sha_int(k("me")) % E
+                    alias = entity_aliases(ent, cfg)[sha_int(k("ma")) % 3]
+                    caption = f"{kind} of {alias}"
+                else:
+                    caption = ""
+                spans.append({"kind": kind, "text": caption,
+                              "media_ref": ref, "offset": si})
+            else:
+                tokens = fill("tf", 3)
+                if _sha_lt(k("tr"), _SHA_DOC_REL_P):
+                    subj = sha_int(k("ts")) % E
+                    obj = sha_int(k("to")) % E
+                    if obj == subj:
+                        obj = (subj + 1) % E
+                    pred = _PRED_IDS[sha_int(k("tp")) % len(_PRED_IDS)]
+                    tokens.append(entity_aliases(subj, cfg)[sha_int(k("ta")) % 3])
+                    tokens += list(PREDICATES[pred])
+                    tokens.append(entity_aliases(obj, cfg)[sha_int(k("tb")) % 3])
+                else:
+                    ent = sha_int(k("tm")) % E
+                    tokens.append(entity_aliases(ent, cfg)[sha_int(k("tc")) % 3])
+                tokens += fill("tg", 2)
+                spans.append({"kind": "text", "text": " ".join(tokens),
+                              "media_ref": "", "offset": si})
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=schema.DOCUMENTS)
+
+
+def sha_documents_table(cfg: KGConfig) -> pa.Table:
+    return sha_doc_rows(np.arange(cfg.n_docs), cfg)
+
+
+def sha_documents_dataset(cfg: KGConfig,
+                          override_num_blocks: int | None = None):
+    """Distributed generation of the SQL-exact corpus."""
+    import ray.data as rd
+
+    n_blocks = override_num_blocks or max(1, cfg.n_docs // 2000)
+    ds = rd.range(cfg.n_docs, override_num_blocks=n_blocks)
+    return ds.map_batches(
+        lambda b: sha_doc_rows(b["id"], cfg),
+        batch_format="numpy", batch_size=cfg.batch_size)
+
+
+# ---------------------------------------------------------------------------
 # Property-graph node / relationship tables (F2/F3) with F4 noise
 # ---------------------------------------------------------------------------
 

@@ -80,3 +80,35 @@ def test_oracle_provenance_fields():
     triples = oracle_triples(t, KGConfig(n_docs=50))
     assert all(len(x) == 5 for x in triples)
     assert all(x[3].startswith("doc-") for x in triples)
+
+
+def test_flagship_exact_matches_duckdb(ray_session):
+    """The flagship pipeline over the SQL-exact corpus (synth.sha_doc_rows)
+    must reproduce the single-statement DuckDB oracle bit-for-bit: triples,
+    deduped edges with counts, and node rows."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    cfg = KGConfig(n_docs=120, typo_rate=0.0, batch_size=64,
+                   link_concurrency=2)
+    from raykg.pipelines.kg import build_kg
+
+    res = build_kg(synth.sha_documents_dataset(cfg), cfg)
+    got_triples = {(r["subj"], r["pred"], r["obj"], r["doc_id"],
+                    r["span_offset"]) for r in res.triples.take_all()}
+    want_triples = set(map(tuple, duckdb.sql(
+        e.flagship_exact_sql(cfg, "triples")).fetchall()))
+    assert got_triples == want_triples
+    assert len(got_triples) > 100
+
+    got_edges = {(r["subj"], r["pred"], r["obj"], r["count"])
+                 for r in res.edges.take_all()}
+    want_edges = set(map(tuple, duckdb.sql(
+        e.flagship_exact_sql(cfg, "edges")).fetchall()))
+    assert got_edges == want_edges
+
+    got_nodes = {(r["uri"], r["label"]) for r in res.nodes.take_all()}
+    want_nodes = set(map(tuple, duckdb.sql(
+        e.flagship_exact_sql(cfg, "nodes")).fetchall()))
+    assert got_nodes == want_nodes
