@@ -34,6 +34,7 @@ from raykg.stages.canonicalize import (
     canonical_groups,
     observed_entities,
     rewrite_triples,
+    rewrite_triples_joined,
 )
 from raykg.stages.extract import extract_batch
 from raykg.stages.link import LinkBatches, build_index_ref
@@ -44,7 +45,10 @@ class KGResult:
     triples: rd.Dataset          # canonical (subj, pred, obj, doc_id, span_offset)
     nodes: rd.Dataset            # (uri, label, properties)
     edges: rd.Dataset            # distinct (subj, pred, obj, count)
-    canon_map: dict[str, str]    # uri -> canonical uri (distinct entities only)
+    canon_map: dict[str, str]    # uri -> canonical uri (distinct entities
+                                 # only; EMPTY when the join-based scale path
+                                 # was selected — the map never reaches the
+                                 # driver there)
 
 
 def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
@@ -274,8 +278,17 @@ def _fresh_dir(path: str) -> str:
 
 
 def build_kg(documents: rd.Dataset, cfg: KGConfig,
-             checkpoint_dir: str | None = None) -> KGResult:
-    """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS."""
+             checkpoint_dir: str | None = None,
+             canon_broadcast_limit: int = 2_000_000) -> KGResult:
+    """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS.
+
+    Canonicalization path selection: up to ``canon_broadcast_limit`` distinct
+    observed entities the canon map is collected once on the driver and
+    broadcast (cheapest at vocabulary scale); above it NOTHING row-sized
+    reaches the driver — the map stays a Dataset and the rewrite + edge
+    dedup run as hash joins / URI-space aggregation
+    (stages/canonicalize.rewrite_triples_joined). Force the scale path in
+    tests with ``canon_broadcast_limit=0``."""
     linked = linked_triples(documents, cfg)
     if checkpoint_dir:
         write_table(linked, _fresh_dir(f"{checkpoint_dir}/linked"))
@@ -284,6 +297,27 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
         linked = linked.materialize()
 
     groups = canonical_groups(observed_entities(linked), cfg).materialize()
+
+    if groups.count() > canon_broadcast_limit:
+        # --- join-based scale path: no driver-side canon map ---
+        # join partitions sized to the cluster: hash-join aggregator actors
+        # beyond the CPU count deadlock a small cluster
+        total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        triples = rewrite_triples_joined(
+            linked, groups, num_partitions=max(4, min(32, total_cpus)))
+        if checkpoint_dir:
+            write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
+            triples = read_table(f"{checkpoint_dir}/triples")
+        else:
+            # pinned: both the caller and the edge dedup consume it, and the
+            # two rewrite joins must not re-execute per consumer
+            triples = triples.materialize()
+        edges = dedup_edges(triples)
+        nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+        return KGResult(triples=triples, nodes=nodes, edges=edges,
+                        canon_map={})
+
     canon_rows = groups.take_all()   # distinct-entity sized; small by design
     canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
                  if r["uri"] != r["canon_uri"]}

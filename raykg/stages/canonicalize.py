@@ -137,6 +137,110 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     return bucketed_group_agg(keyed, lambda t: t, "norm_name", finalize)
 
 
+def rewrite_triples_joined(linked: rd.Dataset, groups: rd.Dataset,
+                           num_partitions: int = 32) -> rd.Dataset:
+    """Broadcast-free canonical rewrite — the 10^8+-entity scale path.
+
+    ``rewrite_triples`` materializes the canon map on the driver and
+    broadcasts it; beyond a vocabulary-sized map that is the flagship's one
+    driver ceiling. Here the map stays a Dataset and the rewrite is two
+    left-outer hash joins on the LINKED_TRIPLES entity-id columns (subj_ent,
+    obj_ent — compact ids, not URI strings), with the engine's schema-guard
+    conventions (validate_schemas, per-block sentinel rows, one join per
+    execution). Doc-subject rows (subj_ent == "", the mention/caption
+    majority) would all hash to ONE subj-join partition — a skew bomb — so
+    they bypass the subj join entirely and only their objects are joined.
+    Same output as rewrite_triples; equality is asserted in
+    tests/test_kg_pipeline.py."""
+    SENT = "\x00S"   # sentinel row marker (doc_id), filtered in finalize
+    LKEY = "\x00L"   # left-side sentinel join key
+    RKEY = "\x00R"   # right-side sentinel join key (never matches LKEY)
+
+    def side(key_col: str, canon_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pa.concat_arrays([
+                t.column("entity_id").combine_chunks(),
+                pa.array([RKEY], pa.string())])
+            canons = pa.concat_arrays([
+                t.column("canon_uri").combine_chunks(),
+                pa.array([""], pa.string())])
+            return pa.table({key_col: ids, canon_col: canons})
+        return f
+
+    def _cat(col, tail: str) -> pa.Array:
+        return pa.concat_arrays([col.combine_chunks(),
+                                 pa.array([tail], pa.string())])
+
+    def ent_side(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.not_equal(t.column("subj_ent"), ""))
+        return pa.table({
+            "subj": _cat(t2.column("subj"), SENT),
+            "pred": _cat(t2.column("pred"), SENT),
+            "obj": _cat(t2.column("obj"), SENT),
+            "doc_id": _cat(t2.column("doc_id"), SENT),
+            "span_offset": pa.concat_arrays([
+                t2.column("span_offset").combine_chunks(),
+                pa.array([0], pa.int32())]),
+            "subj_ent": _cat(t2.column("subj_ent"), LKEY),
+            "obj_ent": _cat(t2.column("obj_ent"), LKEY),
+        })
+
+    ORDER = ["subj", "pred", "obj", "doc_id", "span_offset", "obj_ent",
+             "canon_s"]
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t.column("subj_ent"), ""))
+        return pa.table({
+            "subj": _cat(t2.column("subj"), SENT),
+            "pred": _cat(t2.column("pred"), SENT),
+            "obj": _cat(t2.column("obj"), SENT),
+            "doc_id": _cat(t2.column("doc_id"), SENT),
+            "span_offset": pa.concat_arrays([
+                t2.column("span_offset").combine_chunks(),
+                pa.array([0], pa.int32())]),
+            "obj_ent": _cat(t2.column("obj_ent"), LKEY),
+            "canon_s": pa.array([None] * (t2.num_rows + 1), pa.string()),
+        })
+
+    def norm1(t: pa.Table) -> pa.Table:
+        if "canon_s" not in t.column_names:
+            return pa.schema([(c, pa.int32() if c == "span_offset"
+                               else pa.string()) for c in ORDER]).empty_table()
+        return t.select(ORDER)
+
+    gs = groups.map_batches(side("subj_ent", "canon_s"),
+                            batch_format="pyarrow")
+    go = groups.map_batches(side("obj_ent", "canon_o"),
+                            batch_format="pyarrow")
+    j1 = linked.map_batches(ent_side, batch_format="pyarrow") \
+        .join(gs, join_type="left_outer", num_partitions=num_partitions,
+              on=("subj_ent",), right_on=("subj_ent",),
+              validate_schemas=True).materialize()
+    merged = j1.map_batches(norm1, batch_format="pyarrow") \
+        .union(linked.map_batches(doc_side, batch_format="pyarrow"))
+    j2 = merged.join(go, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=("obj_ent",), right_on=("obj_ent",),
+                     validate_schemas=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "canon_o" not in t.column_names:
+            return pa.schema([
+                ("subj", pa.string()), ("pred", pa.string()),
+                ("obj", pa.string()), ("doc_id", pa.string()),
+                ("span_offset", pa.int32())]).empty_table()
+        t = t.filter(pc.not_equal(t.column("doc_id"), SENT))
+        return pa.table({
+            "subj": pc.coalesce(t.column("canon_s"), t.column("subj")),
+            "pred": t.column("pred"),
+            "obj": pc.coalesce(t.column("canon_o"), t.column("obj")),
+            "doc_id": t.column("doc_id"),
+            "span_offset": t.column("span_offset"),
+        })
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
 def rewrite_triples(linked: rd.Dataset, canon_map: dict[str, str]) -> rd.Dataset:
     """Rewrite subj/obj through the canonical map — broadcast once, applied
     vectorized (pc.index_in + take; no per-row Python)."""

@@ -112,3 +112,27 @@ def test_flagship_exact_matches_duckdb(ray_session):
     want_nodes = set(map(tuple, duckdb.sql(
         e.flagship_exact_sql(cfg, "nodes")).fetchall()))
     assert got_nodes == want_nodes
+
+
+def test_join_rewrite_path_matches_broadcast(ray_session):
+    """Forcing the join-based canonicalization scale path
+    (canon_broadcast_limit=0) must produce the identical triple and edge
+    sets as the broadcast path — and must not materialize a canon map on
+    the driver."""
+    from raykg.pipelines.kg import build_kg as bk
+
+    broadcast = bk(_docs_ds(), CFG)
+    joined = bk(_docs_ds(), CFG, canon_broadcast_limit=0)
+    assert joined.canon_map == {}
+
+    def tset(ds):
+        return {(r["subj"], r["pred"], r["obj"], r["doc_id"],
+                 r["span_offset"]) for r in ds.take_all()}
+
+    assert tset(joined.triples) == tset(broadcast.triples)
+
+    def eset(ds):
+        return {(r["subj"], r["pred"], r["obj"], r["count"])
+                for r in ds.take_all()}
+
+    assert eset(joined.edges) == eset(broadcast.edges)
