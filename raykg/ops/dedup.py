@@ -265,11 +265,30 @@ def simhash(documents: rd.Dataset, seed: int = 42) -> rd.Dataset:
         batch, batch_format="pyarrow")
 
 
+def _cap_block(docs: list, label: object, max_block: int,
+               op: str) -> list | None:
+    """Skew guard for blocked all-pairs ops: a hot blocking key would go
+    quadratic silently — instead cap the block to its ``max_block`` smallest
+    doc ids and LOG what was dropped (no silent truncation)."""
+    if max_block and len(docs) > max_block:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "%s: blocking key %r has %d rows > cap %d — comparing only the "
+            "%d smallest ids (%d rows skipped); re-block or raise max_block "
+            "for full coverage", op, label, len(docs), max_block, max_block,
+            len(docs) - max_block)
+        return sorted(docs)[:max_block]
+    return None
+
+
 def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
                         threshold: float = 0.5,
-                        partition_col: str = "source") -> rd.Dataset:
+                        partition_col: str = "source",
+                        max_block: int = 20_000) -> rd.Dataset:
     """Exact n-gram Jaccard similarity for all pairs within a partition key
-    (blocked all-pairs — the blocking key bounds the quadratic term).
+    (blocked all-pairs — the blocking key bounds the quadratic term; blocks
+    beyond ``max_block`` rows are capped WITH a warning, never silently).
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
 
     def add_grams(t: pa.Table) -> pa.Table:
@@ -287,6 +306,13 @@ def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
     def pairs(t: pa.Table) -> pa.Table:
         docs = t.column("doc_id").to_pylist()
         grams = [set(g) for g in t.column("grams").to_pylist()]
+        capped = _cap_block(docs, t.column("part")[0].as_py() if t.num_rows
+                            else None, max_block, "ngram_jaccard_pairs")
+        if capped is not None:
+            keep = set(capped)
+            sel = [i for i, d in enumerate(docs) if d in keep]
+            docs = [docs[i] for i in sel]
+            grams = [grams[i] for i in sel]
         order = sorted(range(len(docs)), key=lambda k: docs[k])
         a_col, b_col, j_col = [], [], []
         for x, y in combinations(order, 2):
@@ -304,12 +330,20 @@ def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
 
 
 def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
-                            block_col: str = "label") -> rd.Dataset:
-    """Embedding-cosine near-dup pairs within a blocking key.
+                            block_col: str = "label",
+                            max_block: int = 50_000) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs within a blocking key (blocks beyond
+    ``max_block`` rows are capped WITH a warning, never silently).
     Output: (vec_a, vec_b, cos_sim rounded to 3), vec_a < vec_b."""
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = np.array(t.column("vec_id").to_pylist())
+        capped = _cap_block(ids.tolist(),
+                            t.column(block_col)[0].as_py() if t.num_rows
+                            else None, max_block, "embedding_neardup_pairs")
+        if capped is not None:
+            t = t.filter(pa.array(np.isin(ids, capped)))
+            ids = np.array(t.column("vec_id").to_pylist())
         mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

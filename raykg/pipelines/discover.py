@@ -115,6 +115,11 @@ def discover_node_types(nodes: rd.Dataset, cfg: KGConfig,
             "cluster_key": [key], "label": [majority],
             "required_props": [required], "optional_props": [optional],
             "count": [n_total],
+            # reference carries these with constant defaults
+            # (Pattern.scala:2-8); computed here: a node type is optional
+            # when any of its properties is
+            "is_optional": [len(optional) > 0],
+            "min_cardinality": [1], "max_cardinality": [1],
         }, schema=schema.NODE_TYPES)
 
     node_types = partial.groupby("cluster_key").map_groups(
@@ -178,7 +183,9 @@ def merge_pattern_snapshot(node_types: rd.Dataset, path: str) -> rd.Dataset:
 
 
 def discover_edge_types(edges: rd.Dataset, uri_to_label: dict[str, str],
-                        cfg: KGConfig) -> rd.Dataset:
+                        cfg: KGConfig,
+                        label_counts: dict[str, int] | None = None
+                        ) -> rd.Dataset:
     """Edge-type integration (reference analog:
     src/main/scala/Clustering.scala:156-181 + Pattern.scala:44-51).
 
@@ -186,39 +193,121 @@ def discover_edge_types(edges: rd.Dataset, uri_to_label: dict[str, str],
     reference quirk of dropping same-cluster edges (Clustering.scala:165-170,
     which loses e.g. Person-KNOWS-Person) is replicated only behind
     ``cfg.drop_self_cluster_edges``.
+
+    Beyond the reference's bare (rel, src, dst, count) rows, each edge type
+    aggregates its relationship PROPERTY map (DataLoader.scala:71-86 carries
+    it, the reference then ignores it): required/optional at
+    ``cfg.optional_threshold``, plus computed cardinalities — min/max edges
+    of this type per observed source node — and ``is_optional`` (true iff
+    some node of ``src_label`` has no such outgoing edge; needs
+    ``label_counts`` = nodes per label, else defaults to the reference's
+    False). Two bucketed two-phase aggregations: (type, src) counts first,
+    then per-type reduction; nothing row-sized reaches the driver.
     """
+    import json
+
     import ray
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
     ref = ray.put(uri_to_label)
+    SEP = "\x1f"
 
     class Label:
+        """Per batch: one partial row per (rel|src_label|dst_label, subj)
+        with edge count + property-presence counts."""
+
         def __init__(self):
             self.m = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = self.m
-            src = [m.get(s) for s in batch.column("subj").to_pylist()]
-            dst = [m.get(o) for o in batch.column("obj").to_pylist()]
-            rel = batch.column("pred").to_pylist()
-            keep_rows = []
-            for r, s, d in zip(rel, src, dst):
-                if s is None or d is None:
+            has_props = "properties" in batch.column_names
+            rels = batch.column("pred").to_pylist()
+            subjs = batch.column("subj").to_pylist()
+            objs = batch.column("obj").to_pylist()
+            props = batch.column("properties").to_pylist() if has_props \
+                else [None] * len(rels)
+            agg: dict[tuple, tuple[int, Counter]] = {}
+            for r, s, d, p in zip(rels, subjs, objs, props):
+                sl, dl = m.get(s), m.get(d)
+                if sl is None or dl is None:
                     continue  # reference drops unlabeled endpoints
-                if cfg.drop_self_cluster_edges and s == d:
+                if cfg.drop_self_cluster_edges and sl == dl:
                     continue
-                keep_rows.append((r, s, d))
-            if not keep_rows:
-                return pa.table({"rel_type": pa.array([], pa.string()),
-                                 "src_label": pa.array([], pa.string()),
-                                 "dst_label": pa.array([], pa.string()),
-                                 "n": pa.array([], pa.int64())})
-            c = Counter(keep_rows)
+                key = (r + SEP + sl + SEP + dl, s)
+                if key not in agg:
+                    agg[key] = (0, Counter())
+                n_, pc_ = agg[key]
+                if p:
+                    pc_.update(k for k, _ in p) if isinstance(p, list) \
+                        else pc_.update(p.keys())
+                agg[key] = (n_ + 1, pc_)
             return pa.table({
-                "rel_type": pa.array([k[0] for k in c], pa.string()),
-                "src_label": pa.array([k[1] for k in c], pa.string()),
-                "dst_label": pa.array([k[2] for k in c], pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "k4": pa.array([k3 + SEP + s for (k3, s) in agg],
+                               pa.string()),
+                "k3": pa.array([k3 for (k3, _) in agg], pa.string()),
+                "n": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "pj": pa.array([json.dumps(v[1]) for v in agg.values()],
+                               pa.string()),
             })
 
-    partial = edges.map_batches(Label, batch_format="pyarrow",
-                                concurrency=(1, 4))
-    return partial.groupby(["rel_type", "src_label", "dst_label"]).sum("n")
+    def fin_per_src(t: pa.Table) -> pa.Table:
+        """Global (type, src) totals within a bucket."""
+        by: dict[str, tuple[str, int, Counter]] = {}
+        for k4, k3, n, pj in zip(t.column("k4").to_pylist(),
+                                 t.column("k3").to_pylist(),
+                                 t.column("n").to_pylist(),
+                                 t.column("pj").to_pylist()):
+            if k4 not in by:
+                by[k4] = (k3, 0, Counter())
+            _, n_, pc_ = by[k4]
+            pc_.update(json.loads(pj))
+            by[k4] = (k3, n_ + n, pc_)
+        return pa.table({
+            "k3": pa.array([v[0] for v in by.values()], pa.string()),
+            "n": pa.array([v[1] for v in by.values()], pa.int64()),
+            "pj": pa.array([json.dumps(v[2]) for v in by.values()],
+                           pa.string()),
+        })
+
+    lc = dict(label_counts or {})
+
+    def fin_per_type(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {}
+        for k3, n, pj in zip(t.column("k3").to_pylist(),
+                             t.column("n").to_pylist(),
+                             t.column("pj").to_pylist()):
+            if k3 not in rows:
+                rows[k3] = [0, 0, None, None, Counter()]
+            acc = rows[k3]
+            acc[0] += n                                    # total edges
+            acc[1] += 1                                    # observed sources
+            acc[2] = n if acc[2] is None else min(acc[2], n)
+            acc[3] = n if acc[3] is None else max(acc[3], n)
+            acc[4].update(json.loads(pj))
+        out = {k: [] for k in ["rel_type", "src_label", "dst_label", "count",
+                               "required_props", "optional_props",
+                               "is_optional", "min_cardinality",
+                               "max_cardinality"]}
+        for k3, (total, n_src, mn, mx, pc_) in rows.items():
+            r, sl, dl = k3.split(SEP)
+            required = sorted(p for p, c in pc_.items()
+                              if c / total >= cfg.optional_threshold)
+            out["rel_type"].append(r)
+            out["src_label"].append(sl)
+            out["dst_label"].append(dl)
+            out["count"].append(total)
+            out["required_props"].append(required)
+            out["optional_props"].append(
+                sorted(p for p in pc_ if p not in set(required)))
+            out["is_optional"].append(
+                n_src < lc[sl] if sl in lc else False)
+            out["min_cardinality"].append(mn)
+            out["max_cardinality"].append(mx)
+        return pa.Table.from_pydict(out, schema=schema.EDGE_TYPES)
+
+    per_src = bucketed_group_agg(
+        edges.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4)),
+        lambda t: t, "k4", fin_per_src)
+    return bucketed_group_agg(per_src, lambda t: t, "k3", fin_per_type)

@@ -71,12 +71,22 @@ PG_RELATIONSHIPS = pa.schema([
     ("properties", pa.map_(pa.string(), pa.string())),
 ])
 
+# Discovered schema elements. The reference carries is_optional /
+# min_cardinality / max_cardinality on its Node and Edge schema elements but
+# only ever with their constant defaults (false, 1, 1 —
+# src/main/scala/com/models/Pattern.scala:2-20); here they are COMPUTED:
+# node is_optional from the optional-property set, edge cardinalities from
+# observed per-source edge counts, edge is_optional from coverage of the
+# source label's node population.
 NODE_TYPES = pa.schema([
     ("cluster_key", pa.string()),
     ("label", pa.string()),
     ("required_props", pa.list_(pa.string())),
     ("optional_props", pa.list_(pa.string())),
     ("count", pa.int64()),
+    ("is_optional", pa.bool_()),
+    ("min_cardinality", pa.int64()),
+    ("max_cardinality", pa.int64()),
 ])
 
 EDGE_TYPES = pa.schema([
@@ -84,4 +94,9 @@ EDGE_TYPES = pa.schema([
     ("src_label", pa.string()),
     ("dst_label", pa.string()),
     ("count", pa.int64()),
+    ("required_props", pa.list_(pa.string())),
+    ("optional_props", pa.list_(pa.string())),
+    ("is_optional", pa.bool_()),
+    ("min_cardinality", pa.int64()),   # min edges of this type per observed
+    ("max_cardinality", pa.int64()),   # source node / max respectively
 ])

@@ -116,3 +116,51 @@ def test_edge_types_and_self_cluster_quirk(ray_session):
     # the reference quirk (Clustering.scala:165-170) drops same-label edges
     assert all(k[1] != k[2] for k in keys2)
     assert keys2 < keys
+
+
+def test_edge_type_properties_and_cardinalities(ray_session):
+    """EDGE_TYPES carries aggregated relationship properties and computed
+    cardinalities (reference declares these fields but only ever with
+    constant defaults, Pattern.scala:2-20)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    n_nodes, n_edges = 1000, 2000
+    rels = synth.pg_relationships_dataset(
+        NodeSynthConfig(n_nodes=n_nodes, n_edges=n_edges))
+    node_label = {f"n{i:08d}": synth._pg_label(i) for i in range(n_nodes)}
+    label_counts = Counter(node_label.values())
+
+    def as_triples(t):
+        return pa.table({"subj": t.column("src_id"),
+                         "pred": t.column("rel_type"),
+                         "obj": t.column("dst_id"),
+                         "properties": t.column("properties")})
+
+    edges = rels.map_batches(as_triples, batch_format="pyarrow")
+    types = discover_edge_types(edges, node_label, CFG,
+                                label_counts=dict(label_counts)).take_all()
+    assert types
+    # every synthetic edge carries exactly {creationDate} -> always required
+    for t in types:
+        assert t["required_props"] == ["creationDate"]
+        assert t["optional_props"] == []
+        assert 1 <= t["min_cardinality"] <= t["max_cardinality"]
+    # all endpoints are labeled -> totals preserved
+    assert sum(t["count"] for t in types) == n_edges
+    # far fewer edges than nodes per label -> some types must be optional
+    assert any(t["is_optional"] for t in types)
+
+
+def test_node_type_optionality_fields(ray_session):
+    clean = _discover(ray_session, 0.0)
+    for t in clean.node_types.take_all():
+        assert t["is_optional"] is False
+        assert t["min_cardinality"] == 1 and t["max_cardinality"] == 1
+        assert t["optional_props"] == []
+    noisy = _discover(ray_session, 0.4)
+    noisy_types = noisy.node_types.take_all()
+    assert any(t["is_optional"] for t in noisy_types)
+    for t in noisy_types:
+        assert t["is_optional"] == (len(t["optional_props"]) > 0)
