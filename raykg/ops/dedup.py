@@ -157,29 +157,32 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
     pairs = exploded.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
 
-    # a pair can surface from several bands -> distinct pairs first
-    distinct = pairs.groupby(["doc_a", "doc_b"]).count()
-
     # --- join back to the (doc_id, grams) table, expressed as the engine's
     # bucketed shuffle pattern (functions/shuffle.py) rather than Acero hash
     # joins: grams are list<string> (Acero rejects list payloads) and two
     # Dataset.joins cost ~6 s of aggregator-actor setup at fixture scale.
     # Stage A shuffles pair-sides and grams together on doc_id and attaches
     # each side's grams; stage B shuffles on the pair key and combines the
-    # two sides into one exact-Jaccard verdict. Grams bytes cross the wire
-    # once for the corpus + once per pair side — never once per band.
+    # two sides into one exact-Jaccard verdict. A pair surfacing from
+    # several bands is deduped IN stage B (side-keyed dict), so no separate
+    # distinct shuffle is needed. Grams bytes cross the wire once for the
+    # corpus + once per pair side — never once per band.
     from raykg.functions.shuffle import bucketed_group_agg
 
     SEP = "\x1f"    # gram separator inside the packed string
     PSEP = "\x1e"   # pair-key separator ("a\x1eb")
 
     def pair_side_rows(t: pa.Table) -> pa.Table:
+        # per-batch dedup of (pair, side) rows thins band duplicates early
         a = t.column("doc_a").to_pylist()
         b = t.column("doc_b").to_pylist()
-        doc = [str(x) for x in a] + [str(x) for x in b]
-        pk = [f"{x}{PSEP}{y}" for x, y in zip(a, b)] * 2
+        seen = sorted({(x, y) for x, y in zip(a, b)})
+        doc = [str(x) for x, _ in seen] + [str(y) for _, y in seen]
+        pk = [f"{x}{PSEP}{y}" for x, y in seen] * 2
+        side = [0] * len(seen) + [1] * len(seen)
         return pa.table({"doc": pa.array(doc, pa.string()),
                          "pair": pa.array(pk, pa.string()),
+                         "side": pa.array(side, pa.int8()),
                          "grams": pa.array([""] * len(doc), pa.string())})
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -187,39 +190,50 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
         gs = [SEP.join(g) for g in t.column("grams").to_pylist()]
         return pa.table({"doc": pa.array(ids, pa.string()),
                          "pair": pa.array([""] * len(ids), pa.string()),
+                         "side": pa.array([0] * len(ids), pa.int8()),
                          "grams": pa.array(gs, pa.string())})
 
-    tagged = distinct.map_batches(pair_side_rows, batch_format="pyarrow") \
+    tagged = pairs.map_batches(pair_side_rows, batch_format="pyarrow") \
         .union(sigs.map_batches(gram_rows, batch_format="pyarrow"))
 
     def attach(t: pa.Table) -> pa.Table:
         docs = t.column("doc").to_pylist()
         pks = t.column("pair").to_pylist()
+        sides = t.column("side").to_pylist()
         grs = t.column("grams").to_pylist()
         gmap = {d: g for d, p, g in zip(docs, pks, grs) if not p}
-        out_p = [p for p in pks if p]
-        out_g = [gmap.get(d, "") for d, p in zip(docs, pks) if p]
+        out_p, out_s, out_g = [], [], []
+        seen: set[tuple] = set()
+        for d, p, s in zip(docs, pks, sides):
+            if p and (p, s) not in seen:      # global (pair, side) dedup
+                seen.add((p, s))
+                out_p.append(p)
+                out_s.append(s)
+                out_g.append(gmap.get(d, ""))
         # sentinel row: zero-row map outputs become schema-less blocks that
         # crash downstream stages; "" pairs are dropped in combine()
         out_p.append("")
+        out_s.append(0)
         out_g.append("")
         return pa.table({"pair": pa.array(out_p, pa.string()),
+                         "side": pa.array(out_s, pa.int8()),
                          "grams": pa.array(out_g, pa.string())})
 
     sided = bucketed_group_agg(tagged, lambda t: t, "doc", attach,
                                num_buckets=max(64, num_partitions))
 
     def combine(t: pa.Table) -> pa.Table:
-        by_pair: dict[str, list[str]] = {}
-        for p, g in zip(t.column("pair").to_pylist(),
-                        t.column("grams").to_pylist()):
+        by_pair: dict[str, dict[int, str]] = {}
+        for p, s, g in zip(t.column("pair").to_pylist(),
+                           t.column("side").to_pylist(),
+                           t.column("grams").to_pylist()):
             if p:
-                by_pair.setdefault(p, []).append(g)
+                by_pair.setdefault(p, {})[s] = g
         a_col, b_col, j_col = [], [], []
         for p in sorted(by_pair):
             gs = by_pair[p]
-            sx = set(gs[0].split(SEP)) if gs and gs[0] else set()
-            sy = set(gs[1].split(SEP)) if len(gs) > 1 and gs[1] else set()
+            sx = set(gs.get(0, "").split(SEP)) if gs.get(0) else set()
+            sy = set(gs.get(1, "").split(SEP)) if gs.get(1) else set()
             union = len(sx | sy)
             jac = len(sx & sy) / union if union else 0.0
             if jac >= jaccard_threshold:
