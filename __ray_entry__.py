@@ -178,6 +178,7 @@ def flagship_exact_sql(cfg=None, what: str = "triples") -> str:
     sp AS (
       SELECT di, doc_id, si,
              {LT("md", cfg.media_span_rate)} AS is_media,
+             {LT("mk", _synth._SHA_DOC_IMG_P)} AS is_image,
              {LT("mc", _synth._SHA_DOC_CAP_P)} AS has_cap,
              ({H(K("me"))} % {E})::BIGINT AS cap_ent,
              {LT("tr", _synth._SHA_DOC_REL_P)} AS is_rel,
@@ -218,6 +219,11 @@ def flagship_exact_sql(cfg=None, what: str = "triples") -> str:
       LEFT JOIN canon cs ON cs.i = ev.se
       JOIN canon co ON co.i = ev.oe)
     """
+    from raykg.config import KG_LABEL_PROPS
+
+    prop_vals = ",\n               ".join(
+        f"('{lab}', [{', '.join(repr(p) for p in sorted(props))}])"
+        for lab, props in KG_LABEL_PROPS.items())
     finals = {
         "triples": "SELECT * FROM triples",
         "edges": """
@@ -229,6 +235,47 @@ def flagship_exact_sql(cfg=None, what: str = "triples") -> str:
             UNION ALL
             SELECT 'sdpg.gr/Document/' || sha256(doc_id), 'Document'
             FROM docs""",
+        # fake-decoder metadata is sha-derived (ops/multimodal.py) -> exact
+        "media": """
+            , media AS (
+              SELECT doc_id, si,
+                     'media://' || substr(sha256(doc_id || ':'
+                         || si::VARCHAR), 1, 16) AS media_ref,
+                     CASE WHEN is_image THEN 'image' ELSE 'audio' END AS kind
+              FROM sp WHERE is_media)
+            SELECT doc_id, si::INT AS span_idx, media_ref, kind,
+                   (64 + ('0x' || substr(sha256(media_ref), 1, 4))::UBIGINT
+                    % 1024)::INT AS width,
+                   (64 + ('0x' || substr(sha256(media_ref), 5, 4))::UBIGINT
+                    % 1024)::INT AS height
+            FROM media""",
+        # schema discovery over the materialized nodes: deterministic
+        # MinHash cluster keys with the reference's numHashTables sizing
+        # rule (config.py derived_minhash_tables) computed IN SQL
+        "node_types": f"""
+            , canon_nodes AS (
+              SELECT DISTINCT c.canon_uri AS uri, e.label
+              FROM canon c JOIN ent3 e ON e.uri = c.canon_uri),
+            lab_counts AS (
+              SELECT label, count(*) AS n FROM canon_nodes GROUP BY 1
+              UNION ALL SELECT 'Document', {N}),
+            nc AS (SELECT (SELECT count(*) FROM canon_nodes) + {N} AS n),
+            ntc AS (SELECT greatest(2, ceil(2 * log10(greatest(10, n)))
+                    )::BIGINT AS nt FROM nc),
+            props_of AS (SELECT * FROM (VALUES
+               {prop_vals},
+               ('Document', ['n_spans'])) AS t(label, props))
+            SELECT array_to_string(list_transform(
+                       range(0, (SELECT nt FROM ntc)),
+                       h -> coalesce(list_min(list_transform(p.props,
+                            x -> substr(sha256(x || '#' || h::VARCHAR
+                                        || '#{seed}'), 1, 8))),
+                            'ffffffff')), '_') AS cluster_key,
+                   l.label AS label,
+                   array_to_string(p.props, ',') AS required,
+                   '' AS optional,
+                   l.n::BIGINT AS count
+            FROM lab_counts l JOIN props_of p ON p.label = l.label""",
     }
     return body + finals[what]
 
@@ -278,6 +325,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_flagship_exact_nodes(sf_dir):
         return _flagship_exact_result().nodes.select_columns(["uri", "label"])
 
+    def kg_flagship_exact_node_types(sf_dir):
+        import pyarrow as pa
+
+        cfg = _flagship_exact_cfg()
+        nt = discover_node_types(_flagship_exact_result().nodes,
+                                 cfg).node_types
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "cluster_key": t.column("cluster_key"),
+                "label": t.column("label"),
+                "required": pa.array(
+                    [",".join(x)
+                     for x in t.column("required_props").to_pylist()],
+                    pa.string()),
+                "optional": pa.array(
+                    [",".join(x)
+                     for x in t.column("optional_props").to_pylist()],
+                    pa.string()),
+                "count": t.column("count"),
+            })
+
+        return nt.map_batches(proj, batch_format="pyarrow")
+
+    def media_features_exact(sf_dir):
+        cfg = _flagship_exact_cfg()
+        return media_features(synth.sha_documents_dataset(cfg)) \
+            .select_columns(["doc_id", "span_idx", "media_ref", "kind",
+                             "width", "height"])
+
     return {
         # relational operator surface (SURVEY §2)
         "pricing_summary": relational.pricing_summary,
@@ -322,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_flagship_exact": kg_flagship_exact,
         "kg_flagship_exact_edges": kg_flagship_exact_edges,
         "kg_flagship_exact_nodes": kg_flagship_exact_nodes,
+        "kg_flagship_exact_node_types": kg_flagship_exact_node_types,
+        "media_features_exact": media_features_exact,
     }
 
 
@@ -589,6 +668,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_flagship_exact": flagship_exact_sql(what="triples"),
         "kg_flagship_exact_edges": flagship_exact_sql(what="edges"),
         "kg_flagship_exact_nodes": flagship_exact_sql(what="nodes"),
+        "kg_flagship_exact_node_types": flagship_exact_sql(what="node_types"),
+        "media_features_exact": flagship_exact_sql(what="media"),
         "ann_lsh": """
             WITH dots AS (
               SELECT vec_id, b,
