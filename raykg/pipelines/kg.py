@@ -69,10 +69,13 @@ def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     floor = min(cfg.link_concurrency, cap)
     ceiling = min(cfg.link_concurrency
                   + max(2, cfg.link_concurrency // 6), cap)
+    # Link batches are EVENT rows (~16x denser than documents): a larger
+    # batch amortizes the per-batch resolve/index_in setup while still
+    # yielding hundreds of tasks for the pool.
     return extractions.map_batches(
         LinkBatches,
         fn_constructor_kwargs={"cfg": cfg, "index_ref": index_ref},
-        batch_format="pyarrow", batch_size=cfg.batch_size,
+        batch_format="pyarrow", batch_size=max(cfg.batch_size, 4096),
         concurrency=(floor, max(floor, ceiling)),
         num_cpus=1)
 
@@ -161,20 +164,28 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
     from raykg.functions.shuffle import bucketed_group_agg
 
     SEP = "\x1f"
-    ent_ref = ray.put(ent_canon)
+    ent_keys = pa.array(list(ent_canon.keys()), pa.string())
+    ent_vals = pa.array(list(ent_canon.values()), pa.string())
+    ent_ref = ray.put((ent_keys, ent_vals))
 
     def combiner(batch: pa.Table) -> pa.Table:
-        m = ray.get(ent_ref)
-        doc_ids = batch.column("doc_id").to_pylist()
-        subj_ents = batch.column("subj_ent").to_pylist()
-        obj_ents = batch.column("obj_ent").to_pylist()
-        subj_keys = [m.get(e, e) if e else "D" + SEP + d
-                     for e, d in zip(subj_ents, doc_ids)]
-        obj_keys = [m.get(e, e) for e in obj_ents]
+        keys, vals = ray.get(ent_ref)
+
+        def canon(col: pa.ChunkedArray) -> pa.Array:
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            mapped = vals.take(pc.index_in(col, value_set=keys))
+            return pc.coalesce(mapped, col)
+
+        subj_ent = batch.column("subj_ent").combine_chunks()
+        doc_keys = pc.binary_join_element_wise(
+            pa.scalar("D"), batch.column("doc_id").combine_chunks(), SEP)
+        subj_keys = pc.if_else(pc.equal(subj_ent, ""), doc_keys,
+                               canon(subj_ent))
         t = pa.table({
-            "s": pa.array(subj_keys, pa.string()),
+            "s": subj_keys,
             "p": batch.column("pred"),
-            "o": pa.array(obj_keys, pa.string()),
+            "o": canon(batch.column("obj_ent")),
         }).group_by(["s", "p", "o"]).aggregate([([], "count_all")])
         key = pc.binary_join_element_wise(
             t.column("s"), t.column("p"), t.column("o"), SEP)
