@@ -50,6 +50,7 @@ try:  # pragma: no cover
                   "raykg.pipelines.incremental",
                   "raykg.ops", "raykg.ops.text", "raykg.ops.dedup",
                   "raykg.ops.ann", "raykg.ops.relational",
+                  "raykg.ops.corpus",
                   "raykg.ops.multimodal", "raykg.state",
                   "raykg.state.checkpoint"]:
             try:
@@ -290,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from raykg import synth
     from raykg.config import KGConfig
-    from raykg.ops import ann, dedup, relational, text
+    from raykg.ops import ann, corpus, dedup, relational, text
     from raykg.ops.multimodal import media_features
     from raykg.pipelines.discover import discover_node_types
     from raykg.pipelines.kg import build_kg
@@ -376,6 +377,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text.quality_score(_docs(sf)),
         "lang_id": lambda sf: text.lang_id(_docs(sf)),
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
+        # corpus-level training-data ops
+        "neardup_keep": lambda sf: corpus.neardup_keep(_docs(sf)),
+        "neardup_components": lambda sf: corpus.neardup_components(_docs(sf)),
+        "hash_split": lambda sf: corpus.hash_split(_docs(sf)),
+        "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
+        "cross_source_overlap":
+            lambda sf: corpus.cross_source_overlap(_docs(sf)),
         # deduplication
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "minhash_dedup": lambda sf: dedup.minhash_dedup(_docs(sf)),
@@ -422,6 +430,43 @@ _GRAMS = f"""
 _MINHASH8 = """list_transform(range(0, 8), h -> coalesce(list_min(
     list_transform(grams, x -> substr(sha256(x || '#' || h::VARCHAR || '#42'), 1, 8))),
     'ffffffff'))"""
+
+
+def _grams_sql(n: int) -> str:
+    """Token n-gram list expr (mirrors ops/dedup._grams set semantics)."""
+    return f"""
+    CASE WHEN len({_TOKS}) = 0 THEN []::VARCHAR[]
+         WHEN len({_TOKS}) < {n} THEN [array_to_string({_TOKS}, ' ')]
+         ELSE list_sort(list_distinct(list_transform(
+              range(1, len({_TOKS}) - {n - 2}),
+              i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' '))))
+    END
+"""
+
+
+def _hex8(p: float) -> str:
+    from raykg.functions.hashing import hex_threshold8
+
+    return hex_threshold8(p)
+
+
+# shared MinHash-LSH candidate-pair CTE chain (lsh_candidate_pairs,
+# neardup_keep, neardup_components)
+_LSH_CTES = f"""g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+            sigs AS (SELECT doc_id, grams, {_MINHASH8} AS mh FROM g),
+            bands AS (SELECT doc_id, b, array_to_string(
+                          list_slice(mh, b * 2 + 1, b * 2 + 2), '_') AS band_key
+                      FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+            j AS (SELECT doc_a, doc_b,
+                         len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                         / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jac
+                  FROM pairs
+                  JOIN g ga ON ga.doc_id = doc_a
+                  JOIN g gb ON gb.doc_id = doc_b)"""
 
 
 def _sig_sql() -> str:
@@ -605,23 +650,45 @@ def oracle_sql() -> dict[str, str]:
                             array_to_string({_MINHASH8}, '_') AS sig FROM g)
             SELECT sig, min(doc_id) AS doc_id FROM sigs GROUP BY 1""",
         "lsh_candidate_pairs": f"""
-            WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
-            sigs AS (SELECT doc_id, grams, {_MINHASH8} AS mh FROM g),
-            bands AS (SELECT doc_id, b, array_to_string(
-                          list_slice(mh, b * 2 + 1, b * 2 + 2), '_') AS band_key
-                      FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
-            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                      FROM bands a JOIN bands b
-                        ON a.b = b.b AND a.band_key = b.band_key
-                       AND a.doc_id < b.doc_id),
-            j AS (SELECT doc_a, doc_b,
-                         len(list_intersect(ga.grams, gb.grams))::DOUBLE
-                         / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jac
-                  FROM pairs
-                  JOIN g ga ON ga.doc_id = doc_a
-                  JOIN g gb ON gb.doc_id = doc_b)
+            WITH {_LSH_CTES}
             SELECT doc_a, doc_b, round(jac, 4) AS jaccard
             FROM j WHERE jac >= 0.6""",
+        "neardup_keep": f"""
+            WITH {_LSH_CTES}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jac >= 0.6)""",
+        "neardup_components": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            vp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.6),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM vp
+                  UNION ALL SELECT doc_b, doc_a FROM vp),
+            nodes AS (SELECT DISTINCT a AS node FROM e),
+            reach(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY 1""",
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRV>' THEN 'val'
+                        WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRT>' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents""".replace("<THRV>", _hex8(0.1))
+                            .replace("<THRT>", _hex8(0.2)),
+        "top_ngrams": f"""
+            SELECT gram, count(*)::BIGINT AS n
+            FROM (SELECT unnest({_grams_sql(2)}) AS gram FROM documents)
+            GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""",
+        "cross_source_overlap": """
+            WITH hs AS (SELECT DISTINCT sha256(text) AS h, source
+                        FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_hashes
+            FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2""",
         "simhash": """
             WITH t AS (SELECT doc_id,
                          unnest(list_filter(string_split_regex(text, '\\s+'),

@@ -1,0 +1,358 @@
+"""Corpus-level training-data operators: near-dup graph resolution,
+deterministic dataset splitting, vocabulary statistics, and cross-source
+contamination detection.
+
+These extend the reference's operator surface with the operations a
+100 TB training-data pipeline needs around the dedup/ANN core (task brief;
+same role as ops/dedup.py / ops/text.py). Every operator here is
+deterministic and SQL-exact — the sha256 hash family and the engine's
+bucketed two-phase shuffle pattern keep a DuckDB oracle bit-for-bit.
+
+Scale notes:
+- ``neardup_components`` is iterative min-label propagation over the
+  candidate-pair graph; near-dup components are shallow (clique-ish), so it
+  converges in 2-3 rounds; each round is ONE bucketed shuffle keyed by
+  node, never a driver loop. ``max_iters`` caps the worst case and
+  convergence is checked with a distributed count.
+- ``neardup_keep`` is the one-shuffle industrial dedup filter: drop any doc
+  with a smaller near-duplicate partner.
+- ``top_ngrams`` pre-aggregates counts per batch before the exchange, then
+  takes a global sorted top-k (only k rows reach the driver's consumer).
+- ``cross_source_overlap`` groups text hashes, emits source pairs per
+  duplicated hash, and aggregates pair counts — contamination between
+  sources without any all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from raykg.functions.hashing import hex_threshold8, sha_hex
+from raykg.functions.shuffle import bucketed_group_agg
+from raykg.ops.dedup import _grams, lsh_candidate_pairs
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph resolution
+# ---------------------------------------------------------------------------
+
+
+def neardup_keep(documents: rd.Dataset, **lsh_kwargs) -> rd.Dataset:
+    """Near-dup dedup filter: (doc_id) for every doc that has NO smaller
+    near-duplicate partner (pairs from MinHash-LSH at the configured
+    threshold). The standard 'drop later duplicates' policy: transitive
+    chains are handled because any doc with a smaller partner is dropped."""
+    pairs = lsh_candidate_pairs(documents, **lsh_kwargs)
+
+    def drops(t: pa.Table) -> pa.Table:
+        ids = pc.unique(t.column("doc_b").combine_chunks())
+        return pa.table({"doc_id": ids,
+                         "k": pc.cast(ids, pa.string())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.unique(
+            t.column("doc_id").combine_chunks())})
+
+    dropped = bucketed_group_agg(
+        pairs.map_batches(drops, batch_format="pyarrow"),
+        lambda t: t, "k", lambda t: fin(t.drop_columns(["k"])),
+        num_buckets=64)
+    drop_set = set(r["doc_id"] for r in dropped.take_all())
+    # drop set is duplicate-count sized (small side); broadcast-filter
+    import ray
+
+    ref = ray.put(pa.array(sorted(drop_set), pa.int64()))
+
+    class Keep:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").combine_chunks()
+            return pa.table({"doc_id": ids.filter(
+                pc.invert(pc.is_in(ids, value_set=self.drop)))})
+
+    return documents.select_columns(["doc_id"]).map_batches(
+        Keep, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def neardup_components(documents: rd.Dataset, max_iters: int = 4,
+                       **lsh_kwargs) -> rd.Dataset:
+    """Connected components over the near-dup pair graph:
+    (doc_id, component) where component = min doc_id reachable via
+    candidate pairs. Docs with no near-dup partner are their own component
+    and are omitted (matching the SQL oracle's pair-node universe).
+
+    Iterative min-label propagation, one bucketed shuffle per round; rounds
+    are bounded by ``max_iters`` and stop early at fixpoint (checked with a
+    distributed count, not a driver scan)."""
+    pairs = lsh_candidate_pairs(documents, **lsh_kwargs) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "label": pa.concat_arrays([a, a]),   # doc_a < doc_b always
+        })
+
+    def min_label(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": g.column("node"),
+                         "label": g.column("label_min")})
+
+    def key_str(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "k", pc.cast(t.column("node"), pa.string()))
+
+    labels = bucketed_group_agg(
+        pairs.map_batches(seed, batch_format="pyarrow")
+        .map_batches(key_str, batch_format="pyarrow"),
+        lambda t: t, "k",
+        lambda t: min_label(t.drop_columns(["k"])),
+        num_buckets=64).materialize()
+
+    for _ in range(max_iters):
+        # attach labels to edges via the bucketed attach pattern, then
+        # re-minimize per node
+        def edge_rows(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").combine_chunks()
+            b = t.column("doc_b").combine_chunks()
+            n = len(a)
+            import numpy as np
+
+            eid = pa.array(np.arange(n, dtype=np.int64))
+            return pa.table({
+                "node": pa.concat_arrays([a, b]),
+                "edge": pa.concat_arrays([eid, eid]),
+                "label": pa.array([None] * (2 * n), pa.int64()),
+            })
+
+        def label_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "edge": pa.array([-1] * t.num_rows, pa.int64()),
+                "label": t.column("label"),
+            })
+
+        def attach(t: pa.Table) -> pa.Table:
+            """Per node: emit (edge, label_of_node) for each incident
+            edge + the node's own (node, label) row."""
+            import numpy as np
+
+            nodes = t.column("node").to_numpy(zero_copy_only=False)
+            edges = t.column("edge").to_numpy(zero_copy_only=False)
+            labs = t.column("label").to_numpy(zero_copy_only=False)
+            lmap: dict[int, int] = {}
+            for nd, e, lb in zip(nodes, edges, labs):
+                if e == -1:
+                    lmap[int(nd)] = int(lb)
+            out_e, out_l = [-1], [-1]          # sentinel row
+            out_n = [-1]
+            for nd, e in zip(nodes, edges):
+                if e != -1:
+                    out_n.append(int(nd))
+                    out_e.append(int(e))
+                    out_l.append(lmap.get(int(nd), int(nd)))
+            return pa.table({"node": pa.array(out_n, pa.int64()),
+                             "edge": pa.array(out_e, pa.int64()),
+                             "label": pa.array(out_l, pa.int64())})
+
+        def key_node(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "k", pc.cast(t.column("node"), pa.string()))
+
+        def key_edge(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "k", pc.cast(t.column("edge"), pa.string()))
+
+        sided = bucketed_group_agg(
+            pairs.map_batches(edge_rows, batch_format="pyarrow")
+            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            .map_batches(key_node, batch_format="pyarrow"),
+            lambda t: t, "k",
+            lambda t: attach(t.drop_columns(["k"])), num_buckets=64)
+
+        def edge_min(t: pa.Table) -> pa.Table:
+            """Per edge: min label over both endpoints -> offer to both.
+            Keyed by edge, so both endpoint rows land in one bucket. A
+            sentinel (-1, -1) row keeps every block schema-ful; it is
+            dropped in the final projection."""
+            t = t.filter(pc.not_equal(t.column("edge"), -1))
+            g = t.group_by("edge").aggregate([("label", "min")])
+            mins = dict(zip(g.column("edge").to_pylist(),
+                            g.column("label_min").to_pylist()))
+            nodes = t.column("node").to_pylist() + [-1]
+            edges = t.column("edge").to_pylist()
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([mins[e] for e in edges] + [-1],
+                                  pa.int64()),
+            })
+
+        offers = bucketed_group_agg(
+            sided.map_batches(key_edge, batch_format="pyarrow"),
+            lambda t: t, "k",
+            lambda t: edge_min(t.drop_columns(["k"])), num_buckets=64)
+
+        new_labels = bucketed_group_agg(
+            offers.union(labels)
+            .map_batches(key_str, batch_format="pyarrow"),
+            lambda t: t, "k",
+            lambda t: min_label(t.drop_columns(["k"])),
+            num_buckets=64).materialize()
+
+        # fixpoint check: distributed count of changed labels
+        def changed(t: pa.Table) -> pa.Table:
+            g = t.group_by("node").aggregate([("label", "min"),
+                                              ("label", "max")])
+            diff = pc.sum(pc.cast(pc.not_equal(
+                g.column("label_min"), g.column("label_max")),
+                pa.int64())).as_py() or 0
+            return pa.table({"n": pa.array([diff], pa.int64())})
+
+        n_changed = bucketed_group_agg(
+            labels.union(new_labels)
+            .map_batches(key_str, batch_format="pyarrow"),
+            lambda t: t, "k",
+            lambda t: changed(t.drop_columns(["k"])),
+            num_buckets=64).sum("n")
+        labels = new_labels
+        if not n_changed:
+            break
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("node"), -1))   # drop sentinels
+        return pa.table({"doc_id": t.column("node"),
+                         "component": t.column("label")})
+
+    return labels.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic split / vocabulary / contamination
+# ---------------------------------------------------------------------------
+
+
+def hash_split(documents: rd.Dataset, val_frac: float = 0.1,
+               test_frac: float = 0.1, seed: int = 42) -> rd.Dataset:
+    """(doc_id, split): deterministic train/val/test assignment from
+    sha256('split|<seed>|<doc_id>') — stable under any repartitioning,
+    resharding or re-run, the property a training pipeline needs so a doc
+    never migrates between splits."""
+    thr_val = hex_threshold8(val_frac)
+    thr_test = hex_threshold8(val_frac + test_frac)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = [sha_hex(f"split|{seed}|{d}")[:8] for d in ids]
+        split = ["val" if h < thr_val else
+                 "test" if h < thr_test else "train" for h in hs]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return documents.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def top_ngrams(documents: rd.Dataset, k: int = 20,
+               gram: int = 2) -> rd.Dataset:
+    """Global top-k token n-grams by count (ties -> lexicographically
+    smaller gram). Per-batch counting -> bucketed global aggregation ->
+    tiny sorted top-k; only k rows leave the aggregate."""
+    from collections import Counter
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_grams(s, gram))
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("gram").aggregate([("n", "sum")])
+        return pa.table({"gram": g.column("gram"),
+                         "n": g.column("n_sum")})
+
+    totals = bucketed_group_agg(
+        documents.select_columns(["text"]).map_batches(
+            count_batch, batch_format="pyarrow"),
+        lambda t: t, "gram", fin)
+    return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+def cross_source_overlap(documents: rd.Dataset) -> pa.Table:
+    """(source_a, source_b, n_hashes): number of distinct text hashes that
+    appear in BOTH sources (source_a < source_b) — train/eval contamination
+    detection. Grouped by content hash, never an all-pairs document scan.
+    Returns a driver-side Table: the output is source-pair-cardinality
+    sized (typically a handful of rows), and a typed table keeps the schema
+    stable even when the overlap is empty."""
+    from itertools import combinations
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array([sha_hex(s) for s in
+                           t.column("text").to_pylist()], pa.string()),
+            "source": t.column("source"),
+        })
+
+    def srcs_per_hash(t: pa.Table) -> pa.Table:
+        by: dict[str, set] = {}
+        for h, s in zip(t.column("h").to_pylist(),
+                        t.column("source").to_pylist()):
+            by.setdefault(h, set()).add(s)
+        a_col, b_col = [], []
+        for h, ss in by.items():
+            for x, y in combinations(sorted(ss), 2):
+                a_col.append(x)
+                b_col.append(y)
+        # sentinel guards downstream shuffles against schema-less blocks
+        a_col.append("")
+        b_col.append("")
+        return pa.table({"source_a": pa.array(a_col, pa.string()),
+                         "source_b": pa.array(b_col, pa.string())})
+
+    per_hash = bucketed_group_agg(
+        documents.select_columns(["text", "source"]).map_batches(
+            hash_rows, batch_format="pyarrow"),
+        lambda t: t, "h", srcs_per_hash)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("source_a"), ""))
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("source_a"), t.column("source_b"), "\x1f"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+        return pa.table({"source_a": g.column("source_a"),
+                         "source_b": g.column("source_b"),
+                         "n_hashes": g.column("count_all")})
+
+    # sentinel row again for the second shuffle
+    def resent(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": pa.concat_arrays([
+                t.column("source_a").combine_chunks(),
+                pa.array([""], pa.string())]),
+            "source_b": pa.concat_arrays([
+                t.column("source_b").combine_chunks(),
+                pa.array([""], pa.string())]),
+        })
+
+    def fin2(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("source_a"), ""))
+        return fin(t)
+
+    keyed = per_hash.map_batches(resent, batch_format="pyarrow") \
+        .map_batches(pair_key, batch_format="pyarrow")
+    out = bucketed_group_agg(keyed, lambda t: t, "k",
+                             lambda t: fin2(t.drop_columns(["k"])),
+                             num_buckets=64)
+    return pa.Table.from_pylist(out.take_all(), schema=pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("n_hashes", pa.int64())]))

@@ -1,0 +1,83 @@
+"""Corpus-level training-data ops: near-dup graph resolution, splits,
+vocabulary stats, contamination — semantics pinned on a crafted corpus and
+cross-checked against the DuckDB oracles."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from raykg.ops import corpus
+
+
+def _crafted_docs() -> pa.Table:
+    rows = [
+        # identical triple -> one near-dup component, canonical 20
+        (20, "alpha beta gamma delta epsilon zeta", "web"),
+        (21, "alpha beta gamma delta epsilon zeta", "web"),
+        (22, "alpha beta gamma delta epsilon zeta", "books"),
+        # cross-source exact duplicate pair
+        (30, "one two three four five six seven", "web"),
+        (31, "one two three four five six seven", "books"),
+        # unique docs
+        (40, "quick brown fox jumps over lazy dog", "web"),
+        (41, "pack my box with five dozen liquor jugs", "books"),
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_neardup_components_and_keep(ray_session):
+    docs = rd.from_arrow(_crafted_docs())
+    comps = {r["doc_id"]: r["component"]
+             for r in corpus.neardup_components(docs).take_all()}
+    assert comps == {20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    keep = {r["doc_id"]
+            for r in corpus.neardup_keep(rd.from_arrow(_crafted_docs()))
+            .take_all()}
+    assert keep == {20, 30, 40, 41}
+
+
+def test_cross_source_overlap(ray_session):
+    t = corpus.cross_source_overlap(rd.from_arrow(_crafted_docs()))
+    got = {(r["source_a"], r["source_b"]): r["n_hashes"]
+           for r in t.to_pylist()}
+    # two distinct texts are shared between books and web (20/22 and 30/31)
+    assert got == {("books", "web"): 2}
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(ray_session):
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64()),
+        "text": pa.array(["t"] * 2000, pa.string()),
+    }))
+    a = {r["doc_id"]: r["split"]
+         for r in corpus.hash_split(docs).take_all()}
+    b = {r["doc_id"]: r["split"]
+         for r in corpus.hash_split(
+             rd.from_arrow(pa.table({
+                 "doc_id": pa.array(list(range(2000)), pa.int64()),
+                 "text": pa.array(["t"] * 2000, pa.string()),
+             })).repartition(17)).take_all()}
+    assert a == b                      # stable under repartitioning
+    frac_val = sum(1 for v in a.values() if v == "val") / len(a)
+    frac_test = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.07 < frac_val < 0.13 and 0.07 < frac_test < 0.13
+
+
+def test_top_ngrams_matches_duckdb(ray_session):
+    docs = _crafted_docs()
+    got = [(r["gram"], r["n"])
+           for r in corpus.top_ngrams(rd.from_arrow(docs), k=5).take_all()]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    import __ray_entry__ as e
+
+    want_sql = e.oracle_sql()["top_ngrams"].replace("LIMIT 20", "LIMIT 5")
+    want = [tuple(r) for r in con.sql(want_sql).fetchall()]
+    assert got == want
+    assert got[0][1] >= got[-1][1]
