@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "event_type_counts": relational.event_type_counts,
         "hourly_event_stats": relational.hourly_event_stats,
+        "sliding_event_stats": relational.sliding_event_stats,
         "sessionize": relational.sessionize,
         "props_k_stats": relational.props_k_stats,
         "kg_nodes": relational.kg_nodes,
@@ -397,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_lsh": lambda sf: ann.ann_lsh(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_ivf": lambda sf: ann.ann_ivf(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        "ann_ivf_kmeans":
+            lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         # flagship KG pipeline + multimodal (rows-only: tape span corpus)
         "kg_flagship_triples": kg_flagship_triples,
         "kg_flagship_node_types": kg_flagship_node_types,
@@ -524,6 +527,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    round(sum(value), 2) AS sum_value, count(*) AS n
             FROM events GROUP BY 1, 2""",
+        "sliding_event_stats": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                              sum(value) AS sv, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT hour + to_hours(o) AS window_end, event_type, sv, n
+                  FROM h, (SELECT unnest(range(0, 3)) AS o))
+            SELECT window_end, event_type, round(sum(sv), 2) AS sum_value,
+                   sum(n)::BIGINT AS n
+            FROM w GROUP BY 1, 2""",
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
                    (1 + sum(CASE WHEN prev_ts IS NOT NULL

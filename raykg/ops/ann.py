@@ -117,19 +117,57 @@ def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
     return _merge_topk(partial, k)
 
 
-def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
-            nlist: int = 16, nprobe: int = 4) -> pa.Table:
-    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
-    embeddings of vec_id < nlist — a seeded-"training" stand-in that keeps
-    the DuckDB oracle exact), inverted-list assignment by nearest centroid,
-    and per-query probing of the ``nprobe`` nearest lists. Scan volume drops
-    to ~nprobe/nlist of brute force; recall measured against ann_bruteforce
-    in tests. Output schema matches ann_bruteforce."""
-    cent_rows = _rows_for_ids(embeddings, list(range(nlist)))
-    cent_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-                  for r in cent_rows}
-    cent_ids = sorted(cent_by_id)
-    cent = _unit(np.stack([cent_by_id[i] for i in cent_ids]))
+def kmeans_centroids(embeddings: rd.Dataset, k: int = 16, iters: int = 5
+                     ) -> np.ndarray:
+    """Distributed Lloyd's k-means over the (unit-normalized) embedding
+    column: initialization from the first k vec_ids (deterministic), then
+    per-iteration map_batches computing per-cluster partial sums/counts —
+    only (n_blocks x k x dim) partials ever reach the driver, never rows.
+    Empty clusters keep their previous centroid. Returns the (k, dim)
+    unit-normalized centroid matrix."""
+    init_rows = _rows_for_ids(embeddings, list(range(k)))
+    by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+             for r in init_rows}
+    cent = _unit(np.stack([by_id[i] for i in sorted(by_id)]))
+
+    def assign_sum(batch: pa.Table, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        mat = _unit(np.array(batch.column("embedding").to_pylist(),
+                             dtype=np.float64))
+        assign = np.argmax(mat @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(c))
+        return pa.table({
+            "cid": pa.array(np.arange(len(c)), pa.int32()),
+            "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    for _ in range(iters):
+        # stateless task-pool map (no per-iteration actor-pool spin-up);
+        # centroids broadcast once per iteration via the object store
+        parts = embeddings.map_batches(
+            assign_sum, fn_kwargs={"cent_ref": ray.put(cent)},
+            batch_format="pyarrow", batch_size=4096).take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        new = cent.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _unit(new)
+    return cent
+
+
+def _ivf_scan(embeddings: rd.Dataset, query_ids: list[int],
+              cent: np.ndarray, k: int, nprobe: int) -> pa.Table:
+    """Shared IVF probe-scan: assignment by nearest centroid, per-query
+    probing of the nprobe nearest lists, distributed top-k merge."""
+    cent_ids = list(range(len(cent)))
 
     q_rows = _rows_for_ids(embeddings, query_ids)
     q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
@@ -176,6 +214,33 @@ def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     partial = embeddings.map_batches(ProbeScan, batch_format="pyarrow",
                                      concurrency=(1, 8), batch_size=4096)
     return _merge_topk(partial, k)
+
+
+def ann_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+            nlist: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    embeddings of vec_id < nlist — a seeded-"training" stand-in that keeps
+    the DuckDB oracle exact), inverted-list assignment by nearest centroid,
+    and per-query probing of the ``nprobe`` nearest lists. Scan volume drops
+    to ~nprobe/nlist of brute force; recall measured against ann_bruteforce
+    in tests. Output schema matches ann_bruteforce. For trained centroids
+    see ``ann_ivf_kmeans``."""
+    cent_rows = _rows_for_ids(embeddings, list(range(nlist)))
+    cent_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                  for r in cent_rows}
+    cent = _unit(np.stack([cent_by_id[i] for i in sorted(cent_by_id)]))
+    return _ivf_scan(embeddings, query_ids, cent, k, nprobe)
+
+
+def ann_ivf_kmeans(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+                   nlist: int = 16, nprobe: int = 4,
+                   iters: int = 5) -> pa.Table:
+    """IVF with REAL trained centroids: distributed Lloyd's k-means
+    (kmeans_centroids) instead of the seeded stand-in. Balanced lists mean
+    better recall at the same nprobe; no SQL oracle (iterative float means),
+    so correctness is recall-tested against ann_bruteforce."""
+    cent = kmeans_centroids(embeddings, k=nlist, iters=iters)
+    return _ivf_scan(embeddings, query_ids, cent, k, nprobe)
 
 
 def sha_planes(dim: int, bits: int, seed: int) -> np.ndarray:

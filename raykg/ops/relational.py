@@ -268,6 +268,50 @@ def hourly_event_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def sliding_event_stats(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
+    """Sliding window: per (window_end hour, event_type), count + sum(value)
+    over the trailing ``window_hours`` hours. Each per-batch HOURLY partial
+    is exploded to the ``window_hours`` windows it contributes to before the
+    single groupby — shuffle rows scale with hours x types x window, never
+    events x window."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    HOUR_TICKS = {"s": 3600, "ms": 3600 * 10**3,
+                  "us": 3600 * 10**6, "ns": 3600 * 10**9}
+
+    def partial(t: pa.Table) -> pa.Table:
+        unit = t.schema.field("ts").type.unit
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        g = pa.table({"hour": hour, "event_type": t.column("event_type"),
+                      "value": t.column("value")}) \
+            .group_by(["hour", "event_type"]).aggregate(
+                [("value", "sum"), ([], "count_all")])
+        h64 = pc.cast(g.column("hour").combine_chunks(), pa.int64())
+        parts = []
+        for o in range(window_hours):
+            wend = pc.add(h64, pa.scalar(o * HOUR_TICKS[unit], pa.int64()))
+            parts.append(pa.table({
+                "wend": pc.cast(wend, pa.timestamp(unit)),
+                "event_type": g.column("event_type"),
+                "value_sum": g.column("value_sum"),
+                "count_all": g.column("count_all"),
+            }))
+        return pa.concat_tables(parts)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["wend", "event_type"]) \
+        .aggregate(*_sums(["value_sum", "count_all"]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_end": t.column("wend"),
+            "event_type": t.column("event_type"),
+            "sum_value": _rha(t.column("sum(value_sum)"), 2),
+            "n": t.column("sum(count_all)"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30,
                num_buckets: int = 256) -> rd.Dataset:
     """Per user: event count and session count (session = maximal run of

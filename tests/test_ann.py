@@ -37,3 +37,22 @@ def test_lsh_results_subset_semantics(ray_session):
     approx = _pairs(ann_lsh(_emb(), QUERIES, k=5, bits=4))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_ivf_kmeans_recall_and_convergence(ray_session):
+    from raykg.ops.ann import ann_bruteforce, ann_ivf_kmeans, kmeans_centroids
+
+    exact = _pairs(ann_bruteforce(_emb(), QUERIES, k=5))
+    approx = _pairs(ann_ivf_kmeans(_emb(), QUERIES, k=5, nlist=16,
+                                   nprobe=4, iters=3))
+    recall = len(exact & approx) / len(exact)
+    # trained centroids must do at least as well as the coarse floor
+    assert recall >= 0.3, recall
+
+    # Lloyd's iterations are deterministic and idempotent at the fixpoint
+    import numpy as np
+
+    c3 = kmeans_centroids(_emb(), k=8, iters=3)
+    c3b = kmeans_centroids(_emb(), k=8, iters=3)
+    assert np.allclose(c3, c3b)
+    assert c3.shape == (8, len(_emb().take(1)[0]["embedding"]))
