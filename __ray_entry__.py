@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "sliding_event_stats": relational.sliding_event_stats,
         "sessionize": relational.sessionize,
+        "asof_last_click": relational.asof_last_click,
+        "range_join_recent_clicks": relational.range_join_recent_clicks,
         "props_k_stats": relational.props_k_stats,
         "kg_nodes": relational.kg_nodes,
         "kg_edges": relational.kg_edges,
@@ -536,6 +538,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_end, event_type, round(sum(sv), 2) AS sum_value,
                    sum(n)::BIGINT AS n
             FROM w GROUP BY 1, 2""",
+        "asof_last_click": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click'
+                  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) = 1)
+            SELECT l.event_id AS purchase_id, l.user_id,
+                   r.event_id AS click_id, r.ts AS click_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_join_recent_clicks": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'error'),
+            r AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click')
+            SELECT l.event_id AS error_id, l.user_id,
+                   count(r.event_id)::BIGINT AS n_recent_clicks
+            FROM l LEFT JOIN r
+              ON r.user_id = l.user_id
+             AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
+            GROUP BY 1, 2""",
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
                    (1 + sum(CASE WHEN prev_ts IS NOT NULL

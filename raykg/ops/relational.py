@@ -312,6 +312,160 @@ def sliding_event_stats(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def asof_last_click(sf_dir: str, left_type: str = "purchase",
+                    right_type: str = "click",
+                    num_buckets: int = 256) -> rd.Dataset:
+    """As-of join: for each ``left_type`` event, the most recent
+    ``right_type`` event of the SAME user at or before its timestamp
+    (classic attribution / time-series alignment). Ray Data has no asof
+    join; composed here as ONE pass tagging both sides + a hashed-user
+    bucket shuffle + a vectorized per-bucket sorted ``searchsorted`` merge
+    — the partitioning assumption is user-bucketed co-location, the same
+    key the sessionizer uses. Equal-timestamp rights dedup to the max
+    event_id (deterministic, mirrors the SQL oracle's QUALIFY).
+
+    Output: (purchase_id, user_id, click_id, click_ts) with nulls when the
+    user has no prior ``right_type`` event."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "is_left": pc.equal(t.column("event_type"), left_type),
+            "bucket": pa.array(b.astype(np.int32), pa.int32()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        unit = t.schema.field("ts").type.unit
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t.column("event_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        left = t.column("is_left").to_numpy(zero_copy_only=False)
+        out_p, out_u, out_c, out_ct = [], [], [], []
+        n = len(uid)
+        lo = 0
+        while lo < n:
+            hi = lo
+            while hi < n and uid[hi] == uid[lo]:
+                hi += 1
+            l_idx = np.flatnonzero(left[lo:hi]) + lo
+            r_idx = np.flatnonzero(~left[lo:hi]) + lo
+            if len(l_idx):
+                if len(r_idx):
+                    # sorted by (ts, event_id): side='right' - 1 lands on
+                    # the last right with ts <= left ts == max event_id
+                    # among equal timestamps
+                    pos = np.searchsorted(ts[r_idx], ts[l_idx],
+                                          side="right") - 1
+                    match = np.where(pos >= 0, r_idx[np.clip(pos, 0, None)],
+                                     -1)
+                else:
+                    match = np.full(len(l_idx), -1)
+                for li, mi in zip(l_idx, match):
+                    out_p.append(int(eid[li]))
+                    out_u.append(int(uid[li]))
+                    out_c.append(int(eid[mi]) if mi >= 0 else None)
+                    out_ct.append(int(ts[mi]) if mi >= 0 else None)
+            lo = hi
+        return pa.table({
+            "purchase_id": pa.array(out_p, pa.int64()),
+            "user_id": pa.array(out_u, pa.int64()),
+            "click_id": pa.array(out_c, pa.int64()),
+            "click_ts": pc.cast(pa.array(out_ct, pa.int64()),
+                                pa.timestamp(unit)),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: merge(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+def range_join_recent_clicks(sf_dir: str, window_minutes: int = 10,
+                             left_type: str = "error",
+                             right_type: str = "click",
+                             num_buckets: int = 256) -> rd.Dataset:
+    """Range (interval) join: for each ``left_type`` event, the number of
+    ``right_type`` events by the same user in the trailing
+    ``window_minutes`` (inclusive both ends). Composed as the same
+    user-bucketed shuffle as the as-of join, with a vectorized per-segment
+    double ``searchsorted`` (no per-pair work at all).
+
+    Output: (error_id, user_id, n_recent_clicks)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "is_left": pc.equal(t.column("event_type"), left_type),
+            "bucket": pa.array(b.astype(np.int32), pa.int32()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        unit = t.schema.field("ts").type.unit
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        win = window_minutes * 60 * per_s
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t.column("event_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        left = t.column("is_left").to_numpy(zero_copy_only=False)
+        out_e, out_u, out_n = [], [], []
+        n = len(uid)
+        lo = 0
+        while lo < n:
+            hi = lo
+            while hi < n and uid[hi] == uid[lo]:
+                hi += 1
+            l_idx = np.flatnonzero(left[lo:hi]) + lo
+            r_ts = ts[np.flatnonzero(~left[lo:hi]) + lo]
+            if len(l_idx):
+                a = np.searchsorted(r_ts, ts[l_idx] - win, side="left")
+                b = np.searchsorted(r_ts, ts[l_idx], side="right")
+                out_e.extend(eid[l_idx].tolist())
+                out_u.extend(uid[l_idx].tolist())
+                out_n.extend((b - a).tolist())
+            lo = hi
+        return pa.table({
+            "error_id": pa.array(out_e, pa.int64()),
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_recent_clicks": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: merge(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30,
                num_buckets: int = 256) -> rd.Dataset:
     """Per user: event count and session count (session = maximal run of
