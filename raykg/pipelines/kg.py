@@ -290,7 +290,8 @@ def _fresh_dir(path: str) -> str:
 
 def build_kg(documents: rd.Dataset, cfg: KGConfig,
              checkpoint_dir: str | None = None,
-             canon_broadcast_limit: int = 2_000_000) -> KGResult:
+             canon_broadcast_limit: int = 2_000_000,
+             link_mode: str = "broadcast") -> KGResult:
     """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS.
 
     Canonicalization path selection: up to ``canon_broadcast_limit`` distinct
@@ -299,8 +300,24 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
     reaches the driver — the map stays a Dataset and the rewrite + edge
     dedup run as hash joins / URI-space aggregation
     (stages/canonicalize.rewrite_triples_joined). Force the scale path in
-    tests with ``canon_broadcast_limit=0``."""
-    linked = linked_triples(documents, cfg)
+    tests with ``canon_broadcast_limit=0``.
+
+    ``link_mode``: "broadcast" (default — the AliasIndex rides one ray.put,
+    right while the alias dictionary fits a worker heap) or "distributed"
+    (stages/link_distributed — the alias dictionary stays a Dataset and
+    resolution is pure keyed shuffle). "distributed" +
+    ``canon_broadcast_limit=0`` is the fully broadcast-free configuration
+    for 10^8+-entity vocabularies; equality of the two configurations is
+    asserted in tests."""
+    if link_mode == "distributed":
+        from raykg.stages.link_distributed import linked_triples_distributed
+
+        total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        linked = linked_triples_distributed(
+            documents, cfg, num_partitions=max(4, min(32, total_cpus)))
+    else:
+        linked = linked_triples(documents, cfg)
     if checkpoint_dir:
         write_table(linked, _fresh_dir(f"{checkpoint_dir}/linked"))
         linked = read_table(f"{checkpoint_dir}/linked")

@@ -136,3 +136,27 @@ def test_join_rewrite_path_matches_broadcast(ray_session):
                 for r in ds.take_all()}
 
     assert eset(joined.edges) == eset(broadcast.edges)
+
+
+def test_fully_broadcast_free_configuration(ray_session):
+    """distributed linker + join-based rewrite (link_mode='distributed',
+    canon_broadcast_limit=0) must equal the broadcast configuration — the
+    10^8+-entity path where nothing row-sized touches the driver."""
+    from raykg.pipelines.kg import build_kg as bk
+
+    cfg = KGConfig(n_docs=200, batch_size=128, link_concurrency=2)
+    broadcast = bk(synth.documents_dataset(cfg), cfg)
+    nobroadcast = bk(synth.documents_dataset(cfg), cfg,
+                     canon_broadcast_limit=0, link_mode="distributed")
+
+    def tset(ds):
+        return {(r["subj"], r["pred"], r["obj"], r["doc_id"],
+                 r["span_offset"]) for r in ds.take_all()}
+
+    assert tset(nobroadcast.triples) == tset(broadcast.triples)
+
+    def eset(ds):
+        return {(r["subj"], r["pred"], r["obj"], r["count"])
+                for r in ds.take_all()}
+
+    assert eset(nobroadcast.edges) == eset(broadcast.edges)
