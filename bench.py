@@ -16,6 +16,7 @@ efficiency = (tput_32 / tput_8) / 4.
 Usage:
     python bench.py                  # full per-round bench (one JSON line)
     python bench.py --scaling        # two fresh-process runs + efficiency
+    python bench.py --stats          # flagship ds.stats() per stage
     python bench.py --_worker CPUS N_DOCS   # internal: one flagship run
 """
 
@@ -212,12 +213,37 @@ def main_scaling() -> None:
     print(json.dumps(line))
 
 
+def main_stats() -> None:
+    """Execute the flagship once and print Ray Data's per-stage stats for
+    the triples and edges pipelines — the 'read ds.stats() and iterate'
+    feedback loop, exposed so stage-level wall/CPU breakdowns are one
+    command away."""
+    from raykg import synth
+    from raykg.config import KGConfig
+    from raykg.pipelines.kg import build_kg
+
+    _init_ray(NUM_CPUS)
+    cfg = KGConfig(n_docs=FLAGSHIP_DOCS, n_entities=BENCH_ENTITIES,
+                   batch_size=512,
+                   link_concurrency=max(2, NUM_CPUS * 3 // 4))
+    result = build_kg(synth.documents_dataset(
+        cfg, override_num_blocks=max(8, NUM_CPUS * 4)), cfg)
+    triples = result.triples.materialize()
+    print("== triples pipeline ==")
+    print(triples.stats())
+    edges = result.edges.materialize()
+    print("== edges pipeline ==")
+    print(edges.stats())
+
+
 if __name__ == "__main__":
     if "--_worker" in sys.argv:
         i = sys.argv.index("--_worker")
         main_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--stats" in sys.argv:
+        main_stats()
     else:
         main_bench()
     import ray

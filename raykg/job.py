@@ -46,15 +46,17 @@ def run_job(args) -> dict:
                    batch_size=args.batch_size,
                    link_concurrency=args.link_concurrency)
     t0 = time.perf_counter()
+    kw = {"canon_broadcast_limit": args.canon_broadcast_limit,
+          "link_mode": args.link_mode}
     if args.input:
         docs = read_table(args.input)
-        result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint)
+        result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint, **kw)
     elif args.checkpoint:
         result = build_kg_resumable(cfg, args.checkpoint,
                                     n_shards=args.shards)
     else:
         docs = synth.documents_dataset(cfg)
-        result = build_kg(docs, cfg)
+        result = build_kg(docs, cfg, **kw)
 
     import shutil
 
@@ -103,6 +105,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--link-concurrency", type=int, default=0)
+    p.add_argument("--link-mode", choices=["broadcast", "distributed"],
+                   default="broadcast",
+                   help="'distributed' = alias dictionary stays a Dataset "
+                        "(keyed-shuffle resolution, no broadcast)")
+    p.add_argument("--canon-broadcast-limit", type=int, default=2_000_000,
+                   help="distinct-entity count above which the canonical "
+                        "rewrite switches to the join-based scale path; "
+                        "0 forces it")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = p.parse_args(argv)
