@@ -142,6 +142,8 @@ def _count_rows(path: str) -> int:
 
 def shard_bounds(n_items: int, n_shards: int) -> list[tuple[int, int]]:
     """Deterministic [lo, hi) index ranges covering ``range(n_items)``."""
+    if n_items <= 0:
+        return []
     n_shards = max(1, min(n_shards, n_items))
     step = (n_items + n_shards - 1) // n_shards
     return [(lo, min(lo + step, n_items))
