@@ -12,6 +12,8 @@ against ground-truth labels carried in the data (SURVEY §5;
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
@@ -41,12 +43,14 @@ def is_dup_entity(i: int, cfg: KGConfig) -> bool:
     return i % cfg.dup_entity_mod == cfg.dup_entity_rem and i > 0
 
 
+@lru_cache(maxsize=None)   # pure in (i, cfg); cfg is frozen+hashable
 def entity_label(i: int, cfg: KGConfig) -> str:
     if is_dup_entity(i, cfg):   # a coreferent duplicate shares its base label
         return entity_label(i - 1, cfg)
     return NODE_LABELS[i % len(NODE_LABELS)]
 
 
+@lru_cache(maxsize=None)
 def entity_name(i: int, cfg: KGConfig) -> str:
     if is_dup_entity(i, cfg):
         return entity_name(i - 1, cfg) + "-dup"
@@ -59,10 +63,11 @@ def entity_norm_name(i: int, cfg: KGConfig) -> str:
     return name[:-4] if name.endswith("-dup") else name
 
 
-def entity_aliases(i: int, cfg: KGConfig) -> list[str]:
+@lru_cache(maxsize=None)   # called once per mention without the cache —
+def entity_aliases(i: int, cfg: KGConfig) -> tuple[str, ...]:   # ~30% of gen
     name = entity_name(i, cfg)
     label = entity_label(i, cfg)
-    return [name, name.replace("-", "_"), f"{label[:3].lower()}{i:06d}"]
+    return (name, name.replace("-", "_"), f"{label[:3].lower()}{i:06d}")
 
 
 def entity_properties(i: int, cfg: KGConfig) -> dict[str, str]:
