@@ -32,8 +32,26 @@ def _rha(col, digits: int) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          blocks: int | None = None) -> rd.Dataset:
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def small_key_agg(partials: rd.Dataset, combine, recombine_batch: int = 65536
+                  ) -> pa.Table:
+    """Final aggregation for TYPE-VOCABULARY-sized key spaces (tens of
+    distinct groups). Ray's sort-based groupby costs ~5 s of fixed
+    sampling + exchange even for a few thousand tiny partial rows (measured
+    on property_signatures), so instead: one more distributed re-combine
+    pass over 64k-row map tasks (cuts O(keys x blocks) partials down to
+    O(keys x final_blocks), no all-to-all), then ONE vectorized Arrow
+    group_by over the vocabulary-sized remainder on the driver. ``combine``
+    must be idempotent (partials in, same-schema partials out)."""
+    red = partials.map_batches(combine, batch_format="pyarrow",
+                               batch_size=recombine_batch)
+    remainder = pa.Table.from_pylist(red.take_all())
+    return combine(remainder)
 
 
 def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
@@ -43,20 +61,27 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
     return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _finalize_rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
-    return ds.map_batches(lambda t: t.rename_columns(names),
-                          batch_format="pyarrow")
-
-
 # ---------------------------------------------------------------------------
 # A1/A2 analog: pruned read + two-phase grouped aggregation (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 
 
-def pricing_summary(sf_dir: str) -> rd.Dataset:
+def _sum_combine(keys: list[str], sums: list[str]):
+    """Idempotent partial combiner for ``small_key_agg``: group by ``keys``,
+    sum ``sums``, restore original column names."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return pa.table({**{k: g.column(k) for k in keys},
+                         **{c: g.column(f"{c}_sum") for c in sums}})
+
+    return combine
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
     """Per (l_returnflag, l_linestatus): sum_qty, sum_price, sum_disc_price,
     avg_qty, n — partial aggregation inside map_batches (vectorized pyarrow
-    group_by per batch), then a small groupby over partials."""
+    group_by per batch), small_key_agg final merge (6 groups)."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
@@ -65,29 +90,34 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
         disc_price = pc.multiply(t.column("l_extendedprice"),
                                  pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         t = t.append_column("disc_price", disc_price)
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
             ("l_quantity", "sum"), ("l_extendedprice", "sum"),
             ("disc_price", "sum"), ([], "count_all")])
-
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        *_sums(["l_quantity_sum", "l_extendedprice_sum", "disc_price_sum",
-                "count_all"]))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        n = t.column("sum(count_all)")
-        sq = t.column("sum(l_quantity_sum)")
         return pa.table({
-            "l_returnflag": t.column("l_returnflag"),
-            "l_linestatus": t.column("l_linestatus"),
-            "sum_qty": _rha(sq, 2),
-            "sum_price": _rha(t.column("sum(l_extendedprice_sum)"), 2),
-            "sum_disc_price": _rha(t.column("sum(disc_price_sum)"), 2),
-            "avg_qty": _rha(pc.divide(sq, pc.cast(n, pa.float64())), 4),
-            "n": n,
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "q": g.column("l_quantity_sum"),
+            "p": g.column("l_extendedprice_sum"),
+            "d": g.column("disc_price_sum"),
+            "n": g.column("count_all"),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    tot = small_key_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        _sum_combine(["l_returnflag", "l_linestatus"], ["q", "p", "d", "n"]))
+    sq = tot.column("q")
+    n = tot.column("n")
+    return pa.table({
+        "l_returnflag": tot.column("l_returnflag"),
+        "l_linestatus": tot.column("l_linestatus"),
+        "sum_qty": _rha(sq, 2),
+        "sum_price": _rha(tot.column("p"), 2),
+        "sum_disc_price": _rha(tot.column("d"), 2),
+        "avg_qty": _rha(pc.divide(
+            sq.combine_chunks(), pc.cast(n.combine_chunks(),
+                                         pa.float64())), 4),
+        "n": n,
+    })
 
 
 def _sums(cols: list[str]):
@@ -101,7 +131,7 @@ def _sums(cols: list[str]):
 # ---------------------------------------------------------------------------
 
 
-def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+def revenue_by_nation(sf_dir: str) -> pa.Table:
     """orders ⋈ customer ⋈ nation, dims broadcast once: per n_name total
     o_totalprice and order count. The broadcast lookup on the fact side is
     fully vectorized — ``pc.index_in`` + ``take`` + Arrow ``group_by`` per
@@ -134,16 +164,12 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
 
     part = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
-    agg = part.groupby("n_name").aggregate(*_sums(["rev", "cnt"]))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "n_name": t.column("n_name"),
-            "revenue": _rha(t.column("sum(rev)"), 2),
-            "n_orders": t.column("sum(cnt)"),
-        })
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    tot = small_key_agg(part, _sum_combine(["n_name"], ["rev", "cnt"]))
+    return pa.table({
+        "n_name": tot.column("n_name"),
+        "revenue": _rha(tot.column("rev"), 2),
+        "n_orders": tot.column("cnt"),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +177,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+def revenue_by_priority(sf_dir: str) -> pa.Table:
     """lineitem ⋈ orders on orderkey (both sides large -> hash-partitioned
     shuffle join), then revenue per o_orderpriority."""
     li = _read(sf_dir, "lineitem",
@@ -166,13 +192,19 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = joined.groupby("o_orderpriority").aggregate(*_sums(["rev"]))
 
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
-                         "revenue": _rha(t.column("sum(rev)"), 2)})
+    def partial(t: pa.Table) -> pa.Table:
+        if "o_orderpriority" not in t.column_names:   # schema-less guard
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.float64())})
+        g = t.group_by("o_orderpriority").aggregate([("rev", "sum")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "rev": g.column("rev_sum")})
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    tot = small_key_agg(joined.map_batches(partial, batch_format="pyarrow"),
+                        _sum_combine(["o_orderpriority"], ["rev"]))
+    return pa.table({"o_orderpriority": tot.column("o_orderpriority"),
+                     "revenue": _rha(tot.column("rev"), 2)})
 
 
 # ---------------------------------------------------------------------------
@@ -180,33 +212,31 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def majority_nation_per_segment(sf_dir: str) -> rd.Dataset:
+def majority_nation_per_segment(sf_dir: str) -> pa.Table:
     """Per c_mktsegment the nation with the most customers
-    (ties -> smallest n_nationkey)."""
+    (ties -> smallest n_nationkey). Partial counts per batch, small_key_agg
+    merge (segments x nations = ~125 groups), argmax over the tiny total."""
     ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["c_mktsegment", "c_nationkey"]).aggregate(
+        g = t.group_by(["c_mktsegment", "c_nationkey"]).aggregate(
             [([], "count_all")])
+        return pa.table({"c_mktsegment": g.column("c_mktsegment"),
+                         "c_nationkey": g.column("c_nationkey"),
+                         "n": g.column("count_all")})
 
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    counts = part.groupby(["c_mktsegment", "c_nationkey"]).aggregate(
-        *_sums(["count_all"]))
-
-    def argmax(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas().sort_values(
-            ["sum(count_all)", "c_nationkey"], ascending=[False, True])
-        top = df.iloc[0]
-        return pa.table({
-            "c_mktsegment": pa.array([top["c_mktsegment"]], pa.string()),
-            "top_nationkey": pa.array([int(top["c_nationkey"])], pa.int32()),
-            "n_customers": pa.array([int(top["sum(count_all)"])], pa.int64()),
-        })
-
-    return counts.groupby("c_mktsegment").map_groups(
-        argmax, batch_format="pyarrow")
+    tot = small_key_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        _sum_combine(["c_mktsegment", "c_nationkey"], ["n"])).to_pandas()
+    tot = tot.sort_values(["c_mktsegment", "n", "c_nationkey"],
+                          ascending=[True, False, True])
+    top = tot.groupby("c_mktsegment", as_index=False).first()
+    return pa.table({
+        "c_mktsegment": pa.array(top["c_mktsegment"], pa.string()),
+        "top_nationkey": pa.array(top["c_nationkey"].astype("int32"),
+                                  pa.int32()),
+        "n_customers": pa.array(top["n"].astype("int64"), pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -225,16 +255,16 @@ def top_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def event_type_counts(sf_dir: str) -> rd.Dataset:
+def event_type_counts(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["event_type"]).aggregate([([], "count_all")])
+        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n": g.column("count_all")})
 
-    return _finalize_rename(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type").aggregate(*_sums(["count_all"])),
-        ["event_type", "n"])
+    return small_key_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         _sum_combine(["event_type"], ["n"]))
 
 
 # ---------------------------------------------------------------------------
@@ -524,7 +554,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
 # ---------------------------------------------------------------------------
 
 
-def props_k_stats(sf_dir: str) -> rd.Dataset:
+def props_k_stats(sf_dir: str) -> pa.Table:
     """Extract integer field k from the props JSON string with a compiled
     regex (vectorized pyarrow extract), then avg per event_type."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
@@ -535,23 +565,22 @@ def props_k_stats(sf_dir: str) -> rd.Dataset:
         if isinstance(ext, pa.ChunkedArray):
             ext = ext.combine_chunks()
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
-        t2 = pa.table({"event_type": t.column("event_type"), "k": k})
-        return t2.group_by(["event_type"]).aggregate(
-            [("k", "sum"), ([], "count_all")])
+        g = pa.table({"event_type": t.column("event_type"), "k": k}) \
+            .group_by(["event_type"]).aggregate(
+                [("k", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "ks": g.column("k_sum"),
+                         "n": g.column("count_all")})
 
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby("event_type").aggregate(*_sums(["k_sum", "count_all"]))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t.column("event_type"),
-            "avg_k": _rha(pc.divide(
-                pc.cast(t.column("sum(k_sum)"), pa.float64()),
-                pc.cast(t.column("sum(count_all)"), pa.float64())), 4),
-            "n": t.column("sum(count_all)"),
-        })
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    tot = small_key_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        _sum_combine(["event_type"], ["ks", "n"]))
+    return pa.table({
+        "event_type": tot.column("event_type"),
+        "avg_k": _rha(pc.divide(
+            pc.cast(tot.column("ks").combine_chunks(), pa.float64()),
+            pc.cast(tot.column("n").combine_chunks(), pa.float64())), 4),
+        "n": tot.column("n"),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -575,7 +604,7 @@ def kg_nodes(sf_dir: str) -> rd.Dataset:
     (reference URI scheme src2/main/scala/DataToPattern.scala:21)."""
     parts = []
     for table, label, key, props in _NODE_SOURCES:
-        ds = _read(sf_dir, table, [key])
+        ds = _read(sf_dir, table, [key], blocks=8)
 
         def mint(t: pa.Table, label=label, key=key, nprops=len(props)) -> pa.Table:
             ks = t.column(key).to_pylist()
@@ -698,32 +727,33 @@ def _present_props(label: str, key: object, props: list[str],
             if not sha_hex(f"noise|{label}|{key}|{p}|{seed}")[:4] < thr]
 
 
-def property_signatures(sf_dir: str) -> rd.Dataset:
+def property_signatures(sf_dir: str) -> pa.Table:
     """Per (label, signature): row count, where signature = comma-joined
     surviving property names under the deterministic hash-noise rule
     (presence iff sha256('noise|label|key|prop|seed')[:4] >= hex(p*65536)).
     This is the reference's binary presence matrix + cluster groupBy
-    (DataProcessor.scala:12-17, Clustering.scala:90-97) in bounded form."""
+    (DataProcessor.scala:12-17, Clustering.scala:90-97) in bounded form —
+    56 distinct (label, signature) groups, merged via small_key_agg."""
     parts = []
     for table, label, key, props in SIG_SOURCES:
-        ds = _read(sf_dir, table, [key])
+        ds = _read(sf_dir, table, [key], blocks=8)
 
         def sig(t: pa.Table, label=label, key=key, props=props) -> pa.Table:
             ks = t.column(key).to_pylist()
             sigs = [",".join(_present_props(label, k, props, SIG_NOISE, SIG_SEED))
                     for k in ks]
-            out = pa.table({"label": pa.array([label] * len(ks), pa.string()),
-                            "signature": pa.array(sigs, pa.string())})
-            return out.group_by(["label", "signature"]).aggregate(
-                [([], "count_all")])
+            g = pa.table({"label": pa.array([label] * len(ks), pa.string()),
+                          "signature": pa.array(sigs, pa.string())}) \
+                .group_by(["label", "signature"]).aggregate([([], "count_all")])
+            return pa.table({"label": g.column("label"),
+                             "signature": g.column("signature"),
+                             "n": g.column("count_all")})
 
         parts.append(ds.map_batches(sig, batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return _finalize_rename(
-        out.groupby(["label", "signature"]).aggregate(*_sums(["count_all"])),
-        ["label", "signature", "n"])
+    return small_key_agg(out, _sum_combine(["label", "signature"], ["n"]))
 
 
 def infer_column_types(sf_dir: str, table: str = "events",
@@ -764,23 +794,23 @@ def infer_column_types(sf_dir: str, table: str = "events",
                      "inferred_type": pa.array(out_type, pa.string())})
 
 
-def minhash_cluster_counts(sf_dir: str) -> rd.Dataset:
+def minhash_cluster_counts(sf_dir: str) -> pa.Table:
     """Per deterministic MinHash cluster key over the property signature:
     row count. cluster_key = '_'-join over h of
-    min over props of sha256(prop + '#' + h + '#' + seed)[:8]."""
+    min over props of sha256(prop + '#' + h + '#' + seed)[:8].
+    Derived from the vocabulary-sized property_signatures table (56 rows) —
+    the heavy lifting (per-row hash-noise signatures) already happened in
+    that distributed pass; keying + regrouping 56 rows is driver arithmetic."""
+    from collections import Counter
+
+    from raykg.functions.hashing import minhash_sig_sha
+
     sigs = property_signatures(sf_dir)
-
-    def key(t: pa.Table) -> pa.Table:
-        from raykg.functions.hashing import minhash_sig_sha
-
-        keys = []
-        for s in t.column("signature").to_pylist():
-            props = [p for p in s.split(",") if p]
-            keys.append("_".join(minhash_sig_sha(props, SIG_MINHASH, SIG_SEED)))
-        return pa.table({"cluster_key": pa.array(keys, pa.string()),
-                         "n": t.column("n")})
-
-    return _finalize_rename(
-        sigs.map_batches(key, batch_format="pyarrow")
-        .groupby("cluster_key").aggregate(*_sums(["n"])),
-        ["cluster_key", "n"])
+    counts: Counter = Counter()
+    for s, n in zip(sigs.column("signature").to_pylist(),
+                    sigs.column("n").to_pylist()):
+        props = [p for p in s.split(",") if p]
+        counts["_".join(minhash_sig_sha(props, SIG_MINHASH, SIG_SEED))] += n
+    keys = sorted(counts)
+    return pa.table({"cluster_key": pa.array(keys, pa.string()),
+                     "n": pa.array([counts[k] for k in keys], pa.int64())})
