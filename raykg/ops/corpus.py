@@ -61,22 +61,21 @@ def neardup_keep(documents: rd.Dataset, **lsh_kwargs) -> rd.Dataset:
         lambda t: t, "k", lambda t: fin(t.drop_columns(["k"])),
         num_buckets=64)
     drop_set = set(r["doc_id"] for r in dropped.take_all())
-    # drop set is duplicate-count sized (small side); broadcast-filter
+    # drop set is duplicate-count sized (small side); broadcast-filter as a
+    # stateless task map (an actor pool buys nothing for a pure filter)
     import ray
 
     ref = ray.put(pa.array(sorted(drop_set), pa.int64()))
 
-    class Keep:
-        def __init__(self):
-            self.drop = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").combine_chunks()
-            return pa.table({"doc_id": ids.filter(
-                pc.invert(pc.is_in(ids, value_set=self.drop)))})
+    def keep(t: pa.Table, drop_ref) -> pa.Table:
+        drop = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) \
+            else drop_ref
+        ids = t.column("doc_id").combine_chunks()
+        return pa.table({"doc_id": ids.filter(
+            pc.invert(pc.is_in(ids, value_set=drop)))})
 
     return documents.select_columns(["doc_id"]).map_batches(
-        Keep, batch_format="pyarrow", concurrency=(1, 4))
+        keep, fn_kwargs={"drop_ref": ref}, batch_format="pyarrow")
 
 
 def neardup_components(documents: rd.Dataset, max_iters: int = 4,
