@@ -38,8 +38,15 @@ import ray.data as rd
 
 def crc_bucket_array(keys: pa.ChunkedArray | pa.Array,
                      num_buckets: int) -> pa.Array:
-    """int32 bucket per key string: crc32(key) % num_buckets (stable across
-    processes and partitionings)."""
+    """int32 bucket per key: crc32 for strings, a Knuth multiplicative hash
+    for integer keys (fully vectorized — no per-row Python). Stable across
+    processes and partitionings either way."""
+    if pa.types.is_integer(keys.type):
+        arr = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+               else keys).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((arr * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return pa.array(b.astype(np.int32), pa.int32())
     ks = keys.to_pylist()
     out = np.fromiter((zlib.crc32(s.encode("utf-8")) % num_buckets
                        for s in ks), dtype=np.int32, count=len(ks))

@@ -635,22 +635,29 @@ _EDGE_SOURCES = [
 def kg_edges(sf_dir: str) -> rd.Dataset:
     """FK edges with minted URIs, exact-deduped with counts (O7 analog).
 
-    Mint-last plan: the dedup aggregate runs on (edge_source_id, src_key,
-    dst_key) — three small ints — so the shuffle never moves URI strings and
-    sha256 minting happens once per DISTINCT edge after the aggregate, not
-    once per input row (~2x sha calls saved on lineitem, ~10x lighter
-    exchange than shuffling two 80-char URIs per row)."""
+    Mint-last plan, int-packed keys: the dedup aggregate runs on ONE int64
+    ``(edge_source << 60) | (src_key << 30) | dst_key`` — the exchange
+    moves 8-byte ints instead of URI strings (or even delimited key
+    strings), the bucket hash is a vectorized numpy multiply, and sha256
+    minting happens once per DISTINCT endpoint after the aggregate, not
+    once per input row. Key bound: raw FK values must fit 30 bits (1B) —
+    asserted per batch; TPC-H keys stay far below that through sf100."""
+    import numpy as np
 
     def make_partial(esrc: int, src_key: str, dst_key: str):
         def partial(t: pa.Table) -> pa.Table:
             g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
                           "dk": pc.cast(t.column(dst_key), pa.int64())}) \
                 .group_by(["sk", "dk"]).aggregate([([], "count_all")])
-            return pa.table({
-                "esrc": pa.array([esrc] * g.num_rows, pa.int32()),
-                "sk": g.column("sk"), "dk": g.column("dk"),
-                "n": g.column("count_all"),
-            })
+            sk = g.column("sk").to_numpy(zero_copy_only=False)
+            dk = g.column("dk").to_numpy(zero_copy_only=False)
+            assert sk.size == 0 or (int(sk.max()) < (1 << 30)
+                                    and int(dk.max()) < (1 << 30)), \
+                "kg_edges int-packed key requires FK values < 2^30"
+            packed = (np.int64(esrc) << np.int64(60)) \
+                | (sk.astype(np.int64) << np.int64(30)) | dk.astype(np.int64)
+            return pa.table({"k": pa.array(packed, pa.int64()),
+                             "n": g.column("count_all")})
         return partial
 
     from raykg.functions.shuffle import bucketed_group_agg
@@ -664,30 +671,24 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     for p in parts[1:]:
         out = out.union(p)
 
-    SEP = "\x1f"
-
-    def combiner(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("esrc"), pa.string()),
-            pc.cast(t.column("sk"), pa.string()),
-            pc.cast(t.column("dk"), pa.string()), SEP)
-        return pa.table({"k": key, "n": t.column("n")})
-
     def finalize(t: pa.Table) -> pa.Table:
         g = t.group_by("k").aggregate([("n", "sum")])
+        karr = g.column("k").to_numpy(zero_copy_only=False)
+        esrc = karr >> 60
+        sk = (karr >> 30) & ((1 << 30) - 1)
+        dk = karr & ((1 << 30) - 1)
         subj, pred, obj = [], [], []
         uri_cache: dict[tuple, str] = {}
-        for k in g.column("k").to_pylist():
-            e, sk, dk = k.split(SEP)
-            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[int(e)]
-            ks, kd = (src_label, sk), (dst_label, dk)
+        for e, s, d in zip(esrc.tolist(), sk.tolist(), dk.tolist()):
+            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[e]
+            ks, kd = (src_label, s), (dst_label, d)
             s_uri = uri_cache.get(ks)
             if s_uri is None:
-                s_uri = f"sdpg.gr/{src_label}/{sha_hex(sk)}"
+                s_uri = f"sdpg.gr/{src_label}/{sha_hex(str(s))}"
                 uri_cache[ks] = s_uri
             d_uri = uri_cache.get(kd)
             if d_uri is None:
-                d_uri = f"sdpg.gr/{dst_label}/{sha_hex(dk)}"
+                d_uri = f"sdpg.gr/{dst_label}/{sha_hex(str(d))}"
                 uri_cache[kd] = d_uri
             subj.append(s_uri)
             pred.append(p)
@@ -699,7 +700,7 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
             "n": g.column("n_sum"),
         })
 
-    return bucketed_group_agg(out, combiner, "k", finalize)
+    return bucketed_group_agg(out, lambda t: t, "k", finalize)
 
 
 # ---------------------------------------------------------------------------
