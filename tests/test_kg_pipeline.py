@@ -160,3 +160,19 @@ def test_fully_broadcast_free_configuration(ray_session):
                 for r in ds.take_all()}
 
     assert eset(nobroadcast.edges) == eset(broadcast.edges)
+
+
+def test_extreme_entity_skew_matches_oracle(ray_session):
+    """Hot-key robustness (north rule: salted/partial handling of skewed
+    entity keys): with only 4 entities every mention hits one of 4 keys —
+    the canonicalization/dedup shuffles concentrate maximally — and the
+    triple set must still match the oracle exactly."""
+    from raykg.oracle import oracle_triple_set
+    from raykg.pipelines.evaluate import dataset_triple_set, triple_prf
+
+    cfg = KGConfig(n_docs=300, n_entities=4, batch_size=128,
+                   link_concurrency=2)
+    result = build_kg(synth.documents_dataset(cfg), cfg)
+    m = triple_prf(dataset_triple_set(result.triples),
+                   oracle_triple_set(synth.documents_table(cfg), cfg))
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
