@@ -317,6 +317,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "span_idx", "media_ref", "kind",
                              "width", "height"])
 
+    from raykg.ops.multimodal import (
+        decode_blob_meta,
+        resize_images,
+        sample_frames,
+        synth_media_blobs,
+    )
+
+    def media_blob_meta(sf_dir):
+        return decode_blob_meta(synth_media_blobs(2000))
+
+    def media_resize(sf_dir):
+        return resize_images(synth_media_blobs(2000))
+
+    def media_frames(sf_dir):
+        return sample_frames(synth_media_blobs(2000))
+
     def kg_flagship_exact(sf_dir):
         return _flagship_exact_result().triples
 
@@ -414,6 +430,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_flagship_exact_nodes": kg_flagship_exact_nodes,
         "kg_flagship_exact_node_types": kg_flagship_exact_node_types,
         "media_features_exact": media_features_exact,
+        # opaque-binary media columns: decode / resize / frame-sample over
+        # real binary payloads (sha-derived bytes -> exact SQL oracles)
+        "media_blob_meta": media_blob_meta,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
     }
 
 
@@ -491,9 +512,42 @@ def _sig_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+_BLOB_META = """
+    WITH b AS (SELECT i, sha256('blob|42|' || i::VARCHAR) AS h
+               FROM range(2000) t(i)),
+    m AS (SELECT i AS media_id,
+            (['image','audio','video'])[
+                ((('0x' || substr(h, 5, 2))::UBIGINT % 3) + 1)::INT] AS kind,
+            64 + ('0x' || substr(h, 1, 4))::UBIGINT % 1024 AS n_bytes,
+            16 + (('0x' || substr(h, 1, 2))::UBIGINT
+                  + 256 * ('0x' || substr(h, 3, 2))::UBIGINT) % 2048 AS width,
+            16 + (('0x' || substr(h, 5, 2))::UBIGINT
+                  + 256 * ('0x' || substr(h, 7, 2))::UBIGINT) % 2048 AS height,
+            (('0x' || substr(h, 9, 2))::UBIGINT
+             + 256 * ('0x' || substr(h, 11, 2))::UBIGINT) % 60000 AS duration_ms
+          FROM b)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sig_body = _sig_sql()
     return {
+        "media_blob_meta": _BLOB_META + """
+            SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
+                   width::INT AS width, height::INT AS height,
+                   duration_ms::INT AS duration_ms
+            FROM m""",
+        "media_resize": _BLOB_META + """
+            SELECT media_id, (width // 2)::INT AS width,
+                   (height // 2)::INT AS height,
+                   (n_bytes // 4)::BIGINT AS new_bytes
+            FROM m WHERE kind = 'image'""",
+        "media_frames": _BLOB_META + """
+            SELECT media_id, fi::INT AS frame_idx,
+                   substr(sha256('frame|' || media_id::VARCHAR || '|'
+                          || fi::VARCHAR), 1, 16) AS frame_ref
+            FROM m, (SELECT unnest(range(0, 3)) AS fi)
+            WHERE kind = 'video'""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
