@@ -52,8 +52,16 @@ def run_job(args) -> dict:
         docs = read_table(args.input)
         result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint, **kw)
     elif args.checkpoint:
-        result = build_kg_resumable(cfg, args.checkpoint,
-                                    n_shards=args.shards)
+        # the resumable path shares the canonicalize/materialize tail, so
+        # --canon-broadcast-limit applies; per-shard linking stays on the
+        # broadcast linker (the shard runner owns its lineage), so reject a
+        # contradictory flag instead of silently ignoring it
+        if args.link_mode != "broadcast":
+            raise SystemExit("--link-mode=distributed is not supported with "
+                             "the synth+checkpoint resume path; use --input")
+        result = build_kg_resumable(
+            cfg, args.checkpoint, n_shards=args.shards,
+            canon_broadcast_limit=args.canon_broadcast_limit)
     else:
         docs = synth.documents_dataset(cfg)
         result = build_kg(docs, cfg, **kw)

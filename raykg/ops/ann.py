@@ -125,6 +125,7 @@ def kmeans_centroids(embeddings: rd.Dataset, k: int = 16, iters: int = 5
     only (n_blocks x k x dim) partials ever reach the driver, never rows.
     Empty clusters keep their previous centroid. Returns the (k, dim)
     unit-normalized centroid matrix."""
+    embeddings = embeddings.materialize()   # consumed once per iteration
     init_rows = _rows_for_ids(embeddings, list(range(k)))
     by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
              for r in init_rows}
@@ -238,12 +239,19 @@ def ann_ivf_kmeans(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     """IVF with REAL trained centroids: distributed Lloyd's k-means
     (kmeans_centroids) instead of the seeded stand-in. Balanced lists mean
     better recall at the same nprobe; no SQL oracle (iterative float means),
-    so correctness is recall-tested against ann_bruteforce."""
+    so correctness is recall-tested against ann_bruteforce. The embeddings
+    are pinned once — the k-means iterations, init fetch and probe scan
+    must not re-execute a lazy upstream pipeline per pass."""
+    embeddings = embeddings.materialize()
     cent = kmeans_centroids(embeddings, k=nlist, iters=iters)
     return _ivf_scan(embeddings, query_ids, cent, k, nprobe)
 
 
-def sha_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)   # constant per run; recomputing per batch would do
+def sha_planes(dim: int, bits: int, seed: int) -> np.ndarray:   # dim*bits shas
     """±1 hyperplanes derived from sha256 — the deterministic, SQL-replicable
     hash family used across the engine (DuckDB twin: sign(b,d) = +1 iff
     substr(sha256('plane|b|d|seed'),1,1) >= '8'). Rademacher entries are a

@@ -40,54 +40,61 @@ from raykg.ops.dedup import _grams, lsh_candidate_pairs
 # ---------------------------------------------------------------------------
 
 
-def neardup_keep(documents: rd.Dataset, **lsh_kwargs) -> rd.Dataset:
+def neardup_keep(documents: rd.Dataset, num_buckets: int = 256,
+                 **lsh_kwargs) -> rd.Dataset:
     """Near-dup dedup filter: (doc_id) for every doc that has NO smaller
     near-duplicate partner (pairs from MinHash-LSH at the configured
     threshold). The standard 'drop later duplicates' policy: transitive
-    chains are handled because any doc with a smaller partner is dropped."""
+    chains are handled because any doc with a smaller partner is dropped.
+
+    Fully distributed anti-set: corpus ids (tag 0) union pair ``doc_b`` ids
+    (tag 1) flow through ONE bucketed tag-max group keyed on the int
+    doc_id — at real dedup rates the drop set is a large fraction of the
+    corpus, so it must never be collected to or broadcast from the driver."""
     pairs = lsh_candidate_pairs(documents, **lsh_kwargs)
 
-    def drops(t: pa.Table) -> pa.Table:
-        ids = pc.unique(t.column("doc_b").combine_chunks())
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
         return pa.table({"doc_id": ids,
-                         "k": pc.cast(ids, pa.string())})
+                         "dropped": pa.array([0] * t.num_rows, pa.int8())})
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        # sentinel -1 per block (zero-row map outputs turn schema-less);
+        # it carries tag 1 and is filtered with every other dropped id
+        ids = pa.concat_arrays([
+            pc.unique(pc.cast(t.column("doc_b").combine_chunks(),
+                              pa.int64())),
+            pa.array([-1], pa.int64())])
+        return pa.table({"doc_id": ids,
+                         "dropped": pa.array([1] * len(ids), pa.int8())})
+
+    tagged = documents.select_columns(["doc_id"]) \
+        .map_batches(corpus_rows, batch_format="pyarrow") \
+        .union(pairs.map_batches(drop_rows, batch_format="pyarrow"))
 
     def fin(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.unique(
-            t.column("doc_id").combine_chunks())})
+        g = t.group_by("doc_id").aggregate([("dropped", "max")])
+        return pa.table({"doc_id": g.filter(
+            pc.equal(g.column("dropped_max"), 0)).column("doc_id")})
 
-    dropped = bucketed_group_agg(
-        pairs.map_batches(drops, batch_format="pyarrow"),
-        lambda t: t, "k", lambda t: fin(t.drop_columns(["k"])),
-        num_buckets=64)
-    drop_set = set(r["doc_id"] for r in dropped.take_all())
-    # drop set is duplicate-count sized (small side); broadcast-filter as a
-    # stateless task map (an actor pool buys nothing for a pure filter)
-    import ray
-
-    ref = ray.put(pa.array(sorted(drop_set), pa.int64()))
-
-    def keep(t: pa.Table, drop_ref) -> pa.Table:
-        drop = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) \
-            else drop_ref
-        ids = t.column("doc_id").combine_chunks()
-        return pa.table({"doc_id": ids.filter(
-            pc.invert(pc.is_in(ids, value_set=drop)))})
-
-    return documents.select_columns(["doc_id"]).map_batches(
-        keep, fn_kwargs={"drop_ref": ref}, batch_format="pyarrow")
+    return bucketed_group_agg(tagged, lambda t: t, "doc_id", fin,
+                              num_buckets=num_buckets)
 
 
-def neardup_components(documents: rd.Dataset, max_iters: int = 4,
+def neardup_components(documents: rd.Dataset, max_iters: int = 32,
                        **lsh_kwargs) -> rd.Dataset:
     """Connected components over the near-dup pair graph:
     (doc_id, component) where component = min doc_id reachable via
     candidate pairs. Docs with no near-dup partner are their own component
     and are omitted (matching the SQL oracle's pair-node universe).
 
-    Iterative min-label propagation, one bucketed shuffle per round; rounds
-    are bounded by ``max_iters`` and stop early at fixpoint (checked with a
-    distributed count, not a driver scan)."""
+    Iterative min-label propagation, one bucketed shuffle per round,
+    stopping at the fixpoint (checked with a distributed count, not a
+    driver scan). A label travels one edge per round, so convergence takes
+    component-diameter rounds — near-dup components are clique-ish and
+    converge in 2-3; ``max_iters`` is a runaway bound, and exhausting it
+    LOGS a warning (no silent truncation) because the result would then be
+    over-segmented relative to the exact closure."""
     pairs = lsh_candidate_pairs(documents, **lsh_kwargs) \
         .select_columns(["doc_a", "doc_b"]).materialize()
 
@@ -115,6 +122,7 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 4,
         lambda t: min_label(t.drop_columns(["k"])),
         num_buckets=64).materialize()
 
+    converged = False
     for _ in range(max_iters):
         # attach labels to edges via the bucketed attach pattern, then
         # re-minimize per node
@@ -222,7 +230,16 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 4,
             num_buckets=64).sum("n")
         labels = new_labels
         if not n_changed:
+            converged = True
             break
+    if not converged:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "neardup_components: min-label propagation did not reach its "
+            "fixpoint within %d rounds — a component chain is longer than "
+            "max_iters and the output is over-segmented vs the exact "
+            "closure; raise max_iters", max_iters)
 
     def fin(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("node"), -1))   # drop sentinels

@@ -50,8 +50,16 @@ def small_key_agg(partials: rd.Dataset, combine, recombine_batch: int = 65536
     must be idempotent (partials in, same-schema partials out)."""
     red = partials.map_batches(combine, batch_format="pyarrow",
                                batch_size=recombine_batch)
-    remainder = pa.Table.from_pylist(red.take_all())
-    return combine(remainder)
+    rows = red.take_all()
+    if rows:
+        return combine(pa.Table.from_pylist(rows))
+    # empty source: rebuild a typed empty table so combine's group_by still
+    # sees its key/sum columns and the result keeps the output schema
+    sch = red.schema()
+    if sch is None:
+        raise ValueError("small_key_agg: empty input with unknown schema")
+    base = getattr(sch, "base_schema", sch)
+    return combine(base.empty_table())
 
 
 def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
@@ -342,6 +350,28 @@ def sliding_event_stats(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _tag_typed_events(left_type: str, right_type: str, num_buckets: int):
+    """Shared tag stage for the as-of and range joins: keep the two event
+    types, mark the left side, bucket by hashed user (crc_bucket_array's
+    vectorized integer path)."""
+    from raykg.functions.shuffle import crc_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "is_left": pc.equal(t.column("event_type"), left_type),
+            "bucket": crc_bucket_array(
+                pc.cast(t.column("user_id"), pa.int64()), num_buckets),
+        })
+
+    return tag
+
+
 def asof_last_click(sf_dir: str, left_type: str = "purchase",
                     right_type: str = "click",
                     num_buckets: int = 256) -> rd.Dataset:
@@ -359,22 +389,7 @@ def asof_last_click(sf_dir: str, left_type: str = "purchase",
     import numpy as np
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def tag(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t.column("event_type"),
-                        value_set=pa.array([left_type, right_type]))
-        t = t.filter(keep)
-        uid = pc.cast(t.column("user_id"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
-            % np.uint64(num_buckets)
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "ts": t.column("ts"),
-            "user_id": t.column("user_id"),
-            "is_left": pc.equal(t.column("event_type"), left_type),
-            "bucket": pa.array(b.astype(np.int32), pa.int32()),
-        })
+    tag = _tag_typed_events(left_type, right_type, num_buckets)
 
     def merge(t: pa.Table) -> pa.Table:
         unit = t.schema.field("ts").type.unit
@@ -440,22 +455,7 @@ def range_join_recent_clicks(sf_dir: str, window_minutes: int = 10,
     import numpy as np
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def tag(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t.column("event_type"),
-                        value_set=pa.array([left_type, right_type]))
-        t = t.filter(keep)
-        uid = pc.cast(t.column("user_id"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
-            % np.uint64(num_buckets)
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "ts": t.column("ts"),
-            "user_id": t.column("user_id"),
-            "is_left": pc.equal(t.column("event_type"), left_type),
-            "bucket": pa.array(b.astype(np.int32), pa.int32()),
-        })
+    tag = _tag_typed_events(left_type, right_type, num_buckets)
 
     def merge(t: pa.Table) -> pa.Table:
         unit = t.schema.field("ts").type.unit
@@ -509,16 +509,13 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
     ``add.reduceat`` over user segment boundaries."""
     import numpy as np
 
+    from raykg.functions.shuffle import crc_bucket_array
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        uid = pc.cast(t.column("user_id"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        # Knuth multiplicative hash: uniform buckets regardless of id ranges
-        b = ((uid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
-            % np.uint64(num_buckets)
-        return t.append_column("bucket", pa.array(b.astype(np.int32),
-                                                  pa.int32()))
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
 
     gap_s = gap_minutes * 60
 

@@ -117,24 +117,62 @@ class IncrementalPatternRun:
     def is_committed(self, path: str) -> bool:
         return os.path.exists(self._manifest(path))
 
+    @property
+    def _legacy_base(self) -> str:
+        return os.path.join(self.manifest_dir, "_legacy.parquet")
+
+    def _migrate_legacy(self) -> None:
+        """State dirs written before per-file tables existed have manifests
+        with no sibling parquet; their combined counts ARE the snapshot (the
+        old invariant), so freeze the snapshot once as ``_legacy.parquet``
+        and treat table-less manifests as covered by it."""
+        if os.path.exists(self._legacy_base):
+            return
+        if os.path.exists(self.snapshot):
+            import shutil
+
+            tmp = self._legacy_base + ".tmp"
+            shutil.copyfile(self.snapshot, tmp)
+            os.replace(tmp, self._legacy_base)
+        else:
+            import logging
+
+            logging.getLogger("raykg").warning(
+                "incremental state at %s has legacy manifests but no "
+                "snapshot; their pattern counts are unrecoverable and the "
+                "merge starts from the per-file tables only", self.state_dir)
+
     def _merge_committed(self) -> Counter:
-        """Global pattern counts derived from COMMITTED per-file tables only.
-        A crash anywhere in ``process_file`` cannot double-count: a file's
-        counts enter the merge iff its manifest (the single atomic commit
-        marker) exists, and its pattern table is rewritten idempotently on
+        """Global pattern counts derived from COMMITTED per-file tables
+        (plus the frozen legacy base for pre-upgrade state dirs). A crash
+        anywhere in ``process_file`` cannot double-count: a file's counts
+        enter the merge iff its manifest (the single atomic commit marker)
+        exists, and its pattern table is rewritten idempotently on
         re-processing."""
         import pyarrow.parquet as pq
 
+        names = [n for n in sorted(os.listdir(self.manifest_dir))
+                 if n.endswith(".json")]
+        if any(not os.path.exists(
+                os.path.join(self.manifest_dir, n[:-len(".json")] + ".parquet"))
+               for n in names):
+            self._migrate_legacy()
+
         merged: Counter = Counter()
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if not name.endswith(".json"):
-                continue
-            t = pq.read_table(
-                os.path.join(self.manifest_dir, name[:-len(".json")] + ".parquet"))
+
+        def add(t) -> None:
             for label, props, n in zip(t.column("label").to_pylist(),
                                        t.column("properties").to_pylist(),
                                        t.column("n").to_pylist()):
                 merged[(label, tuple(props))] += n
+
+        if os.path.exists(self._legacy_base):
+            add(pq.read_table(self._legacy_base))
+        for name in names:
+            table = os.path.join(self.manifest_dir,
+                                 name[:-len(".json")] + ".parquet")
+            if os.path.exists(table):   # else: legacy, covered by the base
+                add(pq.read_table(table))
         return merged
 
     def _write_snapshot(self, merged: Counter) -> None:

@@ -226,9 +226,56 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
     return bucketed_group_agg(linked, combiner, "k", finalize)
 
 
+def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
+               checkpoint_dir: str | None,
+               canon_broadcast_limit: int) -> KGResult:
+    """Shared canonicalize + materialize tail for build_kg and
+    build_kg_resumable (path selection documented on build_kg)."""
+    groups = canonical_groups(observed_entities(linked), cfg).materialize()
+
+    if groups.count() > canon_broadcast_limit:
+        # --- join-based scale path: no driver-side canon map ---
+        # join partitions sized to the cluster: hash-join aggregator actors
+        # beyond the CPU count deadlock a small cluster
+        total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        triples = rewrite_triples_joined(
+            linked, groups, num_partitions=max(4, min(32, total_cpus)))
+        if checkpoint_dir:
+            write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
+            triples = read_table(f"{checkpoint_dir}/triples")
+        else:
+            # pinned: both the caller and the edge dedup consume it, and the
+            # two rewrite joins must not re-execute per consumer
+            triples = triples.materialize()
+        edges = dedup_edges(triples)
+        nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+        return KGResult(triples=triples, nodes=nodes, edges=edges,
+                        canon_map={})
+
+    canon_rows = groups.take_all()   # distinct-entity sized; small by design
+    canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
+                 if r["uri"] != r["canon_uri"]}
+    ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
+               if r["entity_id"] != r["canon_ent"]}
+
+    triples = rewrite_triples(linked, canon_map)
+    if checkpoint_dir:
+        write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
+        triples = read_table(f"{checkpoint_dir}/triples")
+    # else: leave lazy — a map-only stage over the pinned ``linked`` table;
+    # materializing it only paid an extra multi-GB object-store round trip.
+
+    edges = dedup_edges_ids(linked, ent_map, cfg)
+    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+    return KGResult(triples=triples, nodes=nodes, edges=edges,
+                    canon_map=canon_map)
+
+
 def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                        n_shards: int = 8,
-                       fail_after_shards: int | None = None) -> KGResult:
+                       fail_after_shards: int | None = None,
+                       canon_broadcast_limit: int = 2_000_000) -> KGResult:
     """Flagship pipeline over the synthetic corpus with per-partition lineage
     checkpointing (north rule). The dominant extract+link phase runs shard by
     shard; each shard's LINKED_TRIPLES output commits atomically with a
@@ -263,18 +310,11 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                     f"injected failure after {ran} shards (test hook)")
 
     linked = ckpt.dataset()
-    groups = canonical_groups(observed_entities(linked), cfg).materialize()
-    canon_rows = groups.take_all()
-    canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
-                 if r["uri"] != r["canon_uri"]}
-    ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
-               if r["entity_id"] != r["canon_ent"]}
-    triples = rewrite_triples(linked, canon_map)
-    edges = dedup_edges_ids(linked, ent_map, cfg)
-    documents = synth.documents_dataset(cfg)
-    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
-    return KGResult(triples=triples, nodes=nodes, edges=edges,
-                    canon_map=canon_map)
+    # downstream triples stay lazy over the committed shards (checkpoint_dir
+    # here holds the per-shard lineage, not a triples snapshot)
+    return _finish_kg(linked, synth.documents_dataset(cfg), cfg,
+                      checkpoint_dir=None,
+                      canon_broadcast_limit=canon_broadcast_limit)
 
 
 def _fresh_dir(path: str) -> str:
@@ -324,42 +364,5 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
     else:
         linked = linked.materialize()
 
-    groups = canonical_groups(observed_entities(linked), cfg).materialize()
-
-    if groups.count() > canon_broadcast_limit:
-        # --- join-based scale path: no driver-side canon map ---
-        # join partitions sized to the cluster: hash-join aggregator actors
-        # beyond the CPU count deadlock a small cluster
-        total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        triples = rewrite_triples_joined(
-            linked, groups, num_partitions=max(4, min(32, total_cpus)))
-        if checkpoint_dir:
-            write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
-            triples = read_table(f"{checkpoint_dir}/triples")
-        else:
-            # pinned: both the caller and the edge dedup consume it, and the
-            # two rewrite joins must not re-execute per consumer
-            triples = triples.materialize()
-        edges = dedup_edges(triples)
-        nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
-        return KGResult(triples=triples, nodes=nodes, edges=edges,
-                        canon_map={})
-
-    canon_rows = groups.take_all()   # distinct-entity sized; small by design
-    canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
-                 if r["uri"] != r["canon_uri"]}
-    ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
-               if r["entity_id"] != r["canon_ent"]}
-
-    triples = rewrite_triples(linked, canon_map)
-    if checkpoint_dir:
-        write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
-        triples = read_table(f"{checkpoint_dir}/triples")
-    # else: leave lazy — a map-only stage over the pinned ``linked`` table;
-    # materializing it only paid an extra multi-GB object-store round trip.
-
-    edges = dedup_edges_ids(linked, ent_map, cfg)
-    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
-    return KGResult(triples=triples, nodes=nodes, edges=edges,
-                    canon_map=canon_map)
+    return _finish_kg(linked, documents, cfg, checkpoint_dir,
+                      canon_broadcast_limit)

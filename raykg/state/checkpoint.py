@@ -96,7 +96,10 @@ class LineageCheckpoint:
             if fingerprint is not None:
                 with open(self.manifest_path(part)) as f:
                     stored = json.load(f).get("fingerprint")
-                if stored != fingerprint:
+                # stored None = manifest from before fingerprints existed:
+                # accept (legacy checkpoints stay resumable) — only an
+                # actual mismatch is a stale checkpoint
+                if stored is not None and stored != fingerprint:
                     raise ValueError(
                         f"checkpoint shard {part} at {self.root} was committed "
                         f"with fingerprint {stored!r} but this run expects "

@@ -81,3 +81,26 @@ def test_top_ngrams_matches_duckdb(ray_session):
     want = [tuple(r) for r in con.sql(want_sql).fetchall()]
     assert got == want
     assert got[0][1] >= got[-1][1]
+
+
+def test_neardup_components_long_chain_matches_recursive_oracle(ray_session):
+    """A path-shaped near-dup graph needs diameter rounds of label
+    propagation; the engine must reach the same fixpoint as the recursive
+    DuckDB closure (regression: max_iters used to cap at 4 silently)."""
+    words = [f"w{i:03d}" for i in range(40)]
+    rows = [(i, " ".join(words[2 * i: 2 * i + 10]), "s") for i in range(8)]
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = {r["doc_id"]: r["component"]
+           for r in corpus.neardup_components(rd.from_arrow(docs)).take_all()}
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = dict(con.sql(e.oracle_sql()["neardup_components"]).fetchall())
+    con.close()
+    assert got == want
+    assert len(got) >= 3       # the chain actually produced pairs

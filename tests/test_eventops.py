@@ -1,0 +1,119 @@
+"""Event-table operators (sessionize, sliding window, as-of join, range
+join) pinned against in-process DuckDB on a crafted corpus that exercises
+the edge cases: equal-timestamp tie-breaks, lefts with no prior right,
+session gaps, multi-hour windows."""
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raykg.ops import relational
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events_table() -> pa.Table:
+    rows = []
+    eid = 0
+
+    def add(minutes, user, etype, value=1.0):
+        nonlocal eid
+        rows.append((eid, T0 + dt.timedelta(minutes=minutes), user, etype,
+                     value, '{"k": 1}'))
+        eid += 1
+
+    # user 1: click at 0, purchase at 5 (attributed to click 0),
+    # TWO clicks at the same timestamp 10 (tie-break -> max event_id),
+    # purchase at 10 (same ts: inclusive match), purchase at 200 (gap ->
+    # new session; still attributed to ts-10 click)
+    add(0, 1, "click")
+    add(5, 1, "purchase")
+    add(10, 1, "click")
+    add(10, 1, "click")
+    add(10, 1, "purchase")
+    add(200, 1, "purchase")
+    # user 2: purchase with NO prior click (left outer null), later click
+    # AFTER the purchase must not match
+    add(3, 2, "purchase")
+    add(8, 2, "click")
+    # user 3: errors with 0, 1, 2 clicks in the trailing 10 minutes
+    add(0, 3, "error")
+    add(20, 3, "click")
+    add(25, 3, "error")
+    add(27, 3, "click")
+    add(30, 3, "error")
+    # spread across hours for the sliding window
+    add(70, 1, "view", 2.5)
+    add(130, 2, "view", 4.0)
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
+def _sf_dir(tmp_path) -> str:
+    pq.write_table(_events_table(), str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _oracle(name: str):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("events", _events_table())
+    df = con.sql(e.oracle_sql()[name]).df()
+    con.close()
+    return df
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True) \
+        .astype(str).values.tolist()
+
+
+def test_asof_last_click_edges(ray_session, tmp_path):
+    sf = _sf_dir(tmp_path)
+    got = relational.asof_last_click(sf).to_pandas()
+    # purchase 1 -> click 0; purchase 4 (ts=10) -> click 3 (equal-ts,
+    # max event_id); purchase 5 -> click 3; purchase 6 (user 2) -> null
+    by_p = {int(r.purchase_id): r for r in got.itertuples()}
+    assert int(by_p[1].click_id) == 0
+    assert int(by_p[4].click_id) == 3
+    assert int(by_p[5].click_id) == 3
+    import pandas as pd
+
+    assert pd.isna(by_p[6].click_id)
+    assert _norm(got) == _norm(_oracle("asof_last_click"))
+
+
+def test_range_join_counts(ray_session, tmp_path):
+    sf = _sf_dir(tmp_path)
+    got = relational.range_join_recent_clicks(sf).to_pandas()
+    by_e = {int(r.error_id): int(r.n_recent_clicks) for r in got.itertuples()}
+    assert by_e[8] == 0          # error at 0: no clicks yet
+    assert by_e[10] == 1         # error at 25: click at 20
+    assert by_e[12] == 2         # error at 30: clicks at 20 and 27
+    assert _norm(got) == _norm(_oracle("range_join_recent_clicks"))
+
+
+def test_sessionize_and_windows_match_duckdb(ray_session, tmp_path):
+    sf = _sf_dir(tmp_path)
+    got = relational.sessionize(sf).to_pandas()
+    by_u = {int(r.user_id): (int(r.n_events), int(r.n_sessions))
+            for r in got.itertuples()}
+    # user 1: events at 0,5,10,10,10,70,200 -> gaps >30min before 70? 10->70
+    # is 60min (break), 70->200 is 130min (break) -> 3 sessions
+    assert by_u[1] == (7, 3)
+    assert _norm(got) == _norm(_oracle("sessionize"))
+
+    sliding = relational.sliding_event_stats(sf).to_pandas()
+    assert _norm(sliding) == _norm(_oracle("sliding_event_stats"))
+    hourly = relational.hourly_event_stats(sf).to_pandas()
+    assert _norm(hourly) == _norm(_oracle("hourly_event_stats"))

@@ -78,3 +78,36 @@ def test_incremental_accumulates_new_files(ray_session, tmp_path):
     assert sum(t2.column("n").to_pylist()) == n1 + 1
     got = {(r["label"], tuple(r["properties"])): r["n"] for r in t2.to_pylist()}
     assert got[("Person", ("firstName", "person_id"))] == 2
+
+
+def test_legacy_state_dir_migrates(ray_session, tmp_path):
+    """State dirs written before per-file pattern tables existed (manifests
+    with no sibling parquet) must keep their counts via the frozen snapshot
+    instead of crashing or silently dropping them."""
+    import os
+
+    from raykg.pipelines.incremental import IncrementalPatternRun
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("person_name,x\nalice,1\nbob,2\n")
+    (d / "b.csv").write_text("person_name,y\ncarol,3\n")
+    state = str(tmp_path / "state")
+    run = IncrementalPatternRun(state)
+    assert run.process_file(str(d / "a.csv")) == "ran"
+    before = {(r["label"], tuple(r["properties"])): r["n"]
+              for r in run.patterns().to_pylist()}
+
+    # simulate the pre-upgrade layout: manifest present, table missing
+    os.remove(run._file_table(str(d / "a.csv")))
+    run2 = IncrementalPatternRun(state)
+    assert run2.is_committed(str(d / "a.csv"))
+    migrated = {(r["label"], tuple(r["properties"])): r["n"]
+                for r in run2.patterns().to_pylist()}
+    assert migrated == before
+
+    # new files keep accumulating on top of the migrated base
+    assert run2.process_file(str(d / "b.csv")) == "ran"
+    after = {(r["label"], tuple(r["properties"])): r["n"]
+             for r in run2.patterns().to_pylist()}
+    assert sum(after.values()) == sum(before.values()) + 1
