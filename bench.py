@@ -84,22 +84,31 @@ def _consume(res) -> int:
     return 0
 
 
+def _flagship_inputs(num_cpus: int, n_docs: int):
+    """The ONE definition of the benchmarked job shape (cfg + documents) —
+    shared by run_flagship and --stats so they can never drift apart.
+
+    batch_size=512 -> enough tasks to saturate the actor pool; concurrency
+    at 3/4 of CPUs leaves headroom for read/write/shuffle tasks (a pool of
+    num_cpus 1-CPU actors starves the rest of the pipeline)."""
+    from raykg import synth
+    from raykg.config import KGConfig
+
+    cfg = KGConfig(n_docs=n_docs, n_entities=BENCH_ENTITIES, batch_size=512,
+                   link_concurrency=max(2, num_cpus * 3 // 4))
+    docs = synth.documents_dataset(
+        cfg, override_num_blocks=max(8, num_cpus * 4))
+    return cfg, docs
+
+
 def run_flagship(num_cpus: int, n_docs: int) -> dict:
     """One full KG-construction run over the deterministic synthetic corpus.
     Returns wall seconds, docs/s, triples/s."""
-    from raykg import synth
-    from raykg.config import KGConfig
     from raykg.pipelines.kg import build_kg
 
     _init_ray(num_cpus)
-    # batch_size=512 -> enough tasks to saturate the actor pool; concurrency
-    # at 3/4 of CPUs leaves headroom for read/write/shuffle tasks (a pool of
-    # num_cpus 1-CPU actors starves the rest of the pipeline).
-    cfg = KGConfig(n_docs=n_docs, n_entities=BENCH_ENTITIES, batch_size=512,
-                   link_concurrency=max(2, num_cpus * 3 // 4))
     t0 = time.perf_counter()
-    docs = synth.documents_dataset(
-        cfg, override_num_blocks=max(8, num_cpus * 4))
+    cfg, docs = _flagship_inputs(num_cpus, n_docs)
     result = build_kg(docs, cfg)
     n_triples = _consume(result.triples)
     n_edges = _consume(result.edges)
@@ -218,16 +227,11 @@ def main_stats() -> None:
     the triples and edges pipelines — the 'read ds.stats() and iterate'
     feedback loop, exposed so stage-level wall/CPU breakdowns are one
     command away."""
-    from raykg import synth
-    from raykg.config import KGConfig
     from raykg.pipelines.kg import build_kg
 
     _init_ray(NUM_CPUS)
-    cfg = KGConfig(n_docs=FLAGSHIP_DOCS, n_entities=BENCH_ENTITIES,
-                   batch_size=512,
-                   link_concurrency=max(2, NUM_CPUS * 3 // 4))
-    result = build_kg(synth.documents_dataset(
-        cfg, override_num_blocks=max(8, NUM_CPUS * 4)), cfg)
+    cfg, docs = _flagship_inputs(NUM_CPUS, FLAGSHIP_DOCS)
+    result = build_kg(docs, cfg)
     triples = result.triples.materialize()
     print("== triples pipeline ==")
     print(triples.stats())

@@ -40,7 +40,7 @@ from raykg.ops.dedup import _grams, lsh_candidate_pairs
 # ---------------------------------------------------------------------------
 
 
-def neardup_keep(documents: rd.Dataset, num_buckets: int = 256,
+def neardup_keep(documents: rd.Dataset, num_buckets: int = 1024,
                  **lsh_kwargs) -> rd.Dataset:
     """Near-dup dedup filter: (doc_id) for every doc that has NO smaller
     near-duplicate partner (pairs from MinHash-LSH at the configured
@@ -120,76 +120,69 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
         .map_batches(key_str, batch_format="pyarrow"),
         lambda t: t, "k",
         lambda t: min_label(t.drop_columns(["k"])),
-        num_buckets=64).materialize()
+        num_buckets=256).materialize()
+
+    PSEP = "\x1e"
+    ESENT = "\x00S"   # sentinel edge key (schema-less-block guard)
 
     converged = False
     for _ in range(max_iters):
         # attach labels to edges via the bucketed attach pattern, then
-        # re-minimize per node
+        # re-minimize per node. The edge identity is the PAIR KEY string
+        # ("a\x1eb") — globally unique, unlike any per-batch counter, so
+        # endpoint rows of different pairs can never be grouped together.
         def edge_rows(t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").combine_chunks()
-            b = t.column("doc_b").combine_chunks()
-            n = len(a)
-            import numpy as np
-
-            eid = pa.array(np.arange(n, dtype=np.int64))
+            a = t.column("doc_a").to_pylist()
+            b = t.column("doc_b").to_pylist()
+            pk = [f"{x}{PSEP}{y}" for x, y in zip(a, b)]
             return pa.table({
-                "node": pa.concat_arrays([a, b]),
-                "edge": pa.concat_arrays([eid, eid]),
-                "label": pa.array([None] * (2 * n), pa.int64()),
+                "node": pa.array(a + b, pa.int64()),
+                "edge": pa.array(pk * 2, pa.string()),
+                "label": pa.array([None] * (2 * len(a)), pa.int64()),
             })
 
         def label_rows(t: pa.Table) -> pa.Table:
             return pa.table({
                 "node": t.column("node"),
-                "edge": pa.array([-1] * t.num_rows, pa.int64()),
+                "edge": pa.array([""] * t.num_rows, pa.string()),
                 "label": t.column("label"),
             })
 
         def attach(t: pa.Table) -> pa.Table:
             """Per node: emit (edge, label_of_node) for each incident
-            edge + the node's own (node, label) row."""
-            import numpy as np
-
-            nodes = t.column("node").to_numpy(zero_copy_only=False)
-            edges = t.column("edge").to_numpy(zero_copy_only=False)
-            labs = t.column("label").to_numpy(zero_copy_only=False)
-            lmap: dict[int, int] = {}
-            for nd, e, lb in zip(nodes, edges, labs):
-                if e == -1:
-                    lmap[int(nd)] = int(lb)
-            out_e, out_l = [-1], [-1]          # sentinel row
-            out_n = [-1]
+            edge + one sentinel row."""
+            nodes = t.column("node").to_pylist()
+            edges = t.column("edge").to_pylist()
+            labs = t.column("label").to_pylist()
+            lmap: dict[int, int] = {nd: lb
+                                    for nd, e, lb in zip(nodes, edges, labs)
+                                    if not e}
+            out_n, out_e, out_l = [-1], [ESENT], [-1]
             for nd, e in zip(nodes, edges):
-                if e != -1:
-                    out_n.append(int(nd))
-                    out_e.append(int(e))
-                    out_l.append(lmap.get(int(nd), int(nd)))
+                if e:
+                    out_n.append(nd)
+                    out_e.append(e)
+                    out_l.append(lmap.get(nd, nd))
             return pa.table({"node": pa.array(out_n, pa.int64()),
-                             "edge": pa.array(out_e, pa.int64()),
+                             "edge": pa.array(out_e, pa.string()),
                              "label": pa.array(out_l, pa.int64())})
 
         def key_node(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "k", pc.cast(t.column("node"), pa.string()))
 
-        def key_edge(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "k", pc.cast(t.column("edge"), pa.string()))
-
         sided = bucketed_group_agg(
             pairs.map_batches(edge_rows, batch_format="pyarrow")
             .union(labels.map_batches(label_rows, batch_format="pyarrow"))
             .map_batches(key_node, batch_format="pyarrow"),
             lambda t: t, "k",
-            lambda t: attach(t.drop_columns(["k"])), num_buckets=64)
+            lambda t: attach(t.drop_columns(["k"])), num_buckets=256)
 
         def edge_min(t: pa.Table) -> pa.Table:
             """Per edge: min label over both endpoints -> offer to both.
-            Keyed by edge, so both endpoint rows land in one bucket. A
-            sentinel (-1, -1) row keeps every block schema-ful; it is
-            dropped in the final projection."""
-            t = t.filter(pc.not_equal(t.column("edge"), -1))
+            Keyed by the pair string, so exactly one edge's endpoint rows
+            share a group; sentinel rows (node=-1, label=-1) group under
+            ESENT and are dropped in the final projection."""
             g = t.group_by("edge").aggregate([("label", "min")])
             mins = dict(zip(g.column("edge").to_pylist(),
                             g.column("label_min").to_pylist()))
@@ -202,16 +195,14 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
             })
 
         offers = bucketed_group_agg(
-            sided.map_batches(key_edge, batch_format="pyarrow"),
-            lambda t: t, "k",
-            lambda t: edge_min(t.drop_columns(["k"])), num_buckets=64)
+            sided, lambda t: t, "edge", edge_min, num_buckets=256)
 
         new_labels = bucketed_group_agg(
             offers.union(labels)
             .map_batches(key_str, batch_format="pyarrow"),
             lambda t: t, "k",
             lambda t: min_label(t.drop_columns(["k"])),
-            num_buckets=64).materialize()
+            num_buckets=256).materialize()
 
         # fixpoint check: distributed count of changed labels
         def changed(t: pa.Table) -> pa.Table:
@@ -227,7 +218,7 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
             .map_batches(key_str, batch_format="pyarrow"),
             lambda t: t, "k",
             lambda t: changed(t.drop_columns(["k"])),
-            num_buckets=64).sum("n")
+            num_buckets=256).sum("n")
         labels = new_labels
         if not n_changed:
             converged = True

@@ -648,9 +648,16 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
                 .group_by(["sk", "dk"]).aggregate([([], "count_all")])
             sk = g.column("sk").to_numpy(zero_copy_only=False)
             dk = g.column("dk").to_numpy(zero_copy_only=False)
-            assert sk.size == 0 or (int(sk.max()) < (1 << 30)
-                                    and int(dk.max()) < (1 << 30)), \
-                "kg_edges int-packed key requires FK values < 2^30"
+            if sk.size and not (0 <= int(sk.min())
+                                and int(sk.max()) < (1 << 30)
+                                and 0 <= int(dk.min())
+                                and int(dk.max()) < (1 << 30)):
+                # a real exception, not an assert (stripped under -O):
+                # out-of-range keys would silently bleed into other fields
+                raise ValueError(
+                    "kg_edges int-packed key requires FK values in "
+                    f"[0, 2^30); got range [{sk.min()}, {sk.max()}] / "
+                    f"[{dk.min()}, {dk.max()}]")
             packed = (np.int64(esrc) << np.int64(60)) \
                 | (sk.astype(np.int64) << np.int64(30)) | dk.astype(np.int64)
             return pa.table({"k": pa.array(packed, pa.int64()),

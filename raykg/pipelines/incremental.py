@@ -135,12 +135,21 @@ class IncrementalPatternRun:
             shutil.copyfile(self.snapshot, tmp)
             os.replace(tmp, self._legacy_base)
         else:
+            # no snapshot to recover: freeze an EMPTY base (tombstone) so a
+            # later call cannot mistake a rebuilt snapshot — which by then
+            # contains post-upgrade per-file counts — for the legacy total
+            # and double-count them
             import logging
+
+            import pyarrow.parquet as pq
 
             logging.getLogger("raykg").warning(
                 "incremental state at %s has legacy manifests but no "
                 "snapshot; their pattern counts are unrecoverable and the "
                 "merge starts from the per-file tables only", self.state_dir)
+            tmp = self._legacy_base + ".tmp"
+            pq.write_table(PATTERNS.empty_table(), tmp)
+            os.replace(tmp, self._legacy_base)
 
     def _merge_committed(self) -> Counter:
         """Global pattern counts derived from COMMITTED per-file tables

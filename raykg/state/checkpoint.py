@@ -97,9 +97,16 @@ class LineageCheckpoint:
                 with open(self.manifest_path(part)) as f:
                     stored = json.load(f).get("fingerprint")
                 # stored None = manifest from before fingerprints existed:
-                # accept (legacy checkpoints stay resumable) — only an
-                # actual mismatch is a stale checkpoint
-                if stored is not None and stored != fingerprint:
+                # accept (legacy checkpoints stay resumable) but say so —
+                # the shard's provenance cannot be validated
+                if stored is None:
+                    import logging
+
+                    logging.getLogger("raykg").warning(
+                        "checkpoint shard %d at %s predates fingerprints; "
+                        "resuming it WITHOUT validating that it matches the "
+                        "current parameters %r", part, self.root, fingerprint)
+                elif stored != fingerprint:
                     raise ValueError(
                         f"checkpoint shard {part} at {self.root} was committed "
                         f"with fingerprint {stored!r} but this run expects "

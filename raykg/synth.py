@@ -43,14 +43,14 @@ def is_dup_entity(i: int, cfg: KGConfig) -> bool:
     return i % cfg.dup_entity_mod == cfg.dup_entity_rem and i > 0
 
 
-@lru_cache(maxsize=None)   # pure in (i, cfg); cfg is frozen+hashable
+@lru_cache(maxsize=262_144)   # pure in (i, cfg); cfg is frozen+hashable
 def entity_label(i: int, cfg: KGConfig) -> str:
     if is_dup_entity(i, cfg):   # a coreferent duplicate shares its base label
         return entity_label(i - 1, cfg)
     return NODE_LABELS[i % len(NODE_LABELS)]
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=262_144)
 def entity_name(i: int, cfg: KGConfig) -> str:
     if is_dup_entity(i, cfg):
         return entity_name(i - 1, cfg) + "-dup"
@@ -63,8 +63,11 @@ def entity_norm_name(i: int, cfg: KGConfig) -> str:
     return name[:-4] if name.endswith("-dup") else name
 
 
-@lru_cache(maxsize=None)   # called once per mention without the cache —
-def entity_aliases(i: int, cfg: KGConfig) -> tuple[str, ...]:   # ~30% of gen
+@lru_cache(maxsize=262_144)   # rebuilt once per MENTION without the cache
+def entity_aliases(i: int, cfg: KGConfig) -> tuple[str, ...]:
+    """~30% of corpus generation pre-cache. BOUNDED cache: per-entity
+    strings are tiny but a 10^8-entity vocabulary in every worker would not
+    be — LRU keeps the hot (Zipf-head) entities resident."""
     name = entity_name(i, cfg)
     label = entity_label(i, cfg)
     return (name, name.replace("-", "_"), f"{label[:3].lower()}{i:06d}")

@@ -104,3 +104,23 @@ def test_neardup_components_long_chain_matches_recursive_oracle(ray_session):
     con.close()
     assert got == want
     assert len(got) >= 3       # the chain actually produced pairs
+
+
+def test_neardup_components_many_clusters_stay_separate(ray_session):
+    """Many small components spread across many blocks: edge identity must
+    be global (regression: per-batch edge counters collided across blocks
+    and merged unrelated components)."""
+    rows = []
+    for c in range(60):
+        text = " ".join(f"t{c}w{j}" for j in range(8))
+        for m in range(3):
+            rows.append((c * 10 + m, text))
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    })
+    got = {r["doc_id"]: r["component"]
+           for r in corpus.neardup_components(rd.from_arrow(docs)).take_all()}
+    want = {c * 10 + m: c * 10 for c in range(60) for m in range(3)}
+    assert got == want
