@@ -113,10 +113,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--link-concurrency", type=int, default=0)
-    p.add_argument("--link-mode", choices=["broadcast", "distributed"],
+    p.add_argument("--link-mode",
+                   choices=["broadcast", "hybrid", "distributed"],
                    default="broadcast",
-                   help="'distributed' = alias dictionary stays a Dataset "
-                        "(keyed-shuffle resolution, no broadcast)")
+                   help="'hybrid'/'distributed' = alias dictionary stays a "
+                        "Dataset (keyed-shuffle resolution); hybrid "
+                        "broadcasts only the distinct-surface resolution "
+                        "table for assembly, distributed broadcasts nothing")
     p.add_argument("--canon-broadcast-limit", type=int, default=2_000_000,
                    help="distinct-entity count above which the canonical "
                         "rewrite switches to the join-based scale path; "

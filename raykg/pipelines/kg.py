@@ -342,20 +342,28 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
     (stages/canonicalize.rewrite_triples_joined). Force the scale path in
     tests with ``canon_broadcast_limit=0``.
 
-    ``link_mode``: "broadcast" (default — the AliasIndex rides one ray.put,
-    right while the alias dictionary fits a worker heap) or "distributed"
-    (stages/link_distributed — the alias dictionary stays a Dataset and
-    resolution is pure keyed shuffle). "distributed" +
-    ``canon_broadcast_limit=0`` is the fully broadcast-free configuration
-    for 10^8+-entity vocabularies; equality of the two configurations is
-    asserted in tests."""
-    if link_mode == "distributed":
-        from raykg.stages.link_distributed import linked_triples_distributed
+    ``link_mode`` (memory envelope, fastest first):
+    - "broadcast" (default): the AliasIndex rides one ray.put — right while
+      the alias DICTIONARY fits a worker heap;
+    - "hybrid": dictionary stays a Dataset (keyed-shuffle resolution) but
+      the distinct-surface RESOLUTION table broadcasts for assembly — for
+      dictionaries too large to broadcast while observed surfaces still fit;
+    - "distributed": nothing broadcasts, assembly is hash joins — the
+      unbounded-everything path. "distributed" + ``canon_broadcast_limit=0``
+      is fully broadcast-free for 10^8+-entity vocabularies; equality of
+      all configurations is asserted in tests."""
+    if link_mode in ("distributed", "hybrid"):
+        from raykg.stages.link_distributed import (
+            linked_triples_distributed,
+            linked_triples_hybrid,
+        )
 
         total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        linked = linked_triples_distributed(
-            documents, cfg, num_partitions=max(4, min(32, total_cpus)))
+        fn = linked_triples_distributed if link_mode == "distributed" \
+            else linked_triples_hybrid
+        linked = fn(documents, cfg,
+                    num_partitions=max(4, min(32, total_cpus)))
     else:
         linked = linked_triples(documents, cfg)
     if checkpoint_dir:

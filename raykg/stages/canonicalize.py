@@ -138,107 +138,148 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
 
 
 def rewrite_triples_joined(linked: rd.Dataset, groups: rd.Dataset,
-                           num_partitions: int = 32) -> rd.Dataset:
+                           num_partitions: int = 32,
+                           num_buckets: int = 512) -> rd.Dataset:
     """Broadcast-free canonical rewrite — the 10^8+-entity scale path.
 
     ``rewrite_triples`` materializes the canon map on the driver and
     broadcasts it; beyond a vocabulary-sized map that is the flagship's one
     driver ceiling. Here the map stays a Dataset and the rewrite is two
-    left-outer hash joins on the LINKED_TRIPLES entity-id columns (subj_ent,
-    obj_ent — compact ids, not URI strings), with the engine's schema-guard
-    conventions (validate_schemas, per-block sentinel rows, one join per
-    execution). Doc-subject rows (subj_ent == "", the mention/caption
-    majority) would all hash to ONE subj-join partition — a skew bomb — so
-    they bypass the subj join entirely and only their objects are joined.
-    Same output as rewrite_triples; equality is asserted in
-    tests/test_kg_pipeline.py."""
-    SENT = "\x00S"   # sentinel row marker (doc_id), filtered in finalize
-    LKEY = "\x00L"   # left-side sentinel join key
-    RKEY = "\x00R"   # right-side sentinel join key (never matches LKEY)
+    BUCKETED attach shuffles on the LINKED_TRIPLES entity-id columns
+    (obj_ent, then subj_ent): canon rows and triple rows co-shuffle on the
+    entity key, each bucket builds its slice of the canon map and applies
+    it vectorized (index_in + coalesce). Acero hash joins measured ~13.5 s
+    per join over a 3.3M-row stream at 32 CPUs vs ~2 s per bucketed sort
+    exchange — and no schema-less/validate_schemas hazards. Doc-subject
+    rows (subj_ent == "", the mention/caption majority) would concentrate
+    one key, so they bypass the subj-side shuffle entirely. Same output as
+    rewrite_triples; equality is asserted in tests/test_kg_pipeline.py."""
+    from raykg.functions.shuffle import bucketed_group_agg
 
-    def side(key_col: str, canon_col: str):
+    SENT = "\x00S"   # sentinel row marker (doc_id), filtered at the end
+
+    def canon_rows(key_name: str):
         def f(t: pa.Table) -> pa.Table:
-            ids = pa.concat_arrays([
-                t.column("entity_id").combine_chunks(),
-                pa.array([RKEY], pa.string())])
-            canons = pa.concat_arrays([
-                t.column("canon_uri").combine_chunks(),
-                pa.array([""], pa.string())])
-            return pa.table({key_col: ids, canon_col: canons})
+            n = t.num_rows
+            return pa.table({
+                key_name: t.column("entity_id"),
+                "role": pa.array([1] * n, pa.int8()),
+                "subj": pa.array([""] * n, pa.string()),
+                "pred": pa.array([""] * n, pa.string()),
+                "obj": pa.array([""] * n, pa.string()),
+                "doc_id": pa.array([""] * n, pa.string()),
+                "span_offset": pa.array([0] * n, pa.int32()),
+                "subj_ent": pa.array([""] * n, pa.string()),
+                "canon": t.column("canon_uri"),
+            })
         return f
 
-    def _cat(col, tail: str) -> pa.Array:
-        return pa.concat_arrays([col.combine_chunks(),
-                                 pa.array([tail], pa.string())])
-
-    def ent_side(t: pa.Table) -> pa.Table:
-        t2 = t.filter(pc.not_equal(t.column("subj_ent"), ""))
+    def _sent_tail(key_name: str) -> pa.Table:
         return pa.table({
-            "subj": _cat(t2.column("subj"), SENT),
-            "pred": _cat(t2.column("pred"), SENT),
-            "obj": _cat(t2.column("obj"), SENT),
-            "doc_id": _cat(t2.column("doc_id"), SENT),
-            "span_offset": pa.concat_arrays([
-                t2.column("span_offset").combine_chunks(),
-                pa.array([0], pa.int32())]),
-            "subj_ent": _cat(t2.column("subj_ent"), LKEY),
-            "obj_ent": _cat(t2.column("obj_ent"), LKEY),
+            key_name: pa.array(["\x00K"], pa.string()),
+            "role": pa.array([0], pa.int8()),
+            "subj": pa.array([SENT], pa.string()),
+            "pred": pa.array([SENT], pa.string()),
+            "obj": pa.array([SENT], pa.string()),
+            "doc_id": pa.array([SENT], pa.string()),
+            "span_offset": pa.array([0], pa.int32()),
+            "subj_ent": pa.array([""], pa.string()),
+            "canon": pa.array([""], pa.string()),
         })
 
-    ORDER = ["subj", "pred", "obj", "doc_id", "span_offset", "obj_ent",
-             "canon_s"]
-
-    def doc_side(t: pa.Table) -> pa.Table:
-        t2 = t.filter(pc.equal(t.column("subj_ent"), ""))
-        return pa.table({
-            "subj": _cat(t2.column("subj"), SENT),
-            "pred": _cat(t2.column("pred"), SENT),
-            "obj": _cat(t2.column("obj"), SENT),
-            "doc_id": _cat(t2.column("doc_id"), SENT),
-            "span_offset": pa.concat_arrays([
-                t2.column("span_offset").combine_chunks(),
-                pa.array([0], pa.int32())]),
-            "obj_ent": _cat(t2.column("obj_ent"), LKEY),
-            "canon_s": pa.array([None] * (t2.num_rows + 1), pa.string()),
-        })
-
-    def norm1(t: pa.Table) -> pa.Table:
-        if "canon_s" not in t.column_names:
-            return pa.schema([(c, pa.int32() if c == "span_offset"
-                               else pa.string()) for c in ORDER]).empty_table()
-        return t.select(ORDER)
-
-    gs = groups.map_batches(side("subj_ent", "canon_s"),
-                            batch_format="pyarrow")
-    go = groups.map_batches(side("obj_ent", "canon_o"),
-                            batch_format="pyarrow")
-    j1 = linked.map_batches(ent_side, batch_format="pyarrow") \
-        .join(gs, join_type="left_outer", num_partitions=num_partitions,
-              on=("subj_ent",), right_on=("subj_ent",),
-              validate_schemas=True).materialize()
-    merged = j1.map_batches(norm1, batch_format="pyarrow") \
-        .union(linked.map_batches(doc_side, batch_format="pyarrow"))
-    j2 = merged.join(go, join_type="left_outer",
-                     num_partitions=num_partitions,
-                     on=("obj_ent",), right_on=("obj_ent",),
-                     validate_schemas=True)
-
-    def finalize(t: pa.Table) -> pa.Table:
-        if "canon_o" not in t.column_names:
-            return pa.schema([
-                ("subj", pa.string()), ("pred", pa.string()),
-                ("obj", pa.string()), ("doc_id", pa.string()),
-                ("span_offset", pa.int32())]).empty_table()
-        t = t.filter(pc.not_equal(t.column("doc_id"), SENT))
-        return pa.table({
-            "subj": pc.coalesce(t.column("canon_s"), t.column("subj")),
+    def triple_rows_obj(t: pa.Table) -> pa.Table:
+        body = pa.table({
+            "key": t.column("obj_ent"),
+            "role": pa.array([0] * t.num_rows, pa.int8()),
+            "subj": t.column("subj"),
             "pred": t.column("pred"),
-            "obj": pc.coalesce(t.column("canon_o"), t.column("obj")),
+            "obj": t.column("obj"),
             "doc_id": t.column("doc_id"),
             "span_offset": t.column("span_offset"),
+            "subj_ent": t.column("subj_ent"),
+            "canon": pa.array([""] * t.num_rows, pa.string()),
+        })
+        return pa.concat_tables([body, _sent_tail("key")])
+
+    def attach(rewrite_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            canon = t.filter(pc.equal(t.column("role"), 1))
+            rows = t.filter(pc.equal(t.column("role"), 0))
+            keys = canon.column("key").combine_chunks()
+            vals = canon.column("canon").combine_chunks()
+            idx = pc.index_in(rows.column("key").combine_chunks(),
+                              value_set=keys)
+            mapped = pc.coalesce(vals.take(idx),
+                                 rows.column(rewrite_col).combine_chunks())
+            out = rows.drop_columns(["key", "role", "canon"]) \
+                .set_column(rows.column_names.index(rewrite_col) - 2,
+                            rewrite_col, mapped)
+            # a bucket holding only canon rows would emit zero rows ->
+            # schema-less block; always append one sentinel output row
+            sent = pa.table({
+                "subj": pa.array([SENT], pa.string()),
+                "pred": pa.array([SENT], pa.string()),
+                "obj": pa.array([SENT], pa.string()),
+                "doc_id": pa.array([SENT], pa.string()),
+                "span_offset": pa.array([0], pa.int32()),
+                "subj_ent": pa.array([""], pa.string()),
+            }).select(out.column_names)
+            return pa.concat_tables([out, sent])
+        return f
+
+    stage1_in = linked.map_batches(triple_rows_obj, batch_format="pyarrow") \
+        .union(groups.map_batches(canon_rows("key"), batch_format="pyarrow"))
+    stage1 = bucketed_group_agg(stage1_in, lambda t: t, "key",
+                                attach("obj"), num_buckets=num_buckets)
+
+    # stage 2: entity-subject rows shuffle on subj_ent; doc-subject rows
+    # (skew key "") pass straight through
+    def ent_rows_subj(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.not_equal(t.column("subj_ent"), ""))
+        body = pa.table({
+            "key": t2.column("subj_ent"),
+            "role": pa.array([0] * t2.num_rows, pa.int8()),
+            "subj": t2.column("subj"),
+            "pred": t2.column("pred"),
+            "obj": t2.column("obj"),
+            "doc_id": t2.column("doc_id"),
+            "span_offset": t2.column("span_offset"),
+            "subj_ent": t2.column("subj_ent"),
+            "canon": pa.array([""] * t2.num_rows, pa.string()),
+        })
+        return pa.concat_tables([body, _sent_tail("key")])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t.column("subj_ent"), ""))
+        return pa.table({
+            "subj": pa.concat_arrays([t2.column("subj").combine_chunks(),
+                                      pa.array([SENT], pa.string())]),
+            "pred": pa.concat_arrays([t2.column("pred").combine_chunks(),
+                                      pa.array([SENT], pa.string())]),
+            "obj": pa.concat_arrays([t2.column("obj").combine_chunks(),
+                                     pa.array([SENT], pa.string())]),
+            "doc_id": pa.concat_arrays([t2.column("doc_id").combine_chunks(),
+                                        pa.array([SENT], pa.string())]),
+            "span_offset": pa.concat_arrays([
+                t2.column("span_offset").combine_chunks(),
+                pa.array([0], pa.int32())]),
+            "subj_ent": pa.concat_arrays([
+                t2.column("subj_ent").combine_chunks(),
+                pa.array([""], pa.string())]),
         })
 
-    return j2.map_batches(finalize, batch_format="pyarrow")
+    stage1 = stage1.materialize()    # consumed by both stage-2 branches
+    stage2 = bucketed_group_agg(
+        stage1.map_batches(ent_rows_subj, batch_format="pyarrow")
+        .union(groups.map_batches(canon_rows("key"), batch_format="pyarrow")),
+        lambda t: t, "key", attach("subj"), num_buckets=num_buckets) \
+        .union(stage1.map_batches(doc_rows, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), SENT))
+        return t.select(["subj", "pred", "obj", "doc_id", "span_offset"])
+
+    return stage2.map_batches(finalize, batch_format="pyarrow")
 
 
 def rewrite_triples(linked: rd.Dataset, canon_map: dict[str, str]) -> rd.Dataset:

@@ -244,63 +244,72 @@ class LinkBatches:
                             eid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Vectorized assembly: resolution happens once per DISTINCT surface
-        (memo cache), then every per-row mapping is pc.index_in + take —
-        no Python loop over the event stream, and Document URIs are minted
-        once per distinct doc in the batch rather than once per mention."""
-        import pyarrow.compute as pc
+        def resolver(uniq: list[str]):
+            self._resolve_all(uniq)
+            cache = self._cache
+            hit = [cache[s] for s in uniq]
+            return (pa.array([h[0] if h else None for h in hit], pa.string()),
+                    pa.array([h[1] if h else None for h in hit], pa.string()))
 
-        etype = batch.column("etype").combine_chunks()
-        surf1 = batch.column("surface").combine_chunks()
-        surf2 = batch.column("surface2").combine_chunks()
-        is_rel = pc.equal(etype, "relation")
-        s1_list = surf1.to_pylist()
-        s2_rel = surf2.filter(is_rel).to_pylist()
-        self._resolve_all(s1_list + s2_rel)
-        cache = self._cache
+        return assemble_linked(batch, resolver)
 
-        uniq = list(dict.fromkeys(s1_list + s2_rel))
-        uniq_arr = pa.array(uniq, pa.string())
-        hit = [cache[s] for s in uniq]
-        uri_arr = pa.array([h[0] if h else None for h in hit], pa.string())
-        eid_arr = pa.array([h[1] if h else None for h in hit], pa.string())
-        idx1 = pc.index_in(surf1, value_set=uniq_arr)
-        uri1, eid1 = uri_arr.take(idx1), eid_arr.take(idx1)
-        # surface2 is "" for non-relation rows -> index miss -> null
-        idx2 = pc.index_in(surf2, value_set=uniq_arr)
-        uri2, eid2 = uri_arr.take(idx2), eid_arr.take(idx2)
 
-        doc_col = batch.column("doc_id").combine_chunks()
-        off_col = batch.column("span_offset").combine_chunks()
-        pred_col = batch.column("pred").combine_chunks()
+def assemble_linked(batch: pa.Table, resolver) -> pa.Table:
+    """Vectorized triple assembly shared by every linker flavor: resolution
+    happens once per DISTINCT surface via ``resolver(uniq) -> (uri_arr,
+    eid_arr)`` (null where unresolved), then every per-row mapping is
+    pc.index_in + take — no Python loop over the event stream, and Document
+    URIs are minted once per distinct doc in the batch rather than once per
+    mention."""
+    import pyarrow.compute as pc
 
-        rel_keep = pc.and_kleene(
-            is_rel, pc.and_kleene(pc.is_valid(uri1), pc.is_valid(uri2)))
-        rel_keep = pc.fill_null(rel_keep, False)
-        rel_t = pa.Table.from_arrays(
-            [uri1.filter(rel_keep), pred_col.filter(rel_keep),
-             uri2.filter(rel_keep), doc_col.filter(rel_keep),
-             off_col.filter(rel_keep), eid1.filter(rel_keep),
-             eid2.filter(rel_keep)],
-            schema=LINKED_TRIPLES)
+    etype = batch.column("etype").combine_chunks()
+    surf1 = batch.column("surface").combine_chunks()
+    surf2 = batch.column("surface2").combine_chunks()
+    is_rel = pc.equal(etype, "relation")
+    s1_list = surf1.to_pylist()
+    s2_rel = surf2.filter(is_rel).to_pylist()
 
-        men_keep = pc.fill_null(
-            pc.and_kleene(pc.invert(is_rel), pc.is_valid(uri1)), False)
-        m_doc = doc_col.filter(men_keep)
-        uniq_docs = pc.unique(m_doc)
-        doc_uris = pa.array(
-            [mint_uri("Document", d) for d in uniq_docs.to_pylist()],
-            pa.string())
-        m_subj = doc_uris.take(pc.index_in(m_doc, value_set=uniq_docs))
-        m_pred = pc.if_else(pc.equal(etype.filter(men_keep), "caption"),
-                            MEDIA_PREDICATE, "mentions")
-        n_men = len(m_doc)
-        men_t = pa.Table.from_arrays(
-            [m_subj, pc.cast(m_pred, pa.string()), uri1.filter(men_keep),
-             m_doc, off_col.filter(men_keep),
-             pa.array([""] * n_men, pa.string()), eid1.filter(men_keep)],
-            schema=LINKED_TRIPLES)
+    uniq = list(dict.fromkeys(s1_list + s2_rel))
+    uniq_arr = pa.array(uniq, pa.string())
+    uri_arr, eid_arr = resolver(uniq)
+    idx1 = pc.index_in(surf1, value_set=uniq_arr)
+    uri1, eid1 = uri_arr.take(idx1), eid_arr.take(idx1)
+    # surface2 is "" for non-relation rows -> index miss -> null
+    idx2 = pc.index_in(surf2, value_set=uniq_arr)
+    uri2, eid2 = uri_arr.take(idx2), eid_arr.take(idx2)
 
-        if rel_t.num_rows == 0 and men_t.num_rows == 0:
-            return LINKED_TRIPLES.empty_table()
-        return pa.concat_tables([rel_t, men_t])
+    doc_col = batch.column("doc_id").combine_chunks()
+    off_col = batch.column("span_offset").combine_chunks()
+    pred_col = batch.column("pred").combine_chunks()
+
+    rel_keep = pc.and_kleene(
+        is_rel, pc.and_kleene(pc.is_valid(uri1), pc.is_valid(uri2)))
+    rel_keep = pc.fill_null(rel_keep, False)
+    rel_t = pa.Table.from_arrays(
+        [uri1.filter(rel_keep), pred_col.filter(rel_keep),
+         uri2.filter(rel_keep), doc_col.filter(rel_keep),
+         off_col.filter(rel_keep), eid1.filter(rel_keep),
+         eid2.filter(rel_keep)],
+        schema=LINKED_TRIPLES)
+
+    men_keep = pc.fill_null(
+        pc.and_kleene(pc.invert(is_rel), pc.is_valid(uri1)), False)
+    m_doc = doc_col.filter(men_keep)
+    uniq_docs = pc.unique(m_doc)
+    doc_uris = pa.array(
+        [mint_uri("Document", d) for d in uniq_docs.to_pylist()],
+        pa.string())
+    m_subj = doc_uris.take(pc.index_in(m_doc, value_set=uniq_docs))
+    m_pred = pc.if_else(pc.equal(etype.filter(men_keep), "caption"),
+                        MEDIA_PREDICATE, "mentions")
+    n_men = len(m_doc)
+    men_t = pa.Table.from_arrays(
+        [m_subj, pc.cast(m_pred, pa.string()), uri1.filter(men_keep),
+         m_doc, off_col.filter(men_keep),
+         pa.array([""] * n_men, pa.string()), eid1.filter(men_keep)],
+        schema=LINKED_TRIPLES)
+
+    if rel_t.num_rows == 0 and men_t.num_rows == 0:
+        return LINKED_TRIPLES.empty_table()
+    return pa.concat_tables([rel_t, men_t])

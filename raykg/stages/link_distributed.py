@@ -273,6 +273,64 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
     return exact.union(fuzzy).union(lsh_hits)
 
 
+def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
+                          num_partitions: int = 32) -> rd.Dataset:
+    """Hybrid scale path: the alias DICTIONARY stays a Dataset (distributed
+    keyed-shuffle resolution, like linked_triples_distributed), but triple
+    assembly broadcasts the RESOLUTION TABLE — distinct observed surfaces
+    only, typically orders of magnitude smaller than the dictionary — and
+    runs as a plain map over the extraction stream, skipping the two
+    extraction-stream hash joins that dominate the fully-distributed
+    path's wall time. Memory envelope: distinct corpus surfaces must fit a
+    worker heap; the alias dictionary need not."""
+    import ray
+
+    from raykg.stages.link import assemble_linked
+
+    extractions = documents.map_batches(
+        extract_batch, batch_format="pyarrow",
+        batch_size=cfg.batch_size).materialize()
+    resolution = resolve_surfaces(distinct_surfaces(extractions),
+                                  alias_dataset(cfg), cfg,
+                                  num_partitions).materialize()
+    rows = resolution.take_all()     # distinct-surface sized
+    surf_arr = pa.array([r["surface"] for r in rows], pa.string())
+    ent_arr = pa.array([r["ent"] for r in rows], pa.int64())
+    ref = ray.put((surf_arr, ent_arr))
+
+    class Assemble:
+        def __init__(self):
+            self.surf, self.ents = ray.get(ref) \
+                if isinstance(ref, ray.ObjectRef) else ref
+            self._uri: dict[int, tuple[str, str]] = {}
+
+        def _resolver(self, uniq: list[str]):
+            idx = pc.index_in(pa.array(uniq, pa.string()),
+                              value_set=self.surf)
+            ents = self.ents.take(idx).to_pylist()
+            uris, eids = [], []
+            for e in ents:
+                if e is None:
+                    uris.append(None)
+                    eids.append(None)
+                    continue
+                hit = self._uri.get(e)
+                if hit is None:
+                    eid = synth.entity_id(e)
+                    hit = (mint_uri(synth.entity_label(e, cfg), eid), eid)
+                    self._uri[e] = hit
+                uris.append(hit[0])
+                eids.append(hit[1])
+            return (pa.array(uris, pa.string()), pa.array(eids, pa.string()))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return assemble_linked(batch, self._resolver)
+
+    return extractions.map_batches(Assemble, batch_format="pyarrow",
+                                   batch_size=max(cfg.batch_size, 4096),
+                                   concurrency=(2, 8))
+
+
 def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
                                num_partitions: int = 32) -> rd.Dataset:
     """documents -> LINKED_TRIPLES via pure keyed shuffles (no broadcast)."""

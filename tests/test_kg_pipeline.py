@@ -148,18 +148,24 @@ def test_fully_broadcast_free_configuration(ray_session):
     broadcast = bk(synth.documents_dataset(cfg), cfg)
     nobroadcast = bk(synth.documents_dataset(cfg), cfg,
                      canon_broadcast_limit=0, link_mode="distributed")
+    hybrid = bk(synth.documents_dataset(cfg), cfg,
+                canon_broadcast_limit=0, link_mode="hybrid")
 
     def tset(ds):
         return {(r["subj"], r["pred"], r["obj"], r["doc_id"],
                  r["span_offset"]) for r in ds.take_all()}
 
-    assert tset(nobroadcast.triples) == tset(broadcast.triples)
+    want = tset(broadcast.triples)
+    assert tset(nobroadcast.triples) == want
+    assert tset(hybrid.triples) == want
 
     def eset(ds):
         return {(r["subj"], r["pred"], r["obj"], r["count"])
                 for r in ds.take_all()}
 
-    assert eset(nobroadcast.edges) == eset(broadcast.edges)
+    ewant = eset(broadcast.edges)
+    assert eset(nobroadcast.edges) == ewant
+    assert eset(hybrid.edges) == ewant
 
 
 def test_extreme_entity_skew_matches_oracle(ray_session):
