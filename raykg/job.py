@@ -57,8 +57,9 @@ def run_job(args) -> dict:
         # broadcast linker (the shard runner owns its lineage), so reject a
         # contradictory flag instead of silently ignoring it
         if args.link_mode != "broadcast":
-            raise SystemExit("--link-mode=distributed is not supported with "
-                             "the synth+checkpoint resume path; use --input")
+            raise SystemExit(
+                f"--link-mode={args.link_mode} is not supported with the "
+                "synth+checkpoint resume path; use --input")
         result = build_kg_resumable(
             cfg, args.checkpoint, n_shards=args.shards,
             canon_broadcast_limit=args.canon_broadcast_limit)

@@ -234,13 +234,12 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
     groups = canonical_groups(observed_entities(linked), cfg).materialize()
 
     if groups.count() > canon_broadcast_limit:
-        # --- join-based scale path: no driver-side canon map ---
-        # join partitions sized to the cluster: hash-join aggregator actors
-        # beyond the CPU count deadlock a small cluster
+        # --- shuffle-based scale path: no driver-side canon map ---
+        # bucket count >= cluster cores so every node gets exchange work
         total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         triples = rewrite_triples_joined(
-            linked, groups, num_partitions=max(4, min(32, total_cpus)))
+            linked, groups, num_buckets=max(512, total_cpus * 16))
         if checkpoint_dir:
             write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
             triples = read_table(f"{checkpoint_dir}/triples")

@@ -138,7 +138,6 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
 
 
 def rewrite_triples_joined(linked: rd.Dataset, groups: rd.Dataset,
-                           num_partitions: int = 32,
                            num_buckets: int = 512) -> rd.Dataset:
     """Broadcast-free canonical rewrite — the 10^8+-entity scale path.
 
@@ -211,9 +210,9 @@ def rewrite_triples_joined(linked: rd.Dataset, groups: rd.Dataset,
                               value_set=keys)
             mapped = pc.coalesce(vals.take(idx),
                                  rows.column(rewrite_col).combine_chunks())
-            out = rows.drop_columns(["key", "role", "canon"]) \
-                .set_column(rows.column_names.index(rewrite_col) - 2,
-                            rewrite_col, mapped)
+            out = rows.drop_columns(["key", "role", "canon"])
+            out = out.set_column(out.column_names.index(rewrite_col),
+                                 rewrite_col, mapped)
             # a bucket holding only canon rows would emit zero rows ->
             # schema-less block; always append one sentinel output row
             sent = pa.table({

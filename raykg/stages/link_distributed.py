@@ -293,9 +293,13 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
     resolution = resolve_surfaces(distinct_surfaces(extractions),
                                   alias_dataset(cfg), cfg,
                                   num_partitions).materialize()
-    rows = resolution.take_all()     # distinct-surface sized
-    surf_arr = pa.array([r["surface"] for r in rows], pa.string())
-    ent_arr = pa.array([r["ent"] for r in rows], pa.int64())
+    # distinct-surface sized; fetched as Arrow blocks (zero per-row Python,
+    # no row-dict blowup on the driver) and re-broadcast once
+    res_t = pa.concat_tables(
+        list(resolution.iter_batches(batch_format="pyarrow",
+                                     batch_size=None)))
+    surf_arr = res_t.column("surface").combine_chunks()
+    ent_arr = pc.cast(res_t.column("ent").combine_chunks(), pa.int64())
     ref = ray.put((surf_arr, ent_arr))
 
     class Assemble:
@@ -326,9 +330,17 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
         def __call__(self, batch: pa.Table) -> pa.Table:
             return assemble_linked(batch, self._resolver)
 
+    # pool sized like the broadcast linker (pipelines/kg.py): floor == the
+    # target concurrency (the autoscaler barely climbs in short jobs),
+    # ceiling below cluster CPUs so read/shuffle tasks never starve
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    cap = max(1, total_cpus - 2)
+    floor = min(cfg.link_concurrency, cap)
+    ceiling = min(floor + max(2, floor // 6), cap)
     return extractions.map_batches(Assemble, batch_format="pyarrow",
                                    batch_size=max(cfg.batch_size, 4096),
-                                   concurrency=(2, 8))
+                                   concurrency=(floor, max(floor, ceiling)))
 
 
 def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
