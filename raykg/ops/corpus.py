@@ -55,6 +55,12 @@ def neardup_keep(documents: rd.Dataset, num_buckets: int = 1024,
 
     def corpus_rows(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
+        # -1 is the internal dropped-tag sentinel below; a corpus containing
+        # negative ids would silently collide with it and lose rows
+        if t.num_rows and pc.min(ids).as_py() < 0:
+            raise ValueError(
+                "neardup_keep requires non-negative doc ids (-1 is the "
+                "internal dropped-tag sentinel)")
         return pa.table({"doc_id": ids,
                          "dropped": pa.array([0] * t.num_rows, pa.int8())})
 
@@ -330,7 +336,8 @@ def cross_source_overlap(documents: rd.Dataset) -> pa.Table:
         lambda t: t, "h", srcs_per_hash)
 
     def pair_key(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t.column("source_a"), ""))
+        # sentinel "" rows keep flowing through the shuffle (that is the
+        # point of resent()); they are dropped in fin2 after the exchange
         return t.append_column("k", pc.binary_join_element_wise(
             t.column("source_a"), t.column("source_b"), "\x1f"))
 

@@ -108,7 +108,8 @@ def minhash_dedup(documents: rd.Dataset, num_hashes: int = 8,
 def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
                         num_bands: int = 4, gram: int = 3, seed: int = 42,
                         jaccard_threshold: float = 0.6,
-                        num_partitions: int = 8) -> rd.Dataset:
+                        num_partitions: int = 8,
+                        max_bucket: int = 10_000) -> rd.Dataset:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     groupby -> within-bucket candidate pairs -> exact Jaccard verification
     via a hash join back to the grams table.
@@ -147,6 +148,13 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         docs = sorted(t.column("doc_id").to_pylist())
+        # skew guard: a degenerate band key (boilerplate-heavy corpora)
+        # would otherwise go quadratic silently within this bucket
+        label = (t.column("band")[0].as_py(),
+                 t.column("band_key")[0].as_py()) if t.num_rows else None
+        capped = _cap_block(docs, label, max_bucket, "lsh_candidate_pairs")
+        if capped is not None:
+            docs = capped
         a_col, b_col = [], []
         for i, j in combinations(range(len(docs)), 2):
             a_col.append(docs[i])
@@ -362,17 +370,16 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        sims = unit @ unit.T
         order = np.argsort(ids)
-        a_col, b_col, s_col = [], [], []
-        for xi in range(len(order)):
-            for yi in range(xi + 1, len(order)):
-                x, y = order[xi], order[yi]
-                s = sims[x, y]
-                if s >= threshold:
-                    a_col.append(int(ids[x]))
-                    b_col.append(int(ids[y]))
-                    s_col.append(round_half_away(float(s), 3))
+        unit = unit[order]
+        sorted_ids = ids[order]
+        sims = unit @ unit.T
+        # vectorized upper-triangle extraction — row-major argwhere emits
+        # pairs in the same (xi, yi) order the old nested loop did
+        hits = np.argwhere(np.triu(sims >= threshold, k=1))
+        a_col = [int(sorted_ids[i]) for i in hits[:, 0]]
+        b_col = [int(sorted_ids[j]) for j in hits[:, 1]]
+        s_col = [round_half_away(float(sims[i, j]), 3) for i, j in hits]
         return pa.table({"vec_a": pa.array(a_col, pa.int64()),
                          "vec_b": pa.array(b_col, pa.int64()),
                          "cos_sim": pa.array(s_col, pa.float64())})

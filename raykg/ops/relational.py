@@ -629,6 +629,32 @@ _EDGE_SOURCES = [
 ]
 
 
+def _parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of an int column from parquet FOOTER statistics only —
+    no data scan. Returns None when any row group lacks stats. Handles a
+    single file or a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")] if os.path.isdir(path) else [path])
+    lo, hi = None, None
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        if col not in names:
+            return None
+        ci = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (int(lo), int(hi))
+
+
 def kg_edges(sf_dir: str) -> rd.Dataset:
     """FK edges with minted URIs, exact-deduped with counts (O7 analog).
 
@@ -637,9 +663,25 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     moves 8-byte ints instead of URI strings (or even delimited key
     strings), the bucket hash is a vectorized numpy multiply, and sha256
     minting happens once per DISTINCT endpoint after the aggregate, not
-    once per input row. Key bound: raw FK values must fit 30 bits (1B) —
-    asserted per batch; TPC-H keys stay far below that through sf100."""
+    once per input row.
+
+    Key bound: the packed path needs raw FK values in [0, 2^30) (TPC-H
+    l_orderkey crosses that between sf100 and sf200). The bound is checked
+    UP FRONT against parquet footer statistics (no data scan); when any key
+    column exceeds it — or footer stats are missing — the op transparently
+    falls back to a delimited-string key with identical output, trading
+    exchange bytes for an unbounded key space. The per-batch check in the
+    packed path stays as a loud backstop against lying footers."""
     import numpy as np
+
+    fits_packed = True
+    for table, _, src_key, _, dst_key, _ in _EDGE_SOURCES:
+        for col in (src_key, dst_key):
+            rng = _parquet_col_range(f"{sf_dir}/{table}.parquet", col)
+            if rng is None or rng[0] < 0 or rng[1] >= (1 << 30):
+                fits_packed = False
+    if not fits_packed:
+        return _kg_edges_wide(sf_dir)
 
     def make_partial(esrc: int, src_key: str, dst_key: str):
         def partial(t: pa.Table) -> pa.Table:
@@ -693,6 +735,64 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
             d_uri = uri_cache.get(kd)
             if d_uri is None:
                 d_uri = f"sdpg.gr/{dst_label}/{sha_hex(str(d))}"
+                uri_cache[kd] = d_uri
+            subj.append(s_uri)
+            pred.append(p)
+            obj.append(d_uri)
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "n": g.column("n_sum"),
+        })
+
+    return bucketed_group_agg(out, lambda t: t, "k", finalize)
+
+
+def _kg_edges_wide(sf_dir: str) -> rd.Dataset:
+    """String-keyed fallback for :func:`kg_edges` when FK values exceed the
+    30-bit packing bound (or footer stats are missing). Same mint-last /
+    dedup-first plan and identical output; the exchange key is
+    ``"<esrc>\\x1f<sk>\\x1f<dk>"`` (unbounded key space, more bytes)."""
+
+    def make_partial(esrc: int, src_key: str, dst_key: str):
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
+                          "dk": pc.cast(t.column(dst_key), pa.int64())}) \
+                .group_by(["sk", "dk"]).aggregate([([], "count_all")])
+            k = pc.binary_join_element_wise(
+                pa.array([str(esrc)] * g.num_rows, pa.string()),
+                pc.cast(g.column("sk"), pa.string()),
+                pc.cast(g.column("dk"), pa.string()), "\x1f")
+            return pa.table({"k": k, "n": g.column("count_all")})
+        return partial
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    parts = []
+    for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
+        ds = _read(sf_dir, table, [src_key, dst_key])
+        parts.append(ds.map_batches(make_partial(esrc, src_key, dst_key),
+                                    batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum")])
+        subj, pred, obj = [], [], []
+        uri_cache: dict[tuple, str] = {}
+        for key in g.column("k").to_pylist():
+            e_s, s_s, d_s = key.split("\x1f")
+            _, p, _, src_label, _, dst_label = _EDGE_SOURCES[int(e_s)]
+            ks, kd = (src_label, s_s), (dst_label, d_s)
+            s_uri = uri_cache.get(ks)
+            if s_uri is None:
+                s_uri = f"sdpg.gr/{src_label}/{sha_hex(s_s)}"
+                uri_cache[ks] = s_uri
+            d_uri = uri_cache.get(kd)
+            if d_uri is None:
+                d_uri = f"sdpg.gr/{dst_label}/{sha_hex(d_s)}"
                 uri_cache[kd] = d_uri
             subj.append(s_uri)
             pred.append(p)
