@@ -212,14 +212,54 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
 
     scored = cand.map_batches(score, batch_format="pyarrow")
 
-    def argmax(t: pa.Table) -> pa.Table:
-        # max Jaccard, ties -> smallest alias string (AliasIndex._score)
-        t = t.sort_by([("jac", "descending"), ("alias", "ascending")])
-        return pa.table({"surface": t.column("surface").slice(0, 1),
-                         "ent": t.column("ent").slice(0, 1)})
+    # --- per-surface argmax as a bucketed two-phase aggregation ---
+    # groupby("surface").map_groups would slice one block per DISTINCT
+    # corrupted surface (~0.3 ms each, measured in stages/canonicalize.py)
+    # and dies at 10^7+ damaged surfaces; instead: per-batch partial argmax
+    # (associative under the total order below) -> bucketed exchange ->
+    # per-bucket vectorized argmax via sort + segment-boundary mask.
+    def best_per_surface(t: pa.Table) -> pa.Table:
+        """max Jaccard, ties -> smallest alias string (AliasIndex._score):
+        sort (surface asc, jac desc, alias asc), keep each surface segment's
+        first row — no per-group slicing."""
+        t = t.sort_by([("surface", "ascending"), ("jac", "descending"),
+                       ("alias", "ascending")])
+        s = t.column("surface").combine_chunks()
+        if len(s) == 0:
+            return t
+        first = pa.concat_arrays([
+            pa.array([True]),
+            pc.not_equal(s.slice(1), s.slice(0, len(s) - 1))])
+        return t.filter(first)
 
-    fuzzy = scored.groupby("surface").map_groups(argmax,
-                                                 batch_format="pyarrow")
+    # NOT "" — non-relation extraction rows carry surface2 == "", so an ""
+    # row in the resolution table would MATCH (and fan out across) every
+    # one of them in the j2 join. No real surface contains a NUL byte.
+    RSENT = "\x00S"
+
+    def argmax_comb(t: pa.Table) -> pa.Table:
+        t = best_per_surface(t)
+        # sentinel row per block (zero-row guard, see misses_only); its
+        # group is dropped in argmax_fin
+        return pa.concat_tables([t, pa.table({
+            "surface": pa.array([RSENT], pa.string()),
+            "alias": pa.array([""], pa.string()),
+            "ent": pa.array([-1], pa.int64()),
+            "jac": pa.array([-1.0], pa.float64())})])
+
+    def argmax_fin(t: pa.Table) -> pa.Table:
+        t = best_per_surface(t)
+        t = t.filter(pc.not_equal(t.column("surface"), RSENT))
+        out = pa.table({"surface": t.column("surface"),
+                        "ent": pc.cast(t.column("ent"), pa.int64())})
+        # the sentinel survives into the resolution table: it matches no
+        # extraction surface in any consumer (left_outer join / index_in)
+        # and keeps every finalize output non-empty for downstream shuffles
+        return pa.concat_tables([out, pa.table({
+            "surface": pa.array([RSENT], pa.string()),
+            "ent": pa.array([-1], pa.int64())})])
+
+    fuzzy = bucketed_group_agg(scored, argmax_comb, "surface", argmax_fin)
 
     # --- LSH residue: surfaces with NO deletion candidate at all
     # (substitutions, transpositions, multi-char damage). AliasIndex falls
@@ -268,8 +308,9 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
         join_type="inner", num_partitions=num_partitions,
         on=("band", "band_key"), right_on=("band", "band_key"),
         validate_schemas=True)
-    lsh_hits = lsh_cand.map_batches(score, batch_format="pyarrow") \
-        .groupby("surface").map_groups(argmax, batch_format="pyarrow")
+    lsh_hits = bucketed_group_agg(
+        lsh_cand.map_batches(score, batch_format="pyarrow"),
+        argmax_comb, "surface", argmax_fin)
     return exact.union(fuzzy).union(lsh_hits)
 
 
@@ -281,8 +322,11 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
     only, typically orders of magnitude smaller than the dictionary — and
     runs as a plain map over the extraction stream, skipping the two
     extraction-stream hash joins that dominate the fully-distributed
-    path's wall time. Memory envelope: distinct corpus surfaces must fit a
-    worker heap; the alias dictionary need not."""
+    path's wall time. Memory envelope: the resolution table (distinct
+    corpus surfaces) must fit BOTH the driver heap — it is concatenated
+    driver-side below before the one ray.put — and a worker heap; the
+    alias dictionary need not fit either. Past that envelope, use
+    linked_triples_distributed."""
     import ray
 
     from raykg.stages.link import assemble_linked
@@ -373,46 +417,67 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
                  right_suffix="_r2", validate_schemas=True)
 
     def assemble(t: pa.Table) -> pa.Table:
+        """Vectorized triple assembly over the joined extraction stream —
+        the same index_in/filter shape as stages/link.py assemble_linked,
+        except entities arrive pre-joined as int columns: URIs are minted
+        once per DISTINCT entity in the batch, every per-row mapping is an
+        Arrow take/filter, and the corpus-sized stream is never iterated
+        row-by-row in Python."""
         if "ent" not in t.column_names or "ent2" not in t.column_names:
             return LINKED_TRIPLES.empty_table()
-        out: list[tuple] = []
-        uri_cache: dict[int, tuple[str, str]] = {}
+        ent = pc.cast(t.column("ent").combine_chunks(), pa.int64())
+        ent2 = pc.cast(t.column("ent2").combine_chunks(), pa.int64())
+        etype = t.column("etype").combine_chunks()
+        is_rel = pc.equal(etype, "relation")
 
-        def ent_uri(e: int) -> tuple[str, str]:
-            hit = uri_cache.get(e)
-            if hit is None:
-                eid = synth.entity_id(e)
-                hit = (mint_uri(synth.entity_label(e, cfg), eid), eid)
-                uri_cache[e] = hit
-            return hit
+        uniq = pc.unique(pa.concat_arrays([ent.drop_null(),
+                                           ent2.drop_null()]))
+        uris, eids = [], []
+        for e in uniq.to_pylist():   # distinct entities only — small
+            eid = synth.entity_id(e)
+            uris.append(mint_uri(synth.entity_label(e, cfg), eid))
+            eids.append(eid)
+        uri_arr = pa.array(uris, pa.string())
+        eid_arr = pa.array(eids, pa.string())
+        idx1 = pc.index_in(ent, value_set=uniq)
+        uri1, eid1 = uri_arr.take(idx1), eid_arr.take(idx1)
+        idx2 = pc.index_in(ent2, value_set=uniq)
+        uri2, eid2 = uri_arr.take(idx2), eid_arr.take(idx2)
 
-        for doc_id, off, etype, pred, ea, eb in zip(
-                t.column("doc_id").to_pylist(),
-                t.column("span_offset").to_pylist(),
-                t.column("etype").to_pylist(),
-                t.column("pred").to_pylist(),
-                t.column("ent").to_pylist(),
-                t.column("ent2").to_pylist()):
-            if ea is None:
-                continue
-            ua, ia = ent_uri(ea)
-            if etype == "relation":
-                if eb is None:
-                    continue
-                ub, ib = ent_uri(eb)
-                out.append((ua, pred, ub, doc_id, off, ia, ib))
-            else:
-                p = MEDIA_PREDICATE if etype == "caption" else "mentions"
-                out.append((mint_uri("Document", doc_id), p, ua,
-                            doc_id, off, "", ia))
-        if not out:
-            return LINKED_TRIPLES.empty_table()
-        cols = list(zip(*out))
-        return pa.Table.from_arrays(
-            [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
-             pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
-             pa.array(cols[4], pa.int32()), pa.array(cols[5], pa.string()),
-             pa.array(cols[6], pa.string())],
+        doc_col = pc.cast(t.column("doc_id").combine_chunks(), pa.string())
+        off_col = pc.cast(t.column("span_offset").combine_chunks(),
+                          pa.int32())
+        pred_col = pc.cast(t.column("pred").combine_chunks(), pa.string())
+
+        rel_keep = pc.fill_null(pc.and_kleene(
+            is_rel, pc.and_kleene(pc.is_valid(ent), pc.is_valid(ent2))),
+            False)
+        rel_t = pa.Table.from_arrays(
+            [uri1.filter(rel_keep), pred_col.filter(rel_keep),
+             uri2.filter(rel_keep), doc_col.filter(rel_keep),
+             off_col.filter(rel_keep), eid1.filter(rel_keep),
+             eid2.filter(rel_keep)],
             schema=LINKED_TRIPLES)
+
+        men_keep = pc.fill_null(
+            pc.and_kleene(pc.invert(is_rel), pc.is_valid(ent)), False)
+        m_doc = doc_col.filter(men_keep)
+        uniq_docs = pc.unique(m_doc)
+        doc_uris = pa.array(
+            [mint_uri("Document", d) for d in uniq_docs.to_pylist()],
+            pa.string())
+        m_subj = doc_uris.take(pc.index_in(m_doc, value_set=uniq_docs))
+        m_pred = pc.if_else(pc.equal(etype.filter(men_keep), "caption"),
+                            MEDIA_PREDICATE, "mentions")
+        n_men = len(m_doc)
+        men_t = pa.Table.from_arrays(
+            [m_subj, pc.cast(m_pred, pa.string()), uri1.filter(men_keep),
+             m_doc, off_col.filter(men_keep),
+             pa.array([""] * n_men, pa.string()), eid1.filter(men_keep)],
+            schema=LINKED_TRIPLES)
+
+        if rel_t.num_rows == 0 and men_t.num_rows == 0:
+            return LINKED_TRIPLES.empty_table()
+        return pa.concat_tables([rel_t, men_t])
 
     return j2.map_batches(assemble, batch_format="pyarrow")
