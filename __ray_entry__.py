@@ -282,6 +282,219 @@ def flagship_exact_sql(cfg=None, what: str = "triples") -> str:
 
 
 # ---------------------------------------------------------------------------
+# flagship FUZZY oracle: sha-drawn typos + deletion-variant resolution in SQL
+# ---------------------------------------------------------------------------
+
+
+def _flagship_fuzzy_cfg():
+    from raykg.config import KGConfig
+
+    return KGConfig(n_docs=400, typo_rate=0.3, batch_size=512,
+                    link_concurrency=2)
+
+
+def _flagship_fuzzy_result():
+    if "f" not in _flagship_memo:
+        from raykg import synth
+        from raykg.pipelines.kg import build_kg
+
+        cfg = _flagship_fuzzy_cfg()
+        _flagship_memo["f"] = build_kg(synth.sha_documents_dataset(cfg), cfg)
+    return _flagship_memo["f"]
+
+
+def flagship_fuzzy_sql(cfg=None, what: str = "triples") -> str:
+    """Single-statement DuckDB oracle for the flagship pipeline over the
+    SQL-exact corpus WITH sha-drawn typos (cfg.typo_rate > 0): corpus
+    generation (single-char deletions at deterministic sha positions),
+    extraction, and the engine's FUZZY linking rule — exact alias hit
+    first, else single-deletion-variant candidates scored by
+    character-shingle Jaccard with argmax (ties -> smallest alias string,
+    threshold cfg.link_jaccard_threshold) — then canonicalization and
+    materialization. This is the DuckDB twin of AliasIndex's
+    deletion-blocked resolution (stages/link.py:110-203; reference analog
+    src2/main/scala/LSH.scala:10-18), closing the one self-certified piece
+    of the flagship: the corrupted-surface path."""
+    from raykg import synth as _synth
+    from raykg.config import NODE_LABELS, PREDICATES
+    from raykg.functions.hashing import hex_threshold8
+
+    if cfg is None:
+        cfg = _flagship_fuzzy_cfg()
+    E, N, seed = cfg.num_entities, cfg.n_docs, cfg.seed
+    mod, rem = cfg.dup_entity_mod, cfg.dup_entity_rem
+    labels = "[" + ", ".join(f"'{x}'" for x in NODE_LABELS) + "]"
+    preds = "[" + ", ".join(f"'{p}'" for p in PREDICATES) + "]"
+    thr = cfg.link_jaccard_threshold
+    k_sh = cfg.link_shingle_k
+
+    def H(key: str) -> str:
+        return f"(('0x' || substr(sha256({key}), 1, 8))::UBIGINT)"
+
+    def K(tag: str) -> str:
+        return f"'{tag}|{seed}|' || di::VARCHAR || '|' || si::VARCHAR"
+
+    def LT(tag: str, p: float) -> str:
+        return f"substr(sha256({K(tag)}), 1, 8) < '{hex_threshold8(p)}'"
+
+    def TY(alias_expr: str, tag: str) -> str:
+        """apply_typo(alias, sha_int) under a Bernoulli(typo_rate) draw:
+        cut = pos % (len-2) + 1 (0-indexed char cut, never first/last),
+        i.e. keep substr(1..cut) || substr(cut+2..)."""
+        ythr = hex_threshold8(cfg.typo_rate)
+        pos = f"(({H(K('z' + tag))} % (len({alias_expr}) - 2))::BIGINT + 1)"
+        return (f"CASE WHEN substr(sha256({K('y' + tag)}), 1, 8) < '{ythr}' "
+                f"THEN substr({alias_expr}, 1, {pos}::INT) "
+                f"|| substr({alias_expr}, {pos}::INT + 2) "
+                f"ELSE {alias_expr} END")
+
+    def SH(e: str) -> str:
+        """char_shingles(s, k): distinct k-grams of '^' || s || '$'."""
+        p = f"('^' || {e} || '$')"
+        return (f"CASE WHEN len({p}) <= {k_sh} THEN [{p}] "
+                f"ELSE list_distinct(list_transform("
+                f"range(1, len({p}) - {k_sh - 2}), "
+                f"x -> substr({p}, x::INT, {k_sh}))) END")
+
+    body = f"""
+    WITH ent AS (
+      SELECT i, (i % {mod} = {rem} AND i > 0) AS dup,
+             CASE WHEN i % {mod} = {rem} AND i > 0 THEN i - 1 ELSE i END AS base
+      FROM range({E}) t(i)),
+    ent2 AS (
+      SELECT i, dup, {labels}[(base % {len(NODE_LABELS)}) + 1] AS label, base
+      FROM ent),
+    ent3 AS (
+      SELECT i, label,
+             lower(label) || '-' || lpad(base::VARCHAR, 6, '0') AS norm_name,
+             'sdpg.gr/' || label || '/'
+               || sha256('E' || lpad(i::VARCHAR, 6, '0')) AS uri
+      FROM ent2),
+    al3 AS (
+      SELECT i, [name, replace(name, '-', '_'),
+                 lower(substr(label, 1, 3)) || lpad(i::VARCHAR, 6, '0')] AS als
+      FROM (SELECT i, label,
+                   lower(label) || '-' || lpad(base::VARCHAR, 6, '0')
+                     || CASE WHEN dup THEN '-dup' ELSE '' END AS name
+            FROM ent2)),
+    aliases AS (SELECT i AS ent, unnest(als) AS alias FROM al3),
+    docs AS (
+      SELECT di, 'sdoc-' || lpad(di::VARCHAR, 8, '0') AS doc_id,
+             1 + ({H(f"'ns|{seed}|' || di::VARCHAR")}
+                  % {cfg.max_spans_per_doc})::BIGINT AS n_spans
+      FROM range({N}) t(di)),
+    spans AS (SELECT di, doc_id, unnest(range(0, n_spans)) AS si FROM docs),
+    sp AS (
+      SELECT di, doc_id, si,
+             {LT("md", cfg.media_span_rate)} AS is_media,
+             {LT("mc", _synth._SHA_DOC_CAP_P)} AS has_cap,
+             ({H(K("me"))} % {E})::BIGINT AS cap_ent,
+             ({H(K("ma"))} % 3)::BIGINT AS cap_ai,
+             {LT("tr", _synth._SHA_DOC_REL_P)} AS is_rel,
+             ({H(K("ts"))} % {E})::BIGINT AS subj0,
+             ({H(K("to"))} % {E})::BIGINT AS obj0,
+             ({H(K("tp"))} % {len(PREDICATES)})::BIGINT AS pred_i,
+             ({H(K("ta"))} % 3)::BIGINT AS subj_ai,
+             ({H(K("tb"))} % 3)::BIGINT AS obj_ai,
+             ({H(K("tm"))} % {E})::BIGINT AS ment,
+             ({H(K("tc"))} % 3)::BIGINT AS ment_ai
+      FROM spans),
+    rels AS (
+      SELECT r.di, r.doc_id, r.si, {preds}[r.pred_i + 1] AS pred,
+             {TY("(sa.als)[r.subj_ai + 1]", "ta")} AS ssurf,
+             {TY("(ob.als)[r.obj_ai + 1]", "tb")} AS osurf
+      FROM (SELECT di, doc_id, si, pred_i, subj_ai, obj_ai,
+                   subj0 AS se_raw,
+                   CASE WHEN obj0 = subj0 THEN (subj0 + 1) % {E}
+                        ELSE obj0 END AS oe_raw
+            FROM sp WHERE NOT is_media AND is_rel) r
+      JOIN al3 sa ON sa.i = r.se_raw
+      JOIN al3 ob ON ob.i = r.oe_raw),
+    ments AS (
+      SELECT sp.di, sp.doc_id, sp.si,
+             {TY("(m.als)[sp.ment_ai + 1]", "tc")} AS surf
+      FROM sp JOIN al3 m ON m.i = sp.ment
+      WHERE NOT is_media AND NOT is_rel),
+    caps AS (
+      SELECT sp.di, sp.doc_id, sp.si,
+             {TY("(c.als)[sp.cap_ai + 1]", "ma")} AS surf
+      FROM sp JOIN al3 c ON c.i = sp.cap_ent
+      WHERE is_media AND has_cap),
+    ev_s AS (
+      SELECT doc_id, si, 'mentions' AS pred,
+             NULL::VARCHAR AS ssurf, ssurf AS osurf FROM rels
+      UNION ALL SELECT doc_id, si, 'mentions', NULL::VARCHAR, osurf FROM rels
+      UNION ALL SELECT doc_id, si, 'mentions', NULL::VARCHAR, surf FROM ments
+      UNION ALL SELECT doc_id, si, 'depicts', NULL::VARCHAR, surf FROM caps
+      UNION ALL SELECT doc_id, si, pred, ssurf, osurf FROM rels),
+    surfs AS (
+      SELECT DISTINCT surf AS surface FROM (
+        SELECT ssurf AS surf FROM ev_s WHERE ssurf IS NOT NULL
+        UNION ALL SELECT osurf FROM ev_s)),
+    ex AS (
+      SELECT s.surface, min(a.ent) AS ent
+      FROM surfs s JOIN aliases a ON a.alias = s.surface GROUP BY 1),
+    miss AS (SELECT surface FROM surfs
+             WHERE surface NOT IN (SELECT surface FROM ex)),
+    vars AS (
+      SELECT ent, alias,
+             substr(alias, 1, q - 1) || substr(alias, q + 1) AS variant
+      FROM (SELECT ent, alias, unnest(range(1, len(alias) + 1)) AS q
+            FROM aliases)),
+    cand AS (
+      SELECT DISTINCT m.surface, v.alias, v.ent
+      FROM miss m JOIN vars v ON v.variant = m.surface),
+    scored AS (
+      SELECT surface, alias, ent,
+             len(list_intersect(ss, sa))::DOUBLE
+               / len(list_distinct(list_concat(ss, sa))) AS jac
+      FROM (SELECT surface, alias, ent, {SH("surface")} AS ss,
+                   {SH("alias")} AS sa
+            FROM cand)),
+    fz AS (
+      SELECT surface, ent FROM scored WHERE jac >= {thr}
+      QUALIFY row_number() OVER (PARTITION BY surface
+          ORDER BY jac DESC, alias) = 1),
+    res AS (SELECT surface, ent FROM ex
+            UNION ALL SELECT surface, ent FROM fz),
+    ev AS (
+      SELECT e.doc_id, e.si, e.pred, rs.ent AS se, ro.ent AS oe
+      FROM ev_s e
+      LEFT JOIN res rs ON rs.surface = e.ssurf
+      JOIN res ro ON ro.surface = e.osurf
+      WHERE e.ssurf IS NULL OR rs.ent IS NOT NULL),
+    obs AS (SELECT oe AS i FROM ev
+            UNION SELECT se FROM ev WHERE se IS NOT NULL),
+    canon AS (
+      SELECT e.i, e.label, e.uri,
+             min(e.uri) OVER (PARTITION BY e.norm_name) AS canon_uri
+      FROM ent3 e JOIN obs ON obs.i = e.i),
+    triples AS (
+      SELECT CASE WHEN ev.se IS NULL
+                  THEN 'sdpg.gr/Document/' || sha256(ev.doc_id)
+                  ELSE cs.canon_uri END AS subj,
+             ev.pred AS pred, co.canon_uri AS obj, ev.doc_id AS doc_id,
+             ev.si::INT AS span_offset
+      FROM ev
+      LEFT JOIN canon cs ON cs.i = ev.se
+      JOIN canon co ON co.i = ev.oe)
+    """
+    finals = {
+        "triples": "SELECT * FROM triples",
+        "edges": """
+            SELECT subj, pred, obj, count(*)::BIGINT AS count
+            FROM triples GROUP BY 1, 2, 3""",
+        "nodes": """
+            SELECT DISTINCT c.canon_uri AS uri, e.label AS label
+            FROM canon c JOIN ent3 e ON e.uri = c.canon_uri
+            UNION ALL
+            SELECT 'sdpg.gr/Document/' || sha256(doc_id), 'Document'
+            FROM docs""",
+    }
+    return body + finals[what]
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
@@ -372,6 +585,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "span_idx", "media_ref", "kind",
                              "width", "height"])
 
+    def kg_flagship_fuzzy_exact(sf_dir):
+        return _flagship_fuzzy_result().triples
+
+    def kg_flagship_fuzzy_exact_edges(sf_dir):
+        return _flagship_fuzzy_result().edges
+
     return {
         # relational operator surface (SURVEY §2)
         "pricing_summary": relational.pricing_summary,
@@ -429,6 +648,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_flagship_exact_edges": kg_flagship_exact_edges,
         "kg_flagship_exact_nodes": kg_flagship_exact_nodes,
         "kg_flagship_exact_node_types": kg_flagship_exact_node_types,
+        # same flagship over the typo'd sha corpus: the FUZZY linking path
+        # (deletion-variant blocking + shingle-Jaccard argmax) hash-checked
+        # end-to-end against a single DuckDB statement
+        "kg_flagship_fuzzy_exact": kg_flagship_fuzzy_exact,
+        "kg_flagship_fuzzy_exact_edges": kg_flagship_fuzzy_exact_edges,
         "media_features_exact": media_features_exact,
         # opaque-binary media columns: decode / resize / frame-sample over
         # real binary payloads (sha-derived bytes -> exact SQL oracles)
@@ -826,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_flagship_exact_edges": flagship_exact_sql(what="edges"),
         "kg_flagship_exact_nodes": flagship_exact_sql(what="nodes"),
         "kg_flagship_exact_node_types": flagship_exact_sql(what="node_types"),
+        "kg_flagship_fuzzy_exact": flagship_fuzzy_sql(what="triples"),
+        "kg_flagship_fuzzy_exact_edges": flagship_fuzzy_sql(what="edges"),
         "media_features_exact": flagship_exact_sql(what="media"),
         "ann_lsh": """
             WITH dots AS (

@@ -280,12 +280,22 @@ def sha_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
                                      % len(FILLER_WORDS)]
                         for j in range(n)]
 
+            def typo(alias: str, tag: str) -> str:
+                # sha-drawn single-char deletion (fuzzy-linking twin of the
+                # tape corpus's typo_rate) — never drawn at typo_rate == 0,
+                # so the exact corpus is bit-identical to before
+                if cfg.typo_rate <= 0 or not _sha_lt(k("y" + tag),
+                                                     cfg.typo_rate):
+                    return alias
+                return apply_typo(alias, sha_int(k("z" + tag)))
+
             if _sha_lt(k("md"), cfg.media_span_rate):
                 kind = "image" if _sha_lt(k("mk"), _SHA_DOC_IMG_P) else "audio"
                 ref = "media://" + sha_hex(f"{doc_id}:{si}")[:16]
                 if _sha_lt(k("mc"), _SHA_DOC_CAP_P):
                     ent = sha_int(k("me")) % E
-                    alias = entity_aliases(ent, cfg)[sha_int(k("ma")) % 3]
+                    alias = typo(
+                        entity_aliases(ent, cfg)[sha_int(k("ma")) % 3], "ma")
                     caption = f"{kind} of {alias}"
                 else:
                     caption = ""
@@ -299,12 +309,15 @@ def sha_doc_rows(doc_indices: np.ndarray, cfg: KGConfig) -> pa.Table:
                     if obj == subj:
                         obj = (subj + 1) % E
                     pred = _PRED_IDS[sha_int(k("tp")) % len(_PRED_IDS)]
-                    tokens.append(entity_aliases(subj, cfg)[sha_int(k("ta")) % 3])
+                    tokens.append(typo(
+                        entity_aliases(subj, cfg)[sha_int(k("ta")) % 3], "ta"))
                     tokens += list(PREDICATES[pred])
-                    tokens.append(entity_aliases(obj, cfg)[sha_int(k("tb")) % 3])
+                    tokens.append(typo(
+                        entity_aliases(obj, cfg)[sha_int(k("tb")) % 3], "tb"))
                 else:
                     ent = sha_int(k("tm")) % E
-                    tokens.append(entity_aliases(ent, cfg)[sha_int(k("tc")) % 3])
+                    tokens.append(typo(
+                        entity_aliases(ent, cfg)[sha_int(k("tc")) % 3], "tc"))
                 tokens += fill("tg", 2)
                 spans.append({"kind": "text", "text": " ".join(tokens),
                               "media_ref": "", "offset": si})

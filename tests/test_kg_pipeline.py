@@ -114,6 +114,52 @@ def test_flagship_exact_matches_duckdb(ray_session):
     assert got_nodes == want_nodes
 
 
+def test_flagship_fuzzy_matches_duckdb(ray_session):
+    """The flagship over the TYPO'D sha corpus (typo_rate > 0) must
+    reproduce the fuzzy DuckDB oracle bit-for-bit — this drives the
+    deletion-variant + shingle-Jaccard-argmax resolution path (the
+    corrupted-surface half of the linker) through an external oracle, not
+    just the engine's own single-process twin."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    cfg = KGConfig(n_docs=120, typo_rate=0.3, batch_size=64,
+                   link_concurrency=2)
+    res = build_kg(synth.sha_documents_dataset(cfg), cfg)
+    got = {(r["subj"], r["pred"], r["obj"], r["doc_id"], r["span_offset"])
+           for r in res.triples.take_all()}
+    want = set(map(tuple, duckdb.sql(
+        e.flagship_fuzzy_sql(cfg, "triples")).fetchall()))
+    assert got == want
+    assert len(got) > 100
+
+    got_edges = {(r["subj"], r["pred"], r["obj"], r["count"])
+                 for r in res.edges.take_all()}
+    want_edges = set(map(tuple, duckdb.sql(
+        e.flagship_fuzzy_sql(cfg, "edges")).fetchall()))
+    assert got_edges == want_edges
+
+
+def test_fuzzy_link_modes_agree_on_sha_corpus(ray_session):
+    """All three link modes must agree on the typo'd sha corpus (the
+    distributed/hybrid deletion-variant joins vs the broadcast index)."""
+    cfg = KGConfig(n_docs=120, typo_rate=0.3, batch_size=64,
+                   link_concurrency=2)
+
+    def tset(ds):
+        return {(r["subj"], r["pred"], r["obj"], r["doc_id"],
+                 r["span_offset"]) for r in ds.take_all()}
+
+    want = tset(build_kg(synth.sha_documents_dataset(cfg), cfg).triples)
+    assert tset(build_kg(synth.sha_documents_dataset(cfg), cfg,
+                         canon_broadcast_limit=0,
+                         link_mode="distributed").triples) == want
+    assert tset(build_kg(synth.sha_documents_dataset(cfg), cfg,
+                         canon_broadcast_limit=0,
+                         link_mode="hybrid").triples) == want
+
+
 def test_join_rewrite_path_matches_broadcast(ray_session):
     """Forcing the join-based canonicalization scale path
     (canon_broadcast_limit=0) must produce the identical triple and edge
