@@ -228,25 +228,44 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
 
 def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
                checkpoint_dir: str | None,
-               canon_broadcast_limit: int) -> KGResult:
+               canon_broadcast_limit: int,
+               triples_snapshot: tuple | None = None) -> KGResult:
     """Shared canonicalize + materialize tail for build_kg and
-    build_kg_resumable (path selection documented on build_kg)."""
+    build_kg_resumable (path selection documented on build_kg).
+
+    ``triples_snapshot``: optional ``(LineageCheckpoint, fingerprint)`` —
+    the rewritten triples commit atomically as checkpoint partition 0, and
+    a resumed run whose snapshot is already committed SKIPS the rewrite
+    entirely (the lazy rewrite dataset is never executed) and streams the
+    snapshot instead."""
     groups = canonical_groups(observed_entities(linked), cfg).materialize()
+
+    def _commit_or_read(make_triples):
+        """Triples pin selection: snapshot commit > plain checkpoint dir >
+        in-memory materialize handled by the caller."""
+        if triples_snapshot is not None:
+            tck, fp = triples_snapshot
+            tck.run_partition(0, make_triples, fingerprint=fp)
+            return tck.dataset()
+        if checkpoint_dir:
+            write_table(make_triples(),
+                        _fresh_dir(f"{checkpoint_dir}/triples"))
+            return read_table(f"{checkpoint_dir}/triples")
+        return None
 
     if groups.count() > canon_broadcast_limit:
         # --- shuffle-based scale path: no driver-side canon map ---
         # bucket count >= cluster cores so every node gets exchange work
         total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        triples = rewrite_triples_joined(
-            linked, groups, num_buckets=max(512, total_cpus * 16))
-        if checkpoint_dir:
-            write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
-            triples = read_table(f"{checkpoint_dir}/triples")
-        else:
+        triples = _commit_or_read(lambda: rewrite_triples_joined(
+            linked, groups, num_buckets=max(512, total_cpus * 16)))
+        if triples is None:
             # pinned: both the caller and the edge dedup consume it, and the
             # two rewrite joins must not re-execute per consumer
-            triples = triples.materialize()
+            triples = rewrite_triples_joined(
+                linked, groups,
+                num_buckets=max(512, total_cpus * 16)).materialize()
         edges = dedup_edges(triples)
         nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
         return KGResult(triples=triples, nodes=nodes, edges=edges,
@@ -258,12 +277,11 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
     ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
                if r["entity_id"] != r["canon_ent"]}
 
-    triples = rewrite_triples(linked, canon_map)
-    if checkpoint_dir:
-        write_table(triples, _fresh_dir(f"{checkpoint_dir}/triples"))
-        triples = read_table(f"{checkpoint_dir}/triples")
-    # else: leave lazy — a map-only stage over the pinned ``linked`` table;
-    # materializing it only paid an extra multi-GB object-store round trip.
+    triples = _commit_or_read(lambda: rewrite_triples(linked, canon_map))
+    if triples is None:
+        # leave lazy — a map-only stage over the pinned ``linked`` table;
+        # materializing it only paid an extra multi-GB object-store round trip
+        triples = rewrite_triples(linked, canon_map)
 
     edges = dedup_edges_ids(linked, ent_map, cfg)
     nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
@@ -274,13 +292,19 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
 def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                        n_shards: int = 8,
                        fail_after_shards: int | None = None,
-                       canon_broadcast_limit: int = 2_000_000) -> KGResult:
+                       canon_broadcast_limit: int = 2_000_000,
+                       snapshot_triples: bool = True) -> KGResult:
     """Flagship pipeline over the synthetic corpus with per-partition lineage
     checkpointing (north rule). The dominant extract+link phase runs shard by
     shard; each shard's LINKED_TRIPLES output commits atomically with a
     lineage manifest (rows + doc counters), so a killed run resumes by
     skipping committed shards. Downstream (canonicalize / materialize)
     streams over the union of committed shards.
+
+    With ``snapshot_triples`` (default), the canonical-rewrite output also
+    commits atomically (``<checkpoint_dir>/triples`` partition 0): a run
+    killed AFTER that commit resumes by skipping linking AND the rewrite —
+    only edge dedup / node minting re-execute, streaming from the snapshot.
 
     ``fail_after_shards`` is a test hook: raise after that many shards have
     been newly committed (simulates a mid-job crash).
@@ -309,11 +333,16 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                     f"injected failure after {ran} shards (test hook)")
 
     linked = ckpt.dataset()
-    # downstream triples stay lazy over the committed shards (checkpoint_dir
-    # here holds the per-shard lineage, not a triples snapshot)
+    snapshot = None
+    if snapshot_triples:
+        snapshot = (LineageCheckpoint(f"{checkpoint_dir}/triples"),
+                    {"n_docs": cfg.n_docs, "n_shards": n_shards,
+                     "cfg": cfg_hash, "stage": "triples",
+                     "canon_broadcast_limit": canon_broadcast_limit})
     return _finish_kg(linked, synth.documents_dataset(cfg), cfg,
                       checkpoint_dir=None,
-                      canon_broadcast_limit=canon_broadcast_limit)
+                      canon_broadcast_limit=canon_broadcast_limit,
+                      triples_snapshot=snapshot)
 
 
 def _fresh_dir(path: str) -> str:

@@ -76,6 +76,37 @@ def test_build_kg_checkpoint_rerun_no_duplicates(ray_session, tmp_path):
     assert _triple_set(second.triples) == first_set
 
 
+def test_triples_snapshot_resume(ray_session, tmp_path):
+    """The canonical-rewrite output commits as its own checkpoint partition:
+    a re-run skips the rewrite (manifest untouched), and a run killed during
+    the rewrite (linked shards committed, snapshot absent) resumes without
+    re-linking."""
+    import shutil
+
+    root = str(tmp_path / "ckpt3")
+    r1 = build_kg_resumable(CFG, root, n_shards=2)
+    t1 = _triple_set(r1.triples)
+    tck = LineageCheckpoint(f"{root}/triples")
+    m1 = tck.committed_parts()[0]
+    assert m1["rows"] == len(t1)
+
+    # clean re-run: linking AND rewrite both skip
+    r2 = build_kg_resumable(CFG, root, n_shards=2)
+    assert tck.committed_parts()[0]["committed_at"] == m1["committed_at"]
+    assert _triple_set(r2.triples) == t1
+
+    # crash-during-rewrite scenario: linked shards committed, snapshot not.
+    # Resume must not re-run any linking shard.
+    shutil.rmtree(f"{root}/triples")
+    linked = LineageCheckpoint(f"{root}/linked")
+    stamps = {p: m["committed_at"]
+              for p, m in linked.committed_parts().items()}
+    r3 = build_kg_resumable(CFG, root, n_shards=2)
+    assert {p: m["committed_at"]
+            for p, m in linked.committed_parts().items()} == stamps
+    assert _triple_set(r3.triples) == t1
+
+
 def test_skip_is_free(ray_session, tmp_path):
     root = str(tmp_path / "ckpt2")
     build_kg_resumable(CFG, root, n_shards=2)
