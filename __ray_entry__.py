@@ -615,6 +615,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text.quality_score(_docs(sf)),
         "lang_id": lambda sf: text.lang_id(_docs(sf)),
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
+        "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
+        "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
+        # PII-shaped redaction over a deterministic sha-derived corpus (the
+        # testdata text is clean words; injected emails/digit runs make the
+        # regexes real) — DuckDB regenerates the corpus and redacts with
+        # identical RE2 patterns
+        "redact_pii": lambda sf: text.redact_pii(text.synth_pii_docs(2000)),
         # corpus-level training-data ops
         "neardup_keep": lambda sf: corpus.neardup_keep(_docs(sf)),
         "neardup_components": lambda sf: corpus.neardup_components(_docs(sf)),
@@ -955,6 +962,61 @@ def oracle_sql() -> dict[str, str]:
                                   list_slice(toks, i, i + 2), ' ')), 1, 12)))
                    END AS fingerprint
             FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         unnest(range(0, greatest(1, len(toks) - 16), 48)) AS s
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id, (s // 48)::INT AS chunk_idx,
+                   array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS text,
+                   least(64, len(toks) - s)::BIGINT AS n_tokens
+            FROM c""",
+        "repetition_ratio": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, len(toks) - 1 AS total,
+                         unnest(list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                  FROM t WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, max(total) AS total, gram, count(*) AS n
+                  FROM g GROUP BY doc_id, gram),
+            m AS (SELECT doc_id,
+                         round(max(n) / max(total)::DOUBLE, 4) AS rep_ratio
+                  FROM c GROUP BY 1)
+            SELECT t.doc_id, coalesce(m.rep_ratio, 0.0) AS rep_ratio
+            FROM t LEFT JOIN m ON m.doc_id = t.doc_id""",
+        "redact_pii": """
+            WITH b AS (SELECT i,
+              (['alpha', 'beta', 'gamma', 'delta'])[
+                  (('0x' || substr(sha256('pii_w|42|' || i::VARCHAR), 1, 8)
+                   )::UBIGINT % 4 + 1)::INT] AS w,
+              substr(sha256('pii_e|42|' || i::VARCHAR), 1, 8)
+                  < '4ccccccc' AS he,
+              substr(sha256('pii_n|42|' || i::VARCHAR), 1, 8)
+                  < '80000000' AS hn,
+              ('0x' || substr(sha256('pii_u|42|' || i::VARCHAR), 1, 8)
+               )::UBIGINT % 100000 AS u,
+              ('0x' || substr(sha256('pii_m|42|' || i::VARCHAR), 1, 8)
+               )::UBIGINT % 10 AS m,
+              lpad((('0x' || substr(sha256('pii_d|42|' || i::VARCHAR), 1, 8)
+                    )::UBIGINT % 1000000000)::VARCHAR, 9, '0') AS d
+              FROM range(2000) t(i)),
+            docs AS (SELECT i AS doc_id,
+              w || CASE WHEN he THEN ' contact user' || u::VARCHAR
+                        || '@mail' || m::VARCHAR || '.com' ELSE '' END
+                || CASE WHEN hn THEN ' ref ' || d ELSE '' END
+                || ' end' AS text
+              FROM b),
+            r AS (SELECT doc_id,
+              len(regexp_extract_all(text, '<EPAT>')) AS n_emails,
+              regexp_replace(text, '<EPAT>', '[EMAIL]', 'g') AS t1
+              FROM docs)
+            SELECT doc_id,
+                   regexp_replace(t1, '<NPAT>', '[NUM]', 'g') AS clean_text,
+                   n_emails::BIGINT AS n_emails,
+                   len(regexp_extract_all(t1, '<NPAT>'))::BIGINT AS n_numbers
+            FROM r""".replace(
+                "<EPAT>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+            ).replace("<NPAT>", r"\d{7,}"),
         "exact_dedup": """
             SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY 1""",

@@ -101,6 +101,137 @@ def lang_id(documents: rd.Dataset) -> rd.Dataset:
         batch, batch_format="pyarrow")
 
 
+def chunk_documents(documents: rd.Dataset, chunk_tokens: int = 64,
+                    overlap: int = 16) -> rd.Dataset:
+    """Fixed-size token-window chunking with overlap — the passage-splitting
+    step of a training-data pipeline (documents -> model-context-sized
+    chunks). One row per chunk: (doc_id, chunk_idx, text, n_tokens).
+
+    Window rule (shared with the SQL oracle): starts at multiples of
+    ``chunk_tokens - overlap``; a new window opens only while it adds tokens
+    beyond the previous window's overlap (``start < n_tokens - overlap``),
+    so a short tail is absorbed into the last chunk instead of emitting a
+    fully-contained duplicate. Empty documents emit no chunks. Stateless
+    map_batches — scales by adding blocks, no shuffle."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, ntoks = [], [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            n = len(toks)
+            if n == 0:
+                continue
+            for ci, start in enumerate(range(0, max(1, n - overlap), step)):
+                window = toks[start:start + chunk_tokens]
+                doc_ids.append(d)
+                idxs.append(ci)
+                texts.append(" ".join(window))
+                ntoks.append(len(window))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+        })
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
+def repetition_ratio(documents: rd.Dataset) -> rd.Dataset:
+    """(doc_id, rep_ratio): frequency of the most repeated sequential token
+    bigram over the total bigram count (boilerplate / low-entropy detector;
+    rounds to 4). Documents with fewer than 2 tokens score 0.0."""
+    from collections import Counter
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        out = []
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            if len(toks) < 2:
+                out.append(0.0)
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            out.append(round_half_away(max(c.values()) / (len(toks) - 1), 4))
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "rep_ratio": pa.array(out, pa.float64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
+# --- PII-style redaction ----------------------------------------------------
+# RE2-compatible patterns (identical semantics in Python re and DuckDB
+# regexp_replace/regexp_extract_all): email-shaped tokens and long digit
+# runs. Order matters and is part of the contract: emails are redacted
+# FIRST (their digits must not double-count as number runs).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER = r"\d{7,}"
+_EMAIL_RE = re.compile(PII_EMAIL)
+_NUMBER_RE = re.compile(PII_NUMBER)
+
+
+def synth_pii_docs(n: int = 2000, seed: int = 42) -> rd.Dataset:
+    """Deterministic sha-derived corpus with injected PII-shaped strings
+    (the testdata documents are clean word text, which would make redaction
+    a no-op): ~30% of docs carry an email, ~50% a long digit run. Every
+    byte is a pure function of (seed, i) — DuckDB regenerates it exactly."""
+    _VOCAB = ("alpha", "beta", "gamma", "delta")
+
+    def gen(b) -> pa.Table:
+        ids, texts = [], []
+        for i in b["id"].tolist():
+            parts = [_VOCAB[int(sha_hex(f"pii_w|{seed}|{i}")[:8], 16)
+                            % len(_VOCAB)]]
+            if sha_hex(f"pii_e|{seed}|{i}")[:8] < "4ccccccc":   # p=0.3
+                u = int(sha_hex(f"pii_u|{seed}|{i}")[:8], 16) % 100000
+                m = int(sha_hex(f"pii_m|{seed}|{i}")[:8], 16) % 10
+                parts += ["contact", f"user{u}@mail{m}.com"]
+            if sha_hex(f"pii_n|{seed}|{i}")[:8] < "80000000":   # p=0.5
+                d = int(sha_hex(f"pii_d|{seed}|{i}")[:8], 16) % 10**9
+                parts += ["ref", f"{d:09d}"]
+            parts.append("end")
+            ids.append(int(i))
+            texts.append(" ".join(parts))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return rd.range(n, override_num_blocks=max(1, n // 500)).map_batches(
+        gen, batch_format="numpy")
+
+
+def redact_pii(documents: rd.Dataset) -> rd.Dataset:
+    """(doc_id, clean_text, n_emails, n_numbers): emails then long digit
+    runs replaced by [EMAIL] / [NUM] placeholders, with per-doc match
+    counts. Compiled-regex map_batches — stateless, no shuffle."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        clean, n_em, n_num = [], [], []
+        for s in t.column("text").to_pylist():
+            emails = _EMAIL_RE.findall(s)
+            s1 = _EMAIL_RE.sub("[EMAIL]", s)
+            nums = _NUMBER_RE.findall(s1)
+            clean.append(_NUMBER_RE.sub("[NUM]", s1))
+            n_em.append(len(emails))
+            n_num.append(len(nums))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_numbers": pa.array(n_num, pa.int64()),
+        })
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
 def fingerprint(documents: rd.Dataset, gram: int = 3) -> rd.Dataset:
     """Document fingerprint: minimum sha256[:12] over token `gram`-grams
     (a 1-hash MinHash / winnowing-style content fingerprint). Documents
