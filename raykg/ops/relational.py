@@ -683,35 +683,46 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     if not fits_packed:
         return _kg_edges_wide(sf_dir)
 
-    def make_partial(esrc: int, src_key: str, dst_key: str):
+    def one_edge_partial(t: pa.Table, esrc: int, src_key: str,
+                         dst_key: str) -> pa.Table:
+        g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
+                      "dk": pc.cast(t.column(dst_key), pa.int64())}) \
+            .group_by(["sk", "dk"]).aggregate([([], "count_all")])
+        sk = g.column("sk").to_numpy(zero_copy_only=False)
+        dk = g.column("dk").to_numpy(zero_copy_only=False)
+        if sk.size and not (0 <= int(sk.min())
+                            and int(sk.max()) < (1 << 30)
+                            and 0 <= int(dk.min())
+                            and int(dk.max()) < (1 << 30)):
+            # a real exception, not an assert (stripped under -O):
+            # out-of-range keys would silently bleed into other fields
+            raise ValueError(
+                "kg_edges int-packed key requires FK values in "
+                f"[0, 2^30); got range [{sk.min()}, {sk.max()}] / "
+                f"[{dk.min()}, {dk.max()}]")
+        packed = (np.int64(esrc) << np.int64(60)) \
+            | (sk.astype(np.int64) << np.int64(30)) | dk.astype(np.int64)
+        return pa.table({"k": pa.array(packed, pa.int64()),
+                         "n": g.column("count_all")})
+
+    def make_partial(specs: list[tuple[int, str, str]]):
         def partial(t: pa.Table) -> pa.Table:
-            g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
-                          "dk": pc.cast(t.column(dst_key), pa.int64())}) \
-                .group_by(["sk", "dk"]).aggregate([([], "count_all")])
-            sk = g.column("sk").to_numpy(zero_copy_only=False)
-            dk = g.column("dk").to_numpy(zero_copy_only=False)
-            if sk.size and not (0 <= int(sk.min())
-                                and int(sk.max()) < (1 << 30)
-                                and 0 <= int(dk.min())
-                                and int(dk.max()) < (1 << 30)):
-                # a real exception, not an assert (stripped under -O):
-                # out-of-range keys would silently bleed into other fields
-                raise ValueError(
-                    "kg_edges int-packed key requires FK values in "
-                    f"[0, 2^30); got range [{sk.min()}, {sk.max()}] / "
-                    f"[{dk.min()}, {dk.max()}]")
-            packed = (np.int64(esrc) << np.int64(60)) \
-                | (sk.astype(np.int64) << np.int64(30)) | dk.astype(np.int64)
-            return pa.table({"k": pa.array(packed, pa.int64()),
-                             "n": g.column("count_all")})
+            return pa.concat_tables([
+                one_edge_partial(t, esrc, sk, dk) for esrc, sk, dk in specs])
         return partial
 
     from raykg.functions.shuffle import bucketed_group_agg
 
-    parts = []
+    # ONE scan per source table (lineitem feeds two edge types — reading it
+    # once with the union of key columns halves the dominant read)
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
     for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
-        ds = _read(sf_dir, table, [src_key, dst_key])
-        parts.append(ds.map_batches(make_partial(esrc, src_key, dst_key),
+        by_table.setdefault(table, []).append((esrc, src_key, dst_key))
+    parts = []
+    for table, specs in by_table.items():
+        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
+        ds = _read(sf_dir, table, cols)
+        parts.append(ds.map_batches(make_partial(specs),
                                     batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
@@ -755,24 +766,34 @@ def _kg_edges_wide(sf_dir: str) -> rd.Dataset:
     dedup-first plan and identical output; the exchange key is
     ``"<esrc>\\x1f<sk>\\x1f<dk>"`` (unbounded key space, more bytes)."""
 
-    def make_partial(esrc: int, src_key: str, dst_key: str):
+    def one_edge_partial(t: pa.Table, esrc: int, src_key: str,
+                         dst_key: str) -> pa.Table:
+        g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
+                      "dk": pc.cast(t.column(dst_key), pa.int64())}) \
+            .group_by(["sk", "dk"]).aggregate([([], "count_all")])
+        k = pc.binary_join_element_wise(
+            pa.array([str(esrc)] * g.num_rows, pa.string()),
+            pc.cast(g.column("sk"), pa.string()),
+            pc.cast(g.column("dk"), pa.string()), "\x1f")
+        return pa.table({"k": k, "n": g.column("count_all")})
+
+    def make_partial(specs: list[tuple[int, str, str]]):
         def partial(t: pa.Table) -> pa.Table:
-            g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
-                          "dk": pc.cast(t.column(dst_key), pa.int64())}) \
-                .group_by(["sk", "dk"]).aggregate([([], "count_all")])
-            k = pc.binary_join_element_wise(
-                pa.array([str(esrc)] * g.num_rows, pa.string()),
-                pc.cast(g.column("sk"), pa.string()),
-                pc.cast(g.column("dk"), pa.string()), "\x1f")
-            return pa.table({"k": k, "n": g.column("count_all")})
+            return pa.concat_tables([
+                one_edge_partial(t, esrc, sk, dk) for esrc, sk, dk in specs])
         return partial
 
     from raykg.functions.shuffle import bucketed_group_agg
 
-    parts = []
+    # one scan per source table, as in the packed path
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
     for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
-        ds = _read(sf_dir, table, [src_key, dst_key])
-        parts.append(ds.map_batches(make_partial(esrc, src_key, dst_key),
+        by_table.setdefault(table, []).append((esrc, src_key, dst_key))
+    parts = []
+    for table, specs in by_table.items():
+        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
+        ds = _read(sf_dir, table, cols)
+        parts.append(ds.map_batches(make_partial(specs),
                                     batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
