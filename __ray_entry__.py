@@ -626,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep": lambda sf: corpus.neardup_keep(_docs(sf)),
         "neardup_components": lambda sf: corpus.neardup_components(_docs(sf)),
         "hash_split": lambda sf: corpus.hash_split(_docs(sf)),
+        "pack_sequences": lambda sf: corpus.pack_sequences(_docs(sf)),
+        "stratified_sample": lambda sf: corpus.stratified_sample(
+            _docs(sf), {"src0": 0.2, "src1": 0.8}, default_rate=0.5),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
         "cross_source_overlap":
             lambda sf: corpus.cross_source_overlap(_docs(sf)),
@@ -644,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": lambda sf: ann.ann_ivf(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
         # flagship KG pipeline + multimodal (rows-only: tape span corpus)
         "kg_flagship_triples": kg_flagship_triples,
         "kg_flagship_node_types": kg_flagship_node_types,
@@ -1054,6 +1058,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split
             FROM documents""".replace("<THRV>", _hex8(0.1))
                             .replace("<THRT>", _hex8(0.2)),
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   ((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // 256)::BIGINT AS bin
+            FROM t""",
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(sha256('ssamp|42|' || doc_id::VARCHAR), 1, 8) <
+                  CASE source WHEN 'src0' THEN '<T02>'
+                              WHEN 'src1' THEN '<T08>'
+                              ELSE '<T05>' END""".replace(
+                "<T02>", _hex8(0.2)).replace(
+                "<T08>", _hex8(0.8)).replace("<T05>", _hex8(0.5)),
+        "quantize_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            m AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+                         list_aggregate(v, 'max') AS mx FROM e)
+            SELECT vec_id, mn AS vmin, mx AS vmax,
+                   CASE WHEN mx = mn
+                        THEN array_to_string(list_transform(v, x -> 0), '_')
+                        ELSE array_to_string(list_transform(v,
+                             x -> round((x - mn) * 255.0
+                                        / (mx - mn))::BIGINT), '_')
+                   END AS codes
+            FROM m""",
         "top_ngrams": f"""
             SELECT gram, count(*)::BIGINT AS n
             FROM (SELECT unnest({_grams_sql(2)}) AS gram FROM documents)

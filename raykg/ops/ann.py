@@ -317,3 +317,36 @@ def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     partial = embeddings.map_batches(BucketScan, batch_format="pyarrow",
                                      concurrency=(1, 8), batch_size=4096)
     return _merge_topk(partial, k)
+
+
+def quantize_embeddings(embeddings: rd.Dataset) -> rd.Dataset:
+    """Per-vector int8 scalar quantization (the storage-compression step of
+    an embedding pipeline): code_i = round((v_i - min) * 255 / (max - min))
+    half-away-from-zero; constant vectors (max == min) code to all zeros.
+    Output: (vec_id, vmin, vmax, codes) with codes '_'-joined so the DuckDB
+    oracle can hash it as a plain string column. Stateless map_batches; all
+    arithmetic in float64 (bit-identical to the SQL oracle's DOUBLE)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("vec_id"), pa.int64())
+        vmin, vmax, codes = [], [], []
+        for vec in t.column("embedding").to_pylist():
+            v = np.asarray(vec, dtype=np.float64)
+            mn, mx = float(v.min()), float(v.max())
+            vmin.append(mn)
+            vmax.append(mx)
+            if mx == mn:
+                q = np.zeros(len(v), dtype=np.int64)
+            else:
+                q = round_half_away((v - mn) * 255.0 / (mx - mn), 0) \
+                    .astype(np.int64)
+            codes.append("_".join(str(int(x)) for x in q))
+        return pa.table({
+            "vec_id": ids,
+            "vmin": pa.array(vmin, pa.float64()),
+            "vmax": pa.array(vmax, pa.float64()),
+            "codes": pa.array(codes, pa.string()),
+        })
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        batch, batch_format="pyarrow")

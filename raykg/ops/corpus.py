@@ -272,6 +272,94 @@ def hash_split(documents: rd.Dataset, val_frac: float = 0.1,
         assign, batch_format="pyarrow")
 
 
+def pack_sequences(documents: rd.Dataset, target_tokens: int = 256,
+                   bucket_docs: int = 4096) -> rd.Dataset:
+    """Sequence packing for training: assign each doc (in doc_id order) to a
+    token bin of ~``target_tokens`` via the cumulative-offset rule
+    ``bin = tokens_before_this_doc // target_tokens`` — the standard
+    streaming approximation of greedy packing (a doc may straddle a bin
+    boundary; no bin assignment ever depends on a later doc).
+    Output: (doc_id, n_tokens, bin).
+
+    Distributed prefix sum, no global sort: docs range-bucket by
+    ``doc_id // bucket_docs``; per-bucket token sums (one small aggregate,
+    bucket-count-sized) turn into exclusive offsets broadcast to a
+    per-bucket pass that sorts WITHIN its bucket and cumsums locally.
+    Envelope: the offset table is ~1 row per ``bucket_docs`` docs."""
+    import numpy as np
+
+    import ray
+
+    from raykg.ops.text import _tokens
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        n = pa.array([len(_tokens(s))
+                      for s in t.column("text").to_pylist()], pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": n,
+            "bucket": pc.cast(pc.divide(ids, bucket_docs), pa.int64()),
+        })
+
+    # narrow (3 int cols) and consumed twice -> pin it
+    tok = documents.select_columns(["doc_id", "text"]).map_batches(
+        tok_rows, batch_format="pyarrow").materialize()
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("n_tokens", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "s": g.column("n_tokens_sum")})
+
+    sums: dict[int, int] = {}
+    for row in tok.map_batches(bucket_sums,
+                               batch_format="pyarrow").take_all():
+        sums[row["bucket"]] = sums.get(row["bucket"], 0) + row["s"]
+    offsets = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    off_ref = ray.put(offsets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref) if isinstance(off_ref, ray.ObjectRef) \
+            else off_ref
+        t = t.sort_by([("doc_id", "ascending")])
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        before = np.concatenate(([0], np.cumsum(n)[:-1])) \
+            + off[t.column("bucket")[0].as_py()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "bin": pa.array(before // target_tokens, pa.int64()),
+        })
+
+    return tok.groupby("bucket").map_groups(finalize, batch_format="pyarrow")
+
+
+def stratified_sample(documents: rd.Dataset, rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      seed: int = 42) -> rd.Dataset:
+    """(doc_id, source) for docs surviving a per-source deterministic
+    sampling rate (corpus mixing/reweighting): keep iff
+    sha256('ssamp|seed|doc_id')[:8] < hex(rate(source) * 2^32). Stable
+    under repartitioning and re-runs, like hash_split."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        mask = [sha_hex(f"ssamp|{seed}|{d}")[:8]
+                < hex_threshold8(rates.get(s, default_rate))
+                for d, s in zip(ids, srcs)]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "source": t.column("source")})
+
+    return documents.select_columns(["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def top_ngrams(documents: rd.Dataset, k: int = 20,
                gram: int = 2) -> rd.Dataset:
     """Global top-k token n-grams by count (ties -> lexicographically

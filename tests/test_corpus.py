@@ -124,3 +124,46 @@ def test_neardup_components_many_clusters_stay_separate(ray_session):
            for r in corpus.neardup_components(rd.from_arrow(docs)).take_all()}
     want = {c * 10 + m: c * 10 for c in range(60) for m in range(3)}
     assert got == want
+
+
+def test_pack_sequences_partitioning_and_bucket_invariant(ray_session):
+    """Bin assignment is a pure function of (doc_id order, token counts):
+    identical across block layouts AND across range-bucket widths (the
+    distributed prefix-sum's offsets must compose exactly)."""
+    t = pa.table({
+        "doc_id": pa.array(list(range(50)), pa.int64()),
+        "text": pa.array([("w " * ((i * 7) % 13 + 1)).strip()
+                          for i in range(50)], pa.string()),
+    })
+
+    def run(ds, **kw):
+        return sorted((r["doc_id"], r["n_tokens"], r["bin"]) for r in
+                      corpus.pack_sequences(ds, target_tokens=20,
+                                            **kw).take_all())
+
+    base = run(rd.from_arrow(t))
+    assert run(rd.from_arrow(t).repartition(7)) == base
+    assert run(rd.from_arrow(t).repartition(7), bucket_docs=8) == base
+    # exact rule: bin = tokens_before // target, in doc_id order
+    cum = 0
+    for doc_id, n, b in base:
+        assert b == cum // 20
+        cum += n
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["a" if i % 2 else "b" for i in range(n)],
+                           pa.string()),
+    })
+    out = corpus.stratified_sample(rd.from_arrow(t), {"a": 0.9, "b": 0.1})
+    rows = sorted((r["doc_id"], r["source"]) for r in out.take_all())
+    # deterministic under resharding
+    out2 = corpus.stratified_sample(rd.from_arrow(t).repartition(9),
+                                    {"a": 0.9, "b": 0.1})
+    assert sorted((r["doc_id"], r["source"]) for r in out2.take_all()) == rows
+    n_a = sum(1 for _, s in rows if s == "a")
+    n_b = sum(1 for _, s in rows if s == "b")
+    assert 150 < n_a <= 200 and 0 < n_b < 50   # ~90% of 200, ~10% of 200
