@@ -340,10 +340,13 @@ def flagship_fuzzy_sql(cfg=None, what: str = "triples") -> str:
     def TY(alias_expr: str, tag: str) -> str:
         """apply_typo(alias, sha_int) under a Bernoulli(typo_rate) draw:
         cut = pos % (len-2) + 1 (0-indexed char cut, never first/last),
-        i.e. keep substr(1..cut) || substr(cut+2..)."""
+        i.e. keep substr(1..cut) || substr(cut+2..). Aliases shorter than
+        4 chars are a no-op, exactly like apply_typo's len<4 guard (also
+        avoids a '% 0' for 2-char aliases)."""
         ythr = hex_threshold8(cfg.typo_rate)
         pos = f"(({H(K('z' + tag))} % (len({alias_expr}) - 2))::BIGINT + 1)"
-        return (f"CASE WHEN substr(sha256({K('y' + tag)}), 1, 8) < '{ythr}' "
+        return (f"CASE WHEN len({alias_expr}) >= 4 "
+                f"AND substr(sha256({K('y' + tag)}), 1, 8) < '{ythr}' "
                 f"THEN substr({alias_expr}, 1, {pos}::INT) "
                 f"|| substr({alias_expr}, {pos}::INT + 2) "
                 f"ELSE {alias_expr} END")

@@ -332,6 +332,11 @@ def quantize_embeddings(embeddings: rd.Dataset) -> rd.Dataset:
         vmin, vmax, codes = [], [], []
         for vec in t.column("embedding").to_pylist():
             v = np.asarray(vec, dtype=np.float64)
+            if v.size == 0:    # oracle twin: NULL min/max, '' codes
+                vmin.append(None)
+                vmax.append(None)
+                codes.append("")
+                continue
             mn, mx = float(v.min()), float(v.max())
             vmin.append(mn)
             vmax.append(mx)

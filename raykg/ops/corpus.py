@@ -346,11 +346,14 @@ def stratified_sample(documents: rd.Dataset, rates: dict[str, float],
     sha256('ssamp|seed|doc_id')[:8] < hex(rate(source) * 2^32). Stable
     under repartitioning and re-runs, like hash_split."""
 
+    # thresholds precomputed per distinct source (per-row work = one sha)
+    thr = {s: hex_threshold8(r) for s, r in rates.items()}
+    thr_default = hex_threshold8(default_rate)
+
     def keep(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         srcs = t.column("source").to_pylist()
-        mask = [sha_hex(f"ssamp|{seed}|{d}")[:8]
-                < hex_threshold8(rates.get(s, default_rate))
+        mask = [sha_hex(f"ssamp|{seed}|{d}")[:8] < thr.get(s, thr_default)
                 for d, s in zip(ids, srcs)]
         t = t.filter(pa.array(mask, pa.bool_()))
         return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),

@@ -629,9 +629,11 @@ _EDGE_SOURCES = [
 ]
 
 
-def _parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
-    """(min, max) of an int column from parquet FOOTER statistics only —
-    no data scan. Returns None when any row group lacks stats. Handles a
+def _parquet_col_ranges(path: str,
+                        cols: list[str]) -> dict[str, tuple[int, int] | None]:
+    """{col: (min, max) | None} of int columns from parquet FOOTER
+    statistics only — ONE metadata pass per file, no data scan. A column
+    maps to None when it is absent or any row group lacks stats. Handles a
     single file or a directory of part files."""
     import os
 
@@ -639,20 +641,65 @@ def _parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
 
     files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
               if f.endswith(".parquet")] if os.path.isdir(path) else [path])
-    lo, hi = None, None
+    out: dict[str, tuple[int, int] | None] = {c: None for c in cols}
+    dead: set[str] = set()
     for f in files:
         md = pq.read_metadata(f)
         names = md.schema.names
-        if col not in names:
-            return None
-        ci = names.index(col)
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-    return None if lo is None else (int(lo), int(hi))
+        for c in cols:
+            if c in dead:
+                continue
+            if c not in names:
+                dead.add(c)
+                out[c] = None
+                continue
+            ci = names.index(c)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    dead.add(c)
+                    out[c] = None
+                    break
+                lo, hi = int(st.min), int(st.max)
+                cur = out[c]
+                out[c] = (lo, hi) if cur is None \
+                    else (min(cur[0], lo), max(cur[1], hi))
+    return out
+
+
+def _edges_by_table() -> dict[str, list[tuple[int, str, str]]]:
+    """_EDGE_SOURCES grouped by source table: {table: [(esrc, sk, dk)]}."""
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
+        by_table.setdefault(table, []).append((esrc, src_key, dst_key))
+    return by_table
+
+
+def _kg_edges_plan(sf_dir: str, encode_partial, finalize) -> rd.Dataset:
+    """The ONE scan/union/aggregate plan shared by the packed and wide key
+    schemes (they differ only in ``encode_partial`` / ``finalize``): each
+    source table is scanned ONCE with the union of its key columns
+    (lineitem feeds two edge types — one read instead of two), per-batch
+    partials concatenate across that table's edge types, and the union
+    flows through the engine's bucketed two-phase aggregate on "k"."""
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def make_partial(specs: list[tuple[int, str, str]]):
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                encode_partial(t, esrc, sk, dk) for esrc, sk, dk in specs])
+        return partial
+
+    parts = []
+    for table, specs in _edges_by_table().items():
+        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
+        ds = _read(sf_dir, table, cols)
+        parts.append(ds.map_batches(make_partial(specs),
+                                    batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return bucketed_group_agg(out, lambda t: t, "k", finalize)
 
 
 def kg_edges(sf_dir: str) -> rd.Dataset:
@@ -674,17 +721,20 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     packed path stays as a loud backstop against lying footers."""
     import numpy as np
 
+    # footer probe: one metadata pass per table, early exit on first miss
     fits_packed = True
-    for table, _, src_key, _, dst_key, _ in _EDGE_SOURCES:
-        for col in (src_key, dst_key):
-            rng = _parquet_col_range(f"{sf_dir}/{table}.parquet", col)
-            if rng is None or rng[0] < 0 or rng[1] >= (1 << 30):
-                fits_packed = False
+    for table, specs in _edges_by_table().items():
+        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
+        rngs = _parquet_col_ranges(f"{sf_dir}/{table}.parquet", cols)
+        if any(rngs[c] is None or rngs[c][0] < 0 or rngs[c][1] >= (1 << 30)
+               for c in cols):
+            fits_packed = False
+            break
     if not fits_packed:
         return _kg_edges_wide(sf_dir)
 
-    def one_edge_partial(t: pa.Table, esrc: int, src_key: str,
-                         dst_key: str) -> pa.Table:
+    def encode_partial(t: pa.Table, esrc: int, src_key: str,
+                       dst_key: str) -> pa.Table:
         g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
                       "dk": pc.cast(t.column(dst_key), pa.int64())}) \
             .group_by(["sk", "dk"]).aggregate([([], "count_all")])
@@ -704,29 +754,6 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
             | (sk.astype(np.int64) << np.int64(30)) | dk.astype(np.int64)
         return pa.table({"k": pa.array(packed, pa.int64()),
                          "n": g.column("count_all")})
-
-    def make_partial(specs: list[tuple[int, str, str]]):
-        def partial(t: pa.Table) -> pa.Table:
-            return pa.concat_tables([
-                one_edge_partial(t, esrc, sk, dk) for esrc, sk, dk in specs])
-        return partial
-
-    from raykg.functions.shuffle import bucketed_group_agg
-
-    # ONE scan per source table (lineitem feeds two edge types — reading it
-    # once with the union of key columns halves the dominant read)
-    by_table: dict[str, list[tuple[int, str, str]]] = {}
-    for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
-        by_table.setdefault(table, []).append((esrc, src_key, dst_key))
-    parts = []
-    for table, specs in by_table.items():
-        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
-        ds = _read(sf_dir, table, cols)
-        parts.append(ds.map_batches(make_partial(specs),
-                                    batch_format="pyarrow"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
 
     def finalize(t: pa.Table) -> pa.Table:
         g = t.group_by("k").aggregate([("n", "sum")])
@@ -757,17 +784,17 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
             "n": g.column("n_sum"),
         })
 
-    return bucketed_group_agg(out, lambda t: t, "k", finalize)
+    return _kg_edges_plan(sf_dir, encode_partial, finalize)
 
 
 def _kg_edges_wide(sf_dir: str) -> rd.Dataset:
     """String-keyed fallback for :func:`kg_edges` when FK values exceed the
-    30-bit packing bound (or footer stats are missing). Same mint-last /
-    dedup-first plan and identical output; the exchange key is
+    30-bit packing bound (or footer stats are missing). Same plan
+    (:func:`_kg_edges_plan`) and identical output; the exchange key is
     ``"<esrc>\\x1f<sk>\\x1f<dk>"`` (unbounded key space, more bytes)."""
 
-    def one_edge_partial(t: pa.Table, esrc: int, src_key: str,
-                         dst_key: str) -> pa.Table:
+    def encode_partial(t: pa.Table, esrc: int, src_key: str,
+                       dst_key: str) -> pa.Table:
         g = pa.table({"sk": pc.cast(t.column(src_key), pa.int64()),
                       "dk": pc.cast(t.column(dst_key), pa.int64())}) \
             .group_by(["sk", "dk"]).aggregate([([], "count_all")])
@@ -776,28 +803,6 @@ def _kg_edges_wide(sf_dir: str) -> rd.Dataset:
             pc.cast(g.column("sk"), pa.string()),
             pc.cast(g.column("dk"), pa.string()), "\x1f")
         return pa.table({"k": k, "n": g.column("count_all")})
-
-    def make_partial(specs: list[tuple[int, str, str]]):
-        def partial(t: pa.Table) -> pa.Table:
-            return pa.concat_tables([
-                one_edge_partial(t, esrc, sk, dk) for esrc, sk, dk in specs])
-        return partial
-
-    from raykg.functions.shuffle import bucketed_group_agg
-
-    # one scan per source table, as in the packed path
-    by_table: dict[str, list[tuple[int, str, str]]] = {}
-    for esrc, (table, _, src_key, _, dst_key, _) in enumerate(_EDGE_SOURCES):
-        by_table.setdefault(table, []).append((esrc, src_key, dst_key))
-    parts = []
-    for table, specs in by_table.items():
-        cols = sorted({c for _, sk, dk in specs for c in (sk, dk)})
-        ds = _read(sf_dir, table, cols)
-        parts.append(ds.map_batches(make_partial(specs),
-                                    batch_format="pyarrow"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
 
     def finalize(t: pa.Table) -> pa.Table:
         g = t.group_by("k").aggregate([("n", "sum")])
@@ -825,7 +830,7 @@ def _kg_edges_wide(sf_dir: str) -> rd.Dataset:
             "n": g.column("n_sum"),
         })
 
-    return bucketed_group_agg(out, lambda t: t, "k", finalize)
+    return _kg_edges_plan(sf_dir, encode_partial, finalize)
 
 
 # ---------------------------------------------------------------------------

@@ -258,14 +258,17 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
         # bucket count >= cluster cores so every node gets exchange work
         total_cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        triples = _commit_or_read(lambda: rewrite_triples_joined(
-            linked, groups, num_buckets=max(512, total_cpus * 16)))
+        # ONE rewrite definition for both the checkpointed and the pinned
+        # path, so their arguments can never drift apart
+        def make_joined():
+            return rewrite_triples_joined(
+                linked, groups, num_buckets=max(512, total_cpus * 16))
+
+        triples = _commit_or_read(make_joined)
         if triples is None:
             # pinned: both the caller and the edge dedup consume it, and the
             # two rewrite joins must not re-execute per consumer
-            triples = rewrite_triples_joined(
-                linked, groups,
-                num_buckets=max(512, total_cpus * 16)).materialize()
+            triples = make_joined().materialize()
         edges = dedup_edges(triples)
         nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
         return KGResult(triples=triples, nodes=nodes, edges=edges,
@@ -277,11 +280,14 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
     ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
                if r["entity_id"] != r["canon_ent"]}
 
-    triples = _commit_or_read(lambda: rewrite_triples(linked, canon_map))
+    def make_rewrite():
+        return rewrite_triples(linked, canon_map)
+
+    triples = _commit_or_read(make_rewrite)
     if triples is None:
         # leave lazy — a map-only stage over the pinned ``linked`` table;
         # materializing it only paid an extra multi-GB object-store round trip
-        triples = rewrite_triples(linked, canon_map)
+        triples = make_rewrite()
 
     edges = dedup_edges_ids(linked, ent_map, cfg)
     nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
