@@ -22,8 +22,21 @@ work; buckets are independent, so a failed bucket re-executes alone.
 ``num_buckets`` must be LARGE (default 1024): Ray's sort-based groupby
 range-partitions on sampled key quantiles, and a key with only ~64 distinct
 values collapses the ranges (measured 37 s vs 5.8 s at 3.3M rows, 64 vs 1024
-buckets). Hash-shuffle strategy (set on the DataContext) helps further.
-"""
+buckets). Hash-shuffle strategy (set on the DataContext) was measured 6x
+SLOWER here (aggregator-actor startup) besides deadlocking against actor
+pools — stay on the sort default.
+
+**Zero-row block convention (why sentinels live at call sites):** Ray
+replaces a zero-row map output with a schema-less block, which crashes
+joins and downstream keyed stages. This helper cannot fix that generically
+— a synthetic row needs a key value that is provably absent from real data
+AND, on the finalize side, an output row in finalize's schema, both of
+which only the call site knows. Convention: combiners/finalizers that can
+go empty append ONE sentinel row per block using a key that cannot occur
+in the data (empty string, a NUL-prefixed string like "\\x00S", or -1 for
+non-negative int keys — guard with a validation like neardup_keep's) and
+filter it after the exchange. Document the impossibility argument at each
+site."""
 
 from __future__ import annotations
 
