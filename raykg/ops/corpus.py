@@ -198,33 +198,48 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
                 "node": pa.array(nodes, pa.int64()),
                 "label": pa.array([mins[e] for e in edges] + [-1],
                                   pa.int64()),
+                "src": pa.array([1] * (len(edges) + 1), pa.int8()),
             })
 
         offers = bucketed_group_agg(
             sided, lambda t: t, "edge", edge_min, num_buckets=256)
 
+        def tag_old(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "label": t.column("label"),
+                             "src": pa.array([0] * t.num_rows, pa.int8())})
+
+        def min_label_changed(t: pa.Table) -> pa.Table:
+            """Label update AND fixpoint count in ONE aggregate: per node,
+            new = min over (old label row [src=0, unique] + offers), and
+            changed = new < old — vs the previous separate changed-count
+            exchange over labels ∪ new_labels (one fewer all-to-all per
+            round). Sentinel node -1 never counts as changed."""
+            g = t.group_by("node").aggregate([("label", "min")])
+            new_nodes = g.column("node").combine_chunks()
+            new_label = g.column("label_min").combine_chunks()
+            old = t.filter(pc.equal(t.column("src"), 0))
+            old_label = pc.cast(old.column("label"), pa.int64()) \
+                .combine_chunks().take(
+                    pc.index_in(new_nodes, value_set=old.column("node")
+                                .combine_chunks()))
+            ch = pc.and_kleene(pc.not_equal(new_nodes, -1),
+                               pc.less(new_label, old_label))
+            # a node absent from the old side cannot occur (labels seed
+            # covers every pair endpoint) except the -1 sentinel -> 0
+            ch = pc.cast(pc.fill_null(ch, False), pa.int64())
+            return pa.table({"node": new_nodes, "label": new_label,
+                             "changed": ch})
+
         new_labels = bucketed_group_agg(
-            offers.union(labels)
+            offers.union(labels.map_batches(tag_old,
+                                            batch_format="pyarrow"))
             .map_batches(key_str, batch_format="pyarrow"),
             lambda t: t, "k",
-            lambda t: min_label(t.drop_columns(["k"])),
+            lambda t: min_label_changed(t.drop_columns(["k"])),
             num_buckets=256).materialize()
 
-        # fixpoint check: distributed count of changed labels
-        def changed(t: pa.Table) -> pa.Table:
-            g = t.group_by("node").aggregate([("label", "min"),
-                                              ("label", "max")])
-            diff = pc.sum(pc.cast(pc.not_equal(
-                g.column("label_min"), g.column("label_max")),
-                pa.int64())).as_py() or 0
-            return pa.table({"n": pa.array([diff], pa.int64())})
-
-        n_changed = bucketed_group_agg(
-            labels.union(new_labels)
-            .map_batches(key_str, batch_format="pyarrow"),
-            lambda t: t, "k",
-            lambda t: changed(t.drop_columns(["k"])),
-            num_buckets=256).sum("n")
+        n_changed = new_labels.sum("changed")   # materialized -> cheap
         labels = new_labels
         if not n_changed:
             converged = True
