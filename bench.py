@@ -165,6 +165,9 @@ def main_bench() -> None:
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
         "flagship": flagship,
+        # shared-host hygiene: external tenants have produced load spikes
+        # up to 50 on this machine; a number measured under load is noise
+        "loadavg": list(os.getloadavg()),
     }
     print(json.dumps(line))
 
@@ -207,6 +210,7 @@ def main_scaling() -> None:
     # RAYKG_SCALING_LOW (high = 4x low).
     lo_cpus = int(os.environ.get("RAYKG_SCALING_LOW", "4"))
     hi_cpus = lo_cpus * 4
+    load_before = list(os.getloadavg())
     lo = _spawn_worker(lo_cpus, SCALING_DOCS)
     hi = _spawn_worker(hi_cpus, SCALING_DOCS)
     eff = (hi["triples_per_s"] / lo["triples_per_s"]) / (hi_cpus / lo_cpus)
@@ -218,6 +222,10 @@ def main_scaling() -> None:
         "low": lo,
         "high": hi,
         "target": 0.8,
+        # external-tenant load skews the pinned legs asymmetrically; a
+        # measurement with load >~1 at start should be re-run (BASELINE.md)
+        "loadavg_before": load_before,
+        "loadavg_after": list(os.getloadavg()),
     }
     print(json.dumps(line))
 
