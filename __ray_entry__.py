@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": relational.asof_last_click,
         "range_join_recent_clicks": relational.range_join_recent_clicks,
         "props_k_stats": relational.props_k_stats,
+        "value_quantiles": relational.value_quantiles_by_type,
         "kg_nodes": relational.kg_nodes,
         "kg_edges": relational.kg_edges,
         "property_signatures": relational.property_signatures,
@@ -620,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
         "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
+        "doc_length_histogram":
+            lambda sf: text.doc_length_histogram(_docs(sf)),
+        "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
         # PII-shaped redaction over a deterministic sha-derived corpus (the
         # testdata text is clean words; injected emails/digit runs make the
         # regexes real) — DuckDB regenerates the corpus and redacts with
@@ -969,6 +973,28 @@ def oracle_sql() -> dict[str, str]:
                                   list_slice(toks, i, i + 2), ' ')), 1, 12)))
                    END AS fingerprint
             FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "value_quantiles": """
+            SELECT event_type, 0.25 AS q,
+                   round(quantile_cont(value, 0.25), 4) AS value
+            FROM events GROUP BY 1
+            UNION ALL SELECT event_type, 0.5,
+                   round(quantile_cont(value, 0.5), 4) FROM events GROUP BY 1
+            UNION ALL SELECT event_type, 0.75,
+                   round(quantile_cont(value, 0.75), 4) FROM events GROUP BY 1
+            UNION ALL SELECT event_type, 0.95,
+                   round(quantile_cont(value, 0.95), 4) FROM events
+            GROUP BY 1""",
+        "doc_length_histogram": f"""
+            SELECT (len({_TOKS}) // 16)::BIGINT AS bin,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1""",
+        "unigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT sum(n)::DOUBLE AS s FROM c)
+            SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
+            FROM tok JOIN c ON c.t = tok.t, tot
+            GROUP BY doc_id""",
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             c AS (SELECT doc_id, toks,

@@ -580,6 +580,42 @@ def props_k_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def value_quantiles_by_type(sf_dir: str,
+                            qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> rd.Dataset:
+    """Exact per-key quantiles: (event_type, q, value) with value =
+    quantile_cont linear interpolation over the group's sorted values,
+    rounded to 4 (DuckDB ``quantile_cont`` twin).
+
+    Scale envelope: a ``groupby(key).map_groups`` — each key's values must
+    fit one worker (fine for vocabulary-sized keys like event_type; for a
+    high-cardinality key or one giant group, swap in a sorted-sample /
+    t-digest sketch and accept approximation)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_type(t: pa.Table) -> pa.Table:
+        vals = np.sort(t.column("value").to_numpy(zero_copy_only=False)
+                       .astype(np.float64))
+        n = len(vals)
+        et = t.column("event_type")[0].as_py()
+        out = []
+        for q in qs:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            v = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+            out.append(round_half_away(float(v), 4))
+        return pa.table({
+            "event_type": pa.array([et] * len(qs), pa.string()),
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        })
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # KG-from-relational: URI minting + FK edges (M6-M8 analogs, SQL-checkable)
 # ---------------------------------------------------------------------------

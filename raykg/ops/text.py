@@ -165,6 +165,85 @@ def repetition_ratio(documents: rd.Dataset) -> rd.Dataset:
         batch, batch_format="pyarrow")
 
 
+def doc_length_histogram(documents: rd.Dataset, bin_width: int = 16) -> pa.Table:
+    """(bin, n_docs): corpus length distribution in fixed-width token bins
+    (bin = n_tokens // bin_width) — the at-a-glance shape check before
+    chunking/packing decisions. Map-side binned counts -> one re-combine ->
+    a vocabulary-sized driver table (bins are few by construction)."""
+    from raykg.ops.relational import _sum_combine, small_key_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter(len(_tokens(s)) // bin_width
+                             for s in t.column("text").to_pylist())
+        return pa.table({"bin": pa.array(list(c.keys()), pa.int64()),
+                         "n_docs": pa.array(list(c.values()), pa.int64())})
+
+    return small_key_agg(
+        documents.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        _sum_combine(["bin"], ["n_docs"]))
+
+
+def unigram_logprob(documents: rd.Dataset,
+                    num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, mean_nll): mean -log2(p(token)) per document under the
+    corpus's own unigram MLE — the model-free perplexity proxy used to
+    rank/filter training text. Two passes: distributed token counts
+    (bucketed aggregate) -> count table broadcast once via ray.put ->
+    stateless scoring map. Empty documents are omitted (no tokens to
+    score), matching the SQL oracle's join semantics.
+
+    Scale envelope: the vocabulary table must fit a worker heap (truncate
+    to a top-K vocabulary with an OOV bucket past ~10^8 distinct tokens)."""
+    from collections import Counter
+
+    import ray
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_tokens(s))
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("tok").aggregate([("n", "sum")])
+        return pa.table({"tok": g.column("tok"), "n": g.column("n_sum")})
+
+    counts_ds = bucketed_group_agg(
+        documents.select_columns(["text"]).map_batches(
+            count_batch, batch_format="pyarrow"),
+        lambda t: t, "tok", fin, num_buckets=num_buckets)
+    counts: dict[str, int] = {}
+    for row in counts_ds.take_all():
+        counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
+    total = float(sum(counts.values()))
+    ref = ray.put((counts, total))
+
+    import math
+
+    def score(t: pa.Table) -> pa.Table:
+        cmap, tot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids, out = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            if not toks:
+                continue
+            nll = sum(-math.log2(cmap[w] / tot) for w in toks) / len(toks)
+            ids.append(d)
+            out.append(round_half_away(nll, 4))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "mean_nll": pa.array(out, pa.float64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
 # --- PII-style redaction ----------------------------------------------------
 # RE2-compatible patterns (identical semantics in Python re and DuckDB
 # regexp_replace/regexp_extract_all): email-shaped tokens and long digit
