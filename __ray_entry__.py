@@ -507,7 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from raykg import synth
     from raykg.config import KGConfig
-    from raykg.ops import ann, corpus, dedup, relational, text
+    from raykg.ops import ann, corpus, dedup, graph, relational, text
     from raykg.ops.multimodal import media_features
     from raykg.pipelines.discover import discover_node_types
     from raykg.pipelines.kg import build_kg
@@ -677,6 +677,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_blob_meta": media_blob_meta,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        # distributed graph analytics over a deterministic sha-derived
+        # graph (post-construction KG consumption; all-integer arithmetic,
+        # so even the iterative PageRank is bit-exact vs DuckDB)
+        "graph_edges": lambda sf: graph.synth_graph_edges(),
+        "graph_degree_stats":
+            lambda sf: graph.degree_stats(graph.synth_graph_edges()),
+        "graph_triangles":
+            lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
+        "graph_pagerank":
+            lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
     }
 
 
@@ -771,9 +781,83 @@ _BLOB_META = """
 """
 
 
+def _graph_sql() -> str:
+    """Regenerate raykg.ops.graph.synth_graph_edges in DuckDB (shared CTE
+    body named `g`): same sha256 slot draws, same intra-community
+    threshold, same modulus arithmetic — bit-identical edge set."""
+    from raykg.functions.hashing import hex_threshold8
+    from raykg.ops.graph import (GRAPH_COMM, GRAPH_MAX_SLOTS, GRAPH_N,
+                                 GRAPH_P_INTRA)
+
+    thr = hex_threshold8(GRAPH_P_INTRA)
+    return f"""
+    WITH lim AS (
+      SELECT i, j
+      FROM (SELECT unnest(range(0, {GRAPH_N})) AS i)
+      CROSS JOIN (SELECT unnest(range(0, {GRAPH_MAX_SLOTS})) AS j)
+      WHERE j < 2 + (('0x' || substr(sha256('gdeg|42|' || i::VARCHAR),
+                      1, 8))::UBIGINT % 4)
+    ),
+    raw AS (
+      SELECT i AS src,
+        (CASE WHEN substr(sha256('gin|42|' || i::VARCHAR || '|'
+                          || j::VARCHAR), 1, 8) < '{thr}'
+             THEN (i // {GRAPH_COMM}) * {GRAPH_COMM}
+                  + (('0x' || substr(sha256('gdst|42|' || i::VARCHAR || '|'
+                       || j::VARCHAR), 1, 8))::UBIGINT % {GRAPH_COMM})
+             ELSE ('0x' || substr(sha256('gdst|42|' || i::VARCHAR || '|'
+                       || j::VARCHAR), 1, 8))::UBIGINT % {GRAPH_N}
+        END)::BIGINT AS dst
+      FROM lim
+    ),
+    g AS (SELECT DISTINCT src::BIGINT AS src, dst FROM raw WHERE src <> dst)
+    """
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled integer-PageRank CTE chain (exact floor-division
+    semantics of raykg.ops.graph.pagerank)."""
+    from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    sql = _graph_sql() + f""",
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+    deg AS (SELECT src, count(*) AS d FROM g GROUP BY src),
+    pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""
+    for it in range(iters):
+        sql += f""",
+    pr{it + 1} AS (
+      SELECT n.node, ({base} + coalesce(s.c, 0))::BIGINT AS r
+      FROM nodes n LEFT JOIN
+        (SELECT e.dst AS node,
+                sum(((p.r * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) // d.d) AS c
+         FROM g e JOIN pr{it} p ON p.node = e.src
+         JOIN deg d ON d.src = e.src
+         GROUP BY e.dst) s USING (node))"""
+    return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
+
+
 def oracle_sql() -> dict[str, str]:
     sig_body = _sig_sql()
     return {
+        "graph_edges": _graph_sql() + "SELECT src, dst FROM g",
+        "graph_degree_stats": _graph_sql() + """
+            SELECT node, sum(o)::BIGINT AS out_deg, sum(ind)::BIGINT AS in_deg
+            FROM (SELECT src AS node, 1 AS o, 0 AS ind FROM g
+                  UNION ALL SELECT dst, 0, 1 FROM g)
+            GROUP BY node""",
+        "graph_triangles": _graph_sql() + """,
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM g),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT n AS node, count(*)::BIGINT AS n_triangles
+            FROM corners GROUP BY n""",
+        "graph_pagerank": _pagerank_sql(3),
         "media_blob_meta": _BLOB_META + """
             SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
                    width::INT AS width, height::INT AS height,

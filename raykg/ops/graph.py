@@ -1,0 +1,404 @@
+"""Distributed graph analytics over (src, dst) edge lists — the
+post-construction half of a KG pipeline (reference scope analog:
+src2/main/scala/Clustering.scala builds the graph; these ops consume it).
+
+Every op is a composition of bucketed two-phase shuffles
+(`raykg.functions.shuffle.bucketed_group_agg`) over int64 node / packed-pair
+keys: nothing node- or edge-sized ever lands on the driver, hot keys are
+spread by the crc/Knuth bucket hash, and each stage is vectorized
+(numpy / pyarrow.compute) per bucket.
+
+Determinism contract: all arithmetic is integer (degree counts, triangle
+counts, and an integer-scaled PageRank), so DuckDB reproduces every result
+bit-for-bit — including the iterative op, which is otherwise the class of
+operator (cf. ann_ivf_kmeans) that only gets a rows-only check.
+
+Node-id envelope: ids must be in [0, 2^31) so an edge packs into one int64
+pair key (``a * 2^31 + b``) — same packing trick as kg_edges
+(ops/relational.py); violations raise loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from raykg.functions.hashing import hex_threshold8, sha_hex
+from raykg.functions.shuffle import bucketed_group_agg
+
+_SHIFT = np.int64(1) << np.int64(31)
+_SENT = -1  # sentinel node / pair key (ids are asserted non-negative)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic graph (sha-derived; DuckDB regenerates it exactly)
+# ---------------------------------------------------------------------------
+
+GRAPH_N = 2000
+GRAPH_COMM = 40          # community size (intra-community edges => triangles)
+GRAPH_MAX_SLOTS = 6      # out-slots per node: 2 + sha%4 in [2, 5]
+GRAPH_P_INTRA = 0.8
+
+
+def synth_graph_edges(n_nodes: int = GRAPH_N, seed: int = 42) -> rd.Dataset:
+    """Deterministic directed edge list (src, dst) with community structure:
+    node i draws 2 + sha%4 out-slots; each slot lands inside i's 40-node
+    community w.p. 0.8 (=> triangle-rich) else anywhere. Self-loops dropped,
+    per-node duplicate targets dropped. Every byte is a pure function of
+    (seed, i, slot), so the DuckDB oracle regenerates the graph exactly
+    (same sha256 / threshold idiom as synth_pii_docs)."""
+    if n_nodes % GRAPH_COMM:
+        raise ValueError(f"n_nodes must be a multiple of {GRAPH_COMM}")
+    thr = hex_threshold8(GRAPH_P_INTRA)
+
+    def gen(b) -> pa.Table:
+        srcs, dsts = [], []
+        for i in b["id"].tolist():
+            i = int(i)
+            deg = 2 + int(sha_hex(f"gdeg|{seed}|{i}")[:8], 16) % 4
+            seen = set()
+            for j in range(deg):
+                h = int(sha_hex(f"gdst|{seed}|{i}|{j}")[:8], 16)
+                if sha_hex(f"gin|{seed}|{i}|{j}")[:8] < thr:
+                    dst = (i // GRAPH_COMM) * GRAPH_COMM + h % GRAPH_COMM
+                else:
+                    dst = h % n_nodes
+                if dst != i and dst not in seen:
+                    seen.add(dst)
+                    srcs.append(i)
+                    dsts.append(dst)
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    return rd.range(n_nodes, override_num_blocks=max(1, n_nodes // 500)) \
+        .map_batches(gen, batch_format="numpy")
+
+
+def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return a.to_numpy(zero_copy_only=False)
+
+
+def _check_ids(*arrays: np.ndarray) -> None:
+    for a in arrays:
+        if len(a) and (a.min() < 0 or a.max() >= (1 << 31)):
+            raise ValueError("graph node ids must be in [0, 2^31) "
+                             "(int64 pair-key packing, cf. kg_edges)")
+
+
+# ---------------------------------------------------------------------------
+# degree statistics
+# ---------------------------------------------------------------------------
+
+def degree_stats(edges: rd.Dataset, num_buckets: int = 256,
+                 _keep_sentinel: bool = False) -> rd.Dataset:
+    """(node, out_deg, in_deg) over a directed edge list. Map-side combine
+    (arrow hash-agg per batch) -> one bucketed exchange of (node, partial)
+    rows -> per-bucket sum. Multi-edges count multiply; every endpoint
+    appears (a pure sink has out_deg = 0).
+
+    ``_keep_sentinel``: internal consumers (pagerank) keep the per-block
+    node=-1 sentinel rows so no block is ever zero-row/schema-less; the
+    public result filters them (terminal zero-row blocks are harmless)."""
+
+    def comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        node = np.concatenate([src, dst])
+        ones = np.ones(len(src), np.int64)
+        zeros = np.zeros(len(dst), np.int64)
+        p = pa.table({"node": np.concatenate([node, [_SENT]]),
+                      "o": np.concatenate([ones, zeros, [0]]),
+                      "i": np.concatenate([zeros, ones, [0]])})
+        g = p.group_by("node").aggregate([("o", "sum"), ("i", "sum")])
+        return pa.table({"node": g.column("node"), "o": g.column("o_sum"),
+                         "i": g.column("i_sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("o", "sum"), ("i", "sum")])
+        return pa.table({"node": g.column("node"),
+                         "out_deg": g.column("o_sum"),
+                         "in_deg": g.column("i_sum")})
+
+    out = bucketed_group_agg(edges, comb, "node", fin,
+                             num_buckets=num_buckets)
+    if _keep_sentinel:
+        return out
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge join)
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: rd.Dataset,
+                    num_buckets: int = 256) -> rd.Dataset:
+    """(node, n_triangles) over the UNDIRECTED simple graph underlying
+    `edges` (direction and multiplicity collapsed; nodes in no triangle are
+    omitted). The classic scalable plan:
+
+    1. canonicalize + distinct the edge set (bucketed on the packed pair
+       key) — the simple undirected graph;
+    2. one endpoint-keyed exchange that computes each node's degree AND
+       tags both endpoints of every edge with it (degree is |rows per node
+       in the bucket group|, so no separate degree pass);
+    3. re-group by pair key to ORIENT each edge low->high by (degree, id) —
+       bounding every node's oriented out-degree by O(sqrt(m)), which is
+       what keeps wedge generation from going quadratic on hubs (the
+       standard Ganter/Schank--Wagner bound; no silent cap needed);
+    4. wedge generation per oriented source (np.triu_indices per segment);
+    5. membership semi-join of wedges against the canonical edge set
+       (np.isin per bucket); each hit is one triangle, counted once from
+       its minimum-(degree, id) corner, exploded to its 3 corners;
+    6. per-node count aggregate.
+
+    Every stage is a bucketed shuffle over int64 keys; the driver never
+    sees an edge."""
+
+    # 1. canonical distinct undirected edges, packed key pk = a*2^31 + b
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": np.concatenate([pk, [_SENT]])})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        # keep one sentinel so no und block is zero-row (schema-less-block
+        # guard); every consumer filters pk >= 0
+        return pa.table({"pk": np.concatenate([pk[pk >= 0], [_SENT]])})
+
+    und = bucketed_group_agg(edges, canon, "pk", distinct,
+                             num_buckets=num_buckets).materialize()
+
+    # 2. endpoint exchange: per node, degree = #incident rows in its group;
+    # emit (pk, node, deg) for every incident edge.
+    def endpoints(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = pk[pk >= 0]
+        return pa.table({
+            "node": np.concatenate([pk // _SHIFT, pk % _SHIFT, [_SENT]]),
+            "pk": np.concatenate([pk, pk, [_SENT]]),
+        })
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        node, pk = _np(t.column("node")), _np(t.column("pk"))
+        real = node >= 0
+        node, pk = node[real], pk[real]
+        order = np.argsort(node, kind="stable")
+        node, pk = node[order], pk[order]
+        uniq, start, counts = np.unique(node, return_index=True,
+                                        return_counts=True)
+        deg = np.repeat(counts, counts)
+        return pa.table({"pk": np.concatenate([pk, [_SENT]]),
+                         "node": np.concatenate([node, [_SENT]]),
+                         "deg": np.concatenate([deg, [0]])})
+
+    tagged = bucketed_group_agg(und, endpoints, "node", tag_deg,
+                                num_buckets=num_buckets)
+
+    # 3. orient: group the two endpoint rows of each edge, src = smaller
+    # (deg, id). Vectorized: sort by pk, rows pair up adjacently.
+    def orient(t: pa.Table) -> pa.Table:
+        pk, node = _np(t.column("pk")), _np(t.column("node"))
+        deg = _np(t.column("deg"))
+        real = pk >= 0
+        pk, node, deg = pk[real], node[real], deg[real]
+        order = np.argsort(pk, kind="stable")
+        pk, node, deg = pk[order], node[order], deg[order]
+        n0, n1 = node[0::2], node[1::2]
+        d0, d1 = deg[0::2], deg[1::2]
+        first = (d0 < d1) | ((d0 == d1) & (n0 < n1))
+        u = np.where(first, n0, n1)
+        v = np.where(first, n1, n0)
+        return pa.table({"u": np.concatenate([u, [_SENT]]),
+                         "v": np.concatenate([v, [_SENT]])})
+
+    oriented = bucketed_group_agg(tagged, lambda t: t, "pk", orient,
+                                  num_buckets=num_buckets)
+
+    # 4. wedges per oriented source: pairs of out-neighbors, keyed by the
+    # missing edge's pair key; corner = the wedge apex u.
+    def wedges(t: pa.Table) -> pa.Table:
+        u, v = _np(t.column("u")), _np(t.column("v"))
+        real = u >= 0
+        u, v = u[real], v[real]
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        _, start, counts = np.unique(u, return_index=True,
+                                     return_counts=True)
+        wpks, corners = [np.array([_SENT], np.int64)], \
+            [np.array([_SENT], np.int64)]
+        for s, c in zip(start, counts):
+            if c < 2:
+                continue
+            nb = v[s:s + c]
+            ii, jj = np.triu_indices(c, 1)
+            x, y = nb[ii], nb[jj]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            wpks.append(lo * _SHIFT + hi)
+            corners.append(np.full(len(lo), u[s], np.int64))
+        return pa.table({"wpk": np.concatenate(wpks),
+                         "corner": np.concatenate(corners)})
+
+    wedge_ds = bucketed_group_agg(oriented, lambda t: t, "u", wedges,
+                                  num_buckets=num_buckets)
+
+    # 5. membership: wedge (x,y) closed iff pair key exists in und.
+    def edge_marker(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))   # sentinel rows (pk=-1) pass through and
+        return pa.table({"wpk": pk,  # group under wpk=-1, dropped in close
+                         "corner": np.full(len(pk), -2, np.int64)})
+
+    def close(t: pa.Table) -> pa.Table:
+        wpk, corner = _np(t.column("wpk")), _np(t.column("corner"))
+        edge_keys = wpk[(corner == -2) & (wpk >= 0)]
+        wed = (corner >= 0)
+        hit = wed & np.isin(wpk, edge_keys)
+        apex = corner[hit]
+        x, y = wpk[hit] // _SHIFT, wpk[hit] % _SHIFT
+        node = np.concatenate([apex, x, y, [_SENT]])
+        return pa.table({"node": node,
+                         "n": np.concatenate(
+                             [np.ones(len(apex) * 3, np.int64), [0]])})
+
+    closed = bucketed_group_agg(
+        wedge_ds.union(und.map_batches(edge_marker, batch_format="pyarrow")),
+        lambda t: t, "wpk", close, num_buckets=num_buckets)
+
+    # 6. per-corner counts
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("n", "sum")])
+        return pa.table({"node": g.column("node"), "n": g.column("n_sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("n", "sum")])
+        g = g.filter(pc.greater_equal(g.column("node"), 0))
+        return pa.table({"node": g.column("node"),
+                         "n_triangles": g.column("n_sum")})
+
+    return bucketed_group_agg(closed, comb, "node", fin,
+                              num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# PageRank — integer-scaled, bit-exact
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
+
+
+def pagerank(edges: rd.Dataset, iters: int = 3,
+             num_buckets: int = 256) -> rd.Dataset:
+    """(node, rank_int) after `iters` synchronous iterations of
+    integer-scaled PageRank: ranks start at PR_SCALE; each round every
+    node with out-edges sends floor(floor(rank*85/100) / out_deg) to each
+    out-neighbor and every node restarts from floor(PR_SCALE*15/100).
+    All arithmetic is int64 floor division -> bit-identical to the DuckDB
+    oracle (the floor semantics ARE the contract; dangling mass is
+    dropped, as in the original sum formulation of PageRank).
+
+    Fully distributed fixpoint loop: per iteration one src-keyed exchange
+    (rank lookup via np.searchsorted against the <=bucket-sized state
+    slice) computes contributions, one dst-keyed exchange sums them into
+    the new state. State lives as a Dataset and is materialized per
+    iteration (it is consumed by the next round's shuffle) — the driver
+    never holds a node-sized structure."""
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+
+    edges = edges.materialize()
+    state = degree_stats(edges, num_buckets=num_buckets,
+                         _keep_sentinel=True).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "out_deg": t.column("out_deg"),
+            "rank_int": pa.array([PR_SCALE] * t.num_rows, pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        return pa.table({"node": src, "dst": dst,
+                         "out_deg": np.full(len(src), -1, np.int64),
+                         "rank_int": np.zeros(len(src), np.int64)})
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "dst": pa.array([_SENT] * t.num_rows, pa.int64()),
+                         "out_deg": t.column("out_deg"),
+                         "rank_int": t.column("rank_int")})
+
+    def contribs(t: pa.Table) -> pa.Table:
+        """Per bucket: state rows give (rank, out_deg) per node; edge rows
+        look them up (sorted searchsorted — every src node's state row
+        hashes into this same bucket by construction)."""
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        od, rk = _np(t.column("out_deg")), _np(t.column("rank_int"))
+        is_state = dst == _SENT
+        snode, sod, srk = node[is_state], od[is_state], rk[is_state]
+        order = np.argsort(snode)
+        snode, sod, srk = snode[order], sod[order], srk[order]
+        enode, edst = node[~is_state], dst[~is_state]
+        idx = np.searchsorted(snode, enode)
+        if len(enode) and (idx.max() >= len(snode)
+                           or not np.array_equal(snode[idx], enode)):
+            raise AssertionError("pagerank: edge src missing from state "
+                                 "(degree_stats must cover all endpoints)")
+        send = (srk[idx] * PR_DAMP_NUM) // PR_DAMP_DEN
+        c = send // sod[idx]   # out_deg >= 1 wherever a src edge exists
+        return pa.table({"node": np.concatenate([edst, [_SENT]]),
+                         "contrib": np.concatenate([c, [0]])})
+
+    for _ in range(iters):
+        contrib_ds = bucketed_group_agg(
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(state.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "node", contribs, num_buckets=num_buckets)
+
+        def carrier(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "out_deg": t.column("out_deg"),
+                             "contrib": pa.array([0] * t.num_rows,
+                                                 pa.int64())})
+
+        def contrib_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "out_deg": pa.array([-1] * t.num_rows,
+                                                 pa.int64()),
+                             "contrib": t.column("contrib")})
+
+        def new_state(t: pa.Table) -> pa.Table:
+            g = t.group_by("node").aggregate([("contrib", "sum"),
+                                              ("out_deg", "max")])
+            g = g.filter(pc.greater_equal(g.column("node"), 0))
+            # out_deg max: carrier row holds the true value, contrib rows -1.
+            # One sentinel per block keeps the state union-safe next round.
+            return pa.table({
+                "node": pa.concat_arrays(
+                    [g.column("node").combine_chunks(),
+                     pa.array([_SENT], pa.int64())]),
+                "out_deg": pa.concat_arrays(
+                    [g.column("out_deg_max").combine_chunks(),
+                     pa.array([0], pa.int64())]),
+                "rank_int": pa.concat_arrays(
+                    [pc.add(g.column("contrib_sum"), base).combine_chunks(),
+                     pa.array([0], pa.int64())]),
+            })
+
+        state = bucketed_group_agg(
+            contrib_ds.map_batches(contrib_rows, batch_format="pyarrow")
+            .union(state.map_batches(carrier, batch_format="pyarrow")),
+            lambda t: t, "node", new_state,
+            num_buckets=num_buckets).materialize()
+
+    return state.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
+        .select(["node", "rank_int"]), batch_format="pyarrow")

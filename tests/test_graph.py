@@ -1,0 +1,126 @@
+"""Graph-analytics operators: degree stats, degree-oriented triangle
+counting, integer-exact PageRank (raykg/ops/graph.py). The DuckDB oracle
+equivalence runs through tools/check_queries.py; these tests pin the
+semantics on handcrafted graphs plus partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raykg.ops import graph
+
+
+def _edges(pairs):
+    t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                  "dst": pa.array([b for _, b in pairs], pa.int64())})
+    return rd.from_arrow(t)
+
+
+def _df(ds, key):
+    return ds.to_pandas().sort_values(key).reset_index(drop=True)
+
+
+def test_degree_stats_tiny():
+    # multi-edge (0->1 twice) counts twice; 3 is a pure sink
+    ds = _edges([(0, 1), (0, 1), (1, 2), (2, 0), (2, 3)])
+    d = _df(graph.degree_stats(ds), "node")
+    assert d["node"].tolist() == [0, 1, 2, 3]
+    assert d["out_deg"].tolist() == [2, 1, 2, 0]
+    assert d["in_deg"].tolist() == [1, 2, 1, 1]
+
+
+def test_triangles_tiny():
+    # two triangles sharing node 2; reverse duplicates, a self-loop and a
+    # multi-edge must all collapse into the simple undirected graph
+    pairs = [(0, 1), (1, 2), (2, 0), (1, 0), (2, 2), (2, 3), (3, 4),
+             (4, 2), (4, 2), (5, 6)]
+    t = _df(graph.triangle_counts(_edges(pairs)), "node")
+    assert dict(zip(t["node"], t["n_triangles"])) == \
+        {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if v <= u:
+                continue
+            common = nbrs & adj[v]
+            for w in common:
+                if w > v:
+                    for n in (u, v, w):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangles_match_bruteforce_on_synth():
+    edges = graph.synth_graph_edges(400)
+    pairs = list(zip(*[edges.to_pandas()[c].tolist() for c in ("src", "dst")]))
+    expect = _brute_triangles(pairs)
+    got = _df(graph.triangle_counts(edges), "node")
+    assert dict(zip(got["node"], got["n_triangles"])) == expect
+
+
+def test_triangles_partitioning_invariant():
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.triangle_counts(edges), "node")
+    b = _df(graph.triangle_counts(edges.repartition(13), num_buckets=7),
+            "node")
+    assert a.equals(b)
+
+
+def test_pagerank_two_node_cycle_exact():
+    # 0 <-> 1: every iteration each node sends floor(floor(r*85/100)/1)
+    # and restarts from 150000 — closed form is checkable by hand
+    ds = _edges([(0, 1), (1, 0)])
+    r = 1_000_000
+    for _ in range(3):
+        r = 150_000 + (r * 85) // 100
+    got = _df(graph.pagerank(_edges([(0, 1), (1, 0)]), iters=3), "node")
+    assert got["rank_int"].tolist() == [r, r]
+    del ds
+
+
+def test_pagerank_star_sink_and_dangling():
+    # 1,2,3 -> 0; node 0 dangles (rank mass drops, never divides by zero)
+    got = _df(graph.pagerank(_edges([(1, 0), (2, 0), (3, 0)]), iters=1),
+              "node")
+    spoke = 150_000   # no in-edges
+    hub = 150_000 + 3 * ((1_000_000 * 85) // 100)
+    assert dict(zip(got["node"], got["rank_int"])) == \
+        {0: hub, 1: spoke, 2: spoke, 3: spoke}
+
+
+def test_pagerank_partitioning_invariant():
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.pagerank(edges, iters=2), "node")
+    b = _df(graph.pagerank(edges.repartition(11), iters=2, num_buckets=17),
+            "node")
+    assert a.equals(b)
+
+
+def test_node_id_bound_is_loud():
+    bad = _edges([(0, 1 << 31)])
+    with pytest.raises(Exception, match="2\\^31"):
+        graph.triangle_counts(bad).materialize()
+
+
+def test_synth_graph_determinism_and_shape():
+    t = graph.synth_graph_edges(400).to_pandas()
+    assert len(t) == len(t.drop_duplicates())          # per-node distinct
+    assert (t["src"] != t["dst"]).all()                # no self-loops
+    assert t["src"].between(0, 399).all() and t["dst"].between(0, 399).all()
+    # community structure: most edges stay inside the 40-node community
+    intra = (t["src"] // 40 == t["dst"] // 40).mean()
+    assert intra > 0.6
+    t2 = graph.synth_graph_edges(400).to_pandas()
+    assert np.array_equal(t.sort_values(["src", "dst"]).values,
+                          t2.sort_values(["src", "dst"]).values)
