@@ -687,6 +687,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
+        # p_intra=1.0 keeps every edge inside its 40-node community, so the
+        # graph has many components (0.8 would merge everything into one)
+        "graph_components": lambda sf: graph.connected_components(
+            graph.synth_graph_edges(p_intra=1.0)),
     }
 
 
@@ -781,7 +785,7 @@ _BLOB_META = """
 """
 
 
-def _graph_sql() -> str:
+def _graph_sql(p_intra: float | None = None) -> str:
     """Regenerate raykg.ops.graph.synth_graph_edges in DuckDB (shared CTE
     body named `g`): same sha256 slot draws, same intra-community
     threshold, same modulus arithmetic — bit-identical edge set."""
@@ -789,7 +793,7 @@ def _graph_sql() -> str:
     from raykg.ops.graph import (GRAPH_COMM, GRAPH_MAX_SLOTS, GRAPH_N,
                                  GRAPH_P_INTRA)
 
-    thr = hex_threshold8(GRAPH_P_INTRA)
+    thr = hex_threshold8(GRAPH_P_INTRA if p_intra is None else p_intra)
     return f"""
     WITH lim AS (
       SELECT i, j
@@ -858,6 +862,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
+        # WCC via exhaustive reachable-label enumeration (the recursive
+        # CTE's UNION-distinct bounds the walk at |component|^2 rows per
+        # component — fine at oracle scale); the engine's iterative
+        # min-label fixpoint must land on the same minimum
+        "graph_components": "WITH RECURSIVE " + _graph_sql(p_intra=1.0)
+        .replace("WITH lim", "lim", 1) + """,
+            sym AS (SELECT src AS a, dst AS b FROM g
+                    UNION SELECT dst, src FROM g),
+            walk(node, lab) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node)
+            SELECT node, min(lab)::BIGINT AS component
+            FROM walk GROUP BY node""",
         "media_blob_meta": _BLOB_META + """
             SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
                    width::INT AS width, height::INT AS height,

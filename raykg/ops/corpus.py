@@ -9,10 +9,10 @@ deterministic and SQL-exact — the sha256 hash family and the engine's
 bucketed two-phase shuffle pattern keep a DuckDB oracle bit-for-bit.
 
 Scale notes:
-- ``neardup_components`` is iterative min-label propagation over the
-  candidate-pair graph; near-dup components are shallow (clique-ish), so it
-  converges in 2-3 rounds; each round is ONE bucketed shuffle keyed by
-  node, never a driver loop. ``max_iters`` caps the worst case and
+- ``neardup_components`` delegates to the vectorized min-label propagation
+  in ops/graph.py (connected_components); near-dup components are shallow
+  (clique-ish), so it converges in 2-3 rounds, each a fixed set of bucketed
+  shuffles with no driver loop. ``max_iters`` caps the worst case and
   convergence is checked with a distributed count.
 - ``neardup_keep`` is the one-shuffle industrial dedup filter: drop any doc
   with a smaller near-duplicate partner.
@@ -94,171 +94,30 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
     candidate pairs. Docs with no near-dup partner are their own component
     and are omitted (matching the SQL oracle's pair-node universe).
 
-    Iterative min-label propagation, one bucketed shuffle per round,
-    stopping at the fixpoint (checked with a distributed count, not a
-    driver scan). A label travels one edge per round, so convergence takes
-    component-diameter rounds — near-dup components are clique-ish and
-    converge in 2-3; ``max_iters`` is a runaway bound, and exhausting it
-    LOGS a warning (no silent truncation) because the result would then be
-    over-segmented relative to the exact closure."""
+    Delegates to :func:`raykg.ops.graph.connected_components` — fully
+    vectorized min-label propagation (three bucketed exchanges per round,
+    ``searchsorted`` label attach, ``minimum.reduceat`` edge-min; no
+    per-row Python anywhere), with a distributed fixpoint count and a
+    logged warning on non-convergence. Pair identity travels as two int64
+    columns, so doc ids only need to be non-negative (no 2^31 packing
+    ceiling). Near-dup components are clique-ish and converge in 2-3
+    rounds; ``max_iters`` is a runaway bound."""
+    from raykg.ops.graph import connected_components
+
     pairs = lsh_candidate_pairs(documents, **lsh_kwargs) \
-        .select_columns(["doc_a", "doc_b"]).materialize()
+        .select_columns(["doc_a", "doc_b"])
 
-    def seed(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").combine_chunks()
-        b = t.column("doc_b").combine_chunks()
-        return pa.table({
-            "node": pa.concat_arrays([a, b]),
-            "label": pa.concat_arrays([a, a]),   # doc_a < doc_b always
-        })
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("doc_a"),
+                         "dst": t.column("doc_b")})
 
-    def min_label(t: pa.Table) -> pa.Table:
-        g = t.group_by("node").aggregate([("label", "min")])
-        return pa.table({"node": g.column("node"),
-                         "label": g.column("label_min")})
-
-    def key_str(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "k", pc.cast(t.column("node"), pa.string()))
-
-    labels = bucketed_group_agg(
-        pairs.map_batches(seed, batch_format="pyarrow")
-        .map_batches(key_str, batch_format="pyarrow"),
-        lambda t: t, "k",
-        lambda t: min_label(t.drop_columns(["k"])),
-        num_buckets=256).materialize()
-
-    PSEP = "\x1e"
-    ESENT = "\x00S"   # sentinel edge key (schema-less-block guard)
-
-    converged = False
-    for _ in range(max_iters):
-        # attach labels to edges via the bucketed attach pattern, then
-        # re-minimize per node. The edge identity is the PAIR KEY string
-        # ("a\x1eb") — globally unique, unlike any per-batch counter, so
-        # endpoint rows of different pairs can never be grouped together.
-        def edge_rows(t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").to_pylist()
-            b = t.column("doc_b").to_pylist()
-            pk = [f"{x}{PSEP}{y}" for x, y in zip(a, b)]
-            return pa.table({
-                "node": pa.array(a + b, pa.int64()),
-                "edge": pa.array(pk * 2, pa.string()),
-                "label": pa.array([None] * (2 * len(a)), pa.int64()),
-            })
-
-        def label_rows(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "node": t.column("node"),
-                "edge": pa.array([""] * t.num_rows, pa.string()),
-                "label": t.column("label"),
-            })
-
-        def attach(t: pa.Table) -> pa.Table:
-            """Per node: emit (edge, label_of_node) for each incident
-            edge + one sentinel row."""
-            nodes = t.column("node").to_pylist()
-            edges = t.column("edge").to_pylist()
-            labs = t.column("label").to_pylist()
-            lmap: dict[int, int] = {nd: lb
-                                    for nd, e, lb in zip(nodes, edges, labs)
-                                    if not e}
-            out_n, out_e, out_l = [-1], [ESENT], [-1]
-            for nd, e in zip(nodes, edges):
-                if e:
-                    out_n.append(nd)
-                    out_e.append(e)
-                    out_l.append(lmap.get(nd, nd))
-            return pa.table({"node": pa.array(out_n, pa.int64()),
-                             "edge": pa.array(out_e, pa.string()),
-                             "label": pa.array(out_l, pa.int64())})
-
-        def key_node(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "k", pc.cast(t.column("node"), pa.string()))
-
-        sided = bucketed_group_agg(
-            pairs.map_batches(edge_rows, batch_format="pyarrow")
-            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
-            .map_batches(key_node, batch_format="pyarrow"),
-            lambda t: t, "k",
-            lambda t: attach(t.drop_columns(["k"])), num_buckets=256)
-
-        def edge_min(t: pa.Table) -> pa.Table:
-            """Per edge: min label over both endpoints -> offer to both.
-            Keyed by the pair string, so exactly one edge's endpoint rows
-            share a group; sentinel rows (node=-1, label=-1) group under
-            ESENT and are dropped in the final projection."""
-            g = t.group_by("edge").aggregate([("label", "min")])
-            mins = dict(zip(g.column("edge").to_pylist(),
-                            g.column("label_min").to_pylist()))
-            nodes = t.column("node").to_pylist() + [-1]
-            edges = t.column("edge").to_pylist()
-            return pa.table({
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array([mins[e] for e in edges] + [-1],
-                                  pa.int64()),
-                "src": pa.array([1] * (len(edges) + 1), pa.int8()),
-            })
-
-        offers = bucketed_group_agg(
-            sided, lambda t: t, "edge", edge_min, num_buckets=256)
-
-        def tag_old(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t.column("node"),
-                             "label": t.column("label"),
-                             "src": pa.array([0] * t.num_rows, pa.int8())})
-
-        def min_label_changed(t: pa.Table) -> pa.Table:
-            """Label update AND fixpoint count in ONE aggregate: per node,
-            new = min over (old label row [src=0, unique] + offers), and
-            changed = new < old — vs the previous separate changed-count
-            exchange over labels ∪ new_labels (one fewer all-to-all per
-            round). Sentinel node -1 never counts as changed."""
-            g = t.group_by("node").aggregate([("label", "min")])
-            new_nodes = g.column("node").combine_chunks()
-            new_label = g.column("label_min").combine_chunks()
-            old = t.filter(pc.equal(t.column("src"), 0))
-            old_label = pc.cast(old.column("label"), pa.int64()) \
-                .combine_chunks().take(
-                    pc.index_in(new_nodes, value_set=old.column("node")
-                                .combine_chunks()))
-            ch = pc.and_kleene(pc.not_equal(new_nodes, -1),
-                               pc.less(new_label, old_label))
-            # a node absent from the old side cannot occur (labels seed
-            # covers every pair endpoint) except the -1 sentinel -> 0
-            ch = pc.cast(pc.fill_null(ch, False), pa.int64())
-            return pa.table({"node": new_nodes, "label": new_label,
-                             "changed": ch})
-
-        new_labels = bucketed_group_agg(
-            offers.union(labels.map_batches(tag_old,
-                                            batch_format="pyarrow"))
-            .map_batches(key_str, batch_format="pyarrow"),
-            lambda t: t, "k",
-            lambda t: min_label_changed(t.drop_columns(["k"])),
-            num_buckets=256).materialize()
-
-        n_changed = new_labels.sum("changed")   # materialized -> cheap
-        labels = new_labels
-        if not n_changed:
-            converged = True
-            break
-    if not converged:
-        import logging
-
-        logging.getLogger("raykg").warning(
-            "neardup_components: min-label propagation did not reach its "
-            "fixpoint within %d rounds — a component chain is longer than "
-            "max_iters and the output is over-segmented vs the exact "
-            "closure; raise max_iters", max_iters)
-
-    def fin(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t.column("node"), -1))   # drop sentinels
-        return pa.table({"doc_id": t.column("node"),
-                         "component": t.column("label")})
-
-    return labels.map_batches(fin, batch_format="pyarrow")
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"),
+        max_iters=max_iters)
+    return comp.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -13,9 +13,11 @@ counts, and an integer-scaled PageRank), so DuckDB reproduces every result
 bit-for-bit — including the iterative op, which is otherwise the class of
 operator (cf. ann_ivf_kmeans) that only gets a rows-only check.
 
-Node-id envelope: ids must be in [0, 2^31) so an edge packs into one int64
-pair key (``a * 2^31 + b``) — same packing trick as kg_edges
-(ops/relational.py); violations raise loudly.
+Node-id envelope: triangle_counts and pagerank pack an edge into one int64
+pair key (``a * 2^31 + b``, same trick as kg_edges in ops/relational.py), so
+their ids must be in [0, 2^31) — violations raise loudly.
+connected_components carries pair identity as two columns instead and only
+requires non-negative ids.
 """
 
 from __future__ import annotations
@@ -43,16 +45,20 @@ GRAPH_MAX_SLOTS = 6      # out-slots per node: 2 + sha%4 in [2, 5]
 GRAPH_P_INTRA = 0.8
 
 
-def synth_graph_edges(n_nodes: int = GRAPH_N, seed: int = 42) -> rd.Dataset:
+def synth_graph_edges(n_nodes: int = GRAPH_N, seed: int = 42,
+                      p_intra: float = GRAPH_P_INTRA) -> rd.Dataset:
     """Deterministic directed edge list (src, dst) with community structure:
     node i draws 2 + sha%4 out-slots; each slot lands inside i's 40-node
-    community w.p. 0.8 (=> triangle-rich) else anywhere. Self-loops dropped,
-    per-node duplicate targets dropped. Every byte is a pure function of
-    (seed, i, slot), so the DuckDB oracle regenerates the graph exactly
-    (same sha256 / threshold idiom as synth_pii_docs)."""
+    community w.p. ``p_intra`` (=> triangle-rich) else anywhere. Self-loops
+    dropped, per-node duplicate targets dropped. Every byte is a pure
+    function of (seed, i, slot), so the DuckDB oracle regenerates the graph
+    exactly (same sha256 / threshold idiom as synth_pii_docs).
+    ``p_intra=1.0`` keeps every edge inside its community — a multi-component
+    graph for connected_components (0.8 merges everything into one giant
+    component)."""
     if n_nodes % GRAPH_COMM:
         raise ValueError(f"n_nodes must be a multiple of {GRAPH_COMM}")
-    thr = hex_threshold8(GRAPH_P_INTRA)
+    thr = hex_threshold8(p_intra)
 
     def gen(b) -> pa.Table:
         srcs, dsts = [], []
@@ -402,3 +408,211 @@ def pagerank(edges: rd.Dataset, iters: int = 3,
     return state.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
         .select(["node", "rank_int"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components — vectorized min-label propagation
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: rd.Dataset, max_iters: int = 32,
+                         num_buckets: int = 256) -> rd.Dataset:
+    """(node, component) over the UNDIRECTED simple graph underlying
+    ``edges``; component = min node id reachable. Nodes with no non-self
+    edge are omitted (the pair-node universe — matches the recursive-CTE
+    oracle and neardup_components' contract).
+
+    Iterative min-label propagation, fully vectorized, three bucketed
+    exchanges per round and nothing node- or edge-sized on the driver:
+
+    1. node-keyed ATTACH: each endpoint row of every canonical edge looks
+       up its node's current label (sorted ``searchsorted`` against the
+       state slice that hashes into the same bucket — pagerank's contribs
+       idiom) and emits (a, b, label);
+    2. pair-keyed EDGE-MIN: rows are routed on a derived int64 pair-hash
+       (collisions only affect load balance), lexsorted by (a, b) inside
+       the bucket, and ``minimum.reduceat`` over the segment boundaries
+       offers min(label of a, label of b) back to BOTH endpoints;
+    3. node-keyed FOLD: new label = min(old, offers); the changed flag is
+       computed in the same aggregate (no extra exchange) and summed
+       distributedly for the fixpoint test.
+
+    Unlike triangle_counts/pagerank, pair identity is carried as TWO int64
+    columns (never packed), so there is no 2^31 id ceiling — ids only need
+    to be non-negative. A label travels one edge per round, so convergence
+    takes component-diameter rounds; exhausting ``max_iters`` LOGS a
+    warning (the result would be over-segmented vs the exact closure)."""
+
+    def _pair_route(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # routing key only — collisions are harmless (finalize re-groups
+        # exactly on (a, b) via lexsort inside the bucket)
+        return ((a.astype(np.uint64) * np.uint64(2654435761)
+                 + b.astype(np.uint64)) & np.uint64(0x7FFFFFFFFFFFFFFF)) \
+            .astype(np.int64)
+
+    def _ab(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return _np(t.column("a")), _np(t.column("b"))
+
+    def _pair_dedup(a: np.ndarray, b: np.ndarray) \
+            -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            keep = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[keep], b[keep]
+        return a, b
+
+    # canonical distinct undirected edge set, (a, b) with a < b
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        if len(src) and (src.min() < 0 or dst.min() < 0):
+            raise ValueError("connected_components: node ids must be "
+                             "non-negative (-1 is the sentinel)")
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        a, b = _pair_dedup(a, b)
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]]),
+                         "ph": np.concatenate([_pair_route(a, b), [_SENT]])})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = _pair_dedup(a[real], b[real])
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]])})
+
+    und = bucketed_group_agg(edges, canon, "ph", distinct,
+                             num_buckets=num_buckets).materialize()
+
+    # initial state: every endpoint, label = node id
+    def seed(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        node = np.unique(np.concatenate([a[a >= 0], b[b >= 0]]))
+        return pa.table({"node": np.concatenate([node, [_SENT]]),
+                         "label": np.concatenate([node, [_SENT]])})
+
+    def seed_fin(t: pa.Table) -> pa.Table:
+        node = np.unique(_np(t.column("node")))
+        node = node[node >= 0]
+        return pa.table({"node": np.concatenate([node, [_SENT]]),
+                         "label": np.concatenate([node, [_SENT]])})
+
+    state = bucketed_group_agg(und, seed, "node", seed_fin,
+                               num_buckets=num_buckets).materialize()
+
+    # per-round streams. Endpoint rows: (node, a, b); state rows are
+    # flagged by a = _SENT (an endpoint row always has a >= 0).
+    def ep_rows(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        return pa.table({
+            "node": np.concatenate([a, b, [_SENT]]),
+            "a": np.concatenate([a, a, [_SENT]]),
+            "b": np.concatenate([b, b, [_SENT]]),
+            "label": np.zeros(2 * len(a) + 1, np.int64),
+        })
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "a": pa.array([_SENT] * n, pa.int64()),
+                         "b": pa.array([_SENT] * n, pa.int64()),
+                         "label": t.column("label")})
+
+    def attach(t: pa.Table) -> pa.Table:
+        node, lab = _np(t.column("node")), _np(t.column("label"))
+        a, b = _ab(t)
+        is_state = a == _SENT
+        snode, slab = node[is_state], lab[is_state]
+        order = np.argsort(snode, kind="stable")
+        snode, slab = snode[order], slab[order]
+        ea, eb, enode = a[~is_state], b[~is_state], node[~is_state]
+        idx = np.searchsorted(snode, enode)
+        if len(enode) and (idx.max() >= len(snode)
+                           or not np.array_equal(snode[idx], enode)):
+            raise AssertionError("connected_components: endpoint missing "
+                                 "from state (seed must cover every "
+                                 "endpoint)")
+        return pa.table({
+            "a": np.concatenate([ea, [_SENT]]),
+            "b": np.concatenate([eb, [_SENT]]),
+            "label": np.concatenate([slab[idx], [_SENT]]),
+            "ph": np.concatenate([_pair_route(ea, eb), [_SENT]])})
+
+    def edge_min(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        lab = _np(t.column("label"))
+        real = a >= 0
+        a, b, lab = a[real], b[real], lab[real]
+        if not len(a):
+            return pa.table({"node": pa.array([_SENT], pa.int64()),
+                             "offer": pa.array([_SENT], pa.int64()),
+                             "is_old": pa.array([0], pa.int8())})
+        order = np.lexsort((b, a))
+        a, b, lab = a[order], b[order], lab[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))))
+        m = np.minimum.reduceat(lab, start)
+        return pa.table({
+            "node": np.concatenate([a[start], b[start], [_SENT]]),
+            "offer": np.concatenate([m, m, [_SENT]]),
+            "is_old": np.zeros(2 * len(start) + 1, np.int8)})
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "offer": t.column("label"),
+                         "is_old": pa.array([1] * n, pa.int8())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        node, off = _np(t.column("node")), _np(t.column("offer"))
+        old_f = _np(t.column("is_old"))
+        order = np.argsort(node, kind="stable")
+        node, off, old_f = node[order], off[order], old_f[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))
+        new = np.minimum.reduceat(off, start)
+        uniq = node[start]
+        # exactly one old row per real node (state nodes are unique);
+        # old label = max over the group's old rows works because offers
+        # never carry is_old=1
+        old_lab = np.maximum.reduceat(
+            np.where(old_f == 1, off, np.int64(-1)), start)
+        changed = ((new < old_lab) & (uniq >= 0)).astype(np.int64)
+        return pa.table({"node": uniq, "label": new, "changed": changed})
+
+    converged = False
+    for _ in range(max_iters):
+        attached = bucketed_group_agg(
+            und.map_batches(ep_rows, batch_format="pyarrow")
+            .union(state.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "node", attach, num_buckets=num_buckets)
+        offers = bucketed_group_agg(attached, lambda t: t, "ph", edge_min,
+                                    num_buckets=num_buckets)
+        state = bucketed_group_agg(
+            offers.union(state.map_batches(old_rows,
+                                           batch_format="pyarrow")),
+            lambda t: t, "node", fold, num_buckets=num_buckets) \
+            .materialize()
+        if not state.sum("changed"):   # materialized -> cheap
+            converged = True
+            break
+        state = state.drop_columns(["changed"])
+    if not converged:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "connected_components: min-label propagation did not reach "
+            "its fixpoint within %d rounds — a component's diameter "
+            "exceeds max_iters and the output is over-segmented vs the "
+            "exact closure; raise max_iters", max_iters)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("node"), 0))
+        return pa.table({"node": t.column("node"),
+                         "component": t.column("label")})
+
+    return state.map_batches(fin, batch_format="pyarrow")

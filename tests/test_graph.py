@@ -124,3 +124,38 @@ def test_synth_graph_determinism_and_shape():
     t2 = graph.synth_graph_edges(400).to_pandas()
     assert np.array_equal(t.sort_values(["src", "dst"]).values,
                           t2.sort_values(["src", "dst"]).values)
+
+
+def test_connected_components_tiny():
+    # components {0,1,2} and {5,7}; 9's self-loop drops it from the universe
+    got = _df(graph.connected_components(
+        _edges([(1, 0), (2, 1), (0, 2), (5, 7), (9, 9)]), num_buckets=8),
+        "node")
+    assert dict(zip(got["node"], got["component"])) == \
+        {0: 0, 1: 0, 2: 0, 5: 5, 7: 5}
+
+
+def test_connected_components_chain_needs_iterations():
+    # a 12-node path: label 0 must travel 11 hops (diameter rounds)
+    got = _df(graph.connected_components(
+        _edges([(i, i + 1) for i in range(11)]), num_buckets=4), "node")
+    assert got["component"].tolist() == [0] * 12
+
+
+def test_connected_components_big_ids_no_packing_ceiling():
+    # ids >= 2^31 are fine here (two-column pair identity, unlike
+    # triangle_counts' packed key)
+    big = 1 << 40
+    got = _df(graph.connected_components(
+        _edges([(big, big + 1), (big + 1, 3)]), num_buckets=4), "node")
+    assert dict(zip(got["node"], got["component"])) == \
+        {3: 3, big: 3, big + 1: 3}
+
+
+def test_connected_components_partitioning_invariant():
+    edges = graph.synth_graph_edges(400, p_intra=1.0)
+    a = _df(graph.connected_components(edges), "node")
+    b = _df(graph.connected_components(edges.repartition(11),
+                                       num_buckets=17), "node")
+    assert a.equals(b)
+    assert set(a["component"].unique()) <= set(range(0, 400, 40))
