@@ -609,6 +609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_recent_clicks": relational.range_join_recent_clicks,
         "props_k_stats": relational.props_k_stats,
         "value_quantiles": relational.value_quantiles_by_type,
+        # window-function analogs: LAG / ROW_NUMBER as bucketed
+        # sorted-segment passes
+        "event_lag_stats": relational.event_lag_stats,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "kg_nodes": relational.kg_nodes,
         "kg_edges": relational.kg_edges,
         "property_signatures": relational.property_signatures,
@@ -624,6 +628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram":
             lambda sf: text.doc_length_histogram(_docs(sf)),
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
+        # TF-IDF without a vocabulary broadcast: df falls out of the
+        # term-bucketed exchange, argmax is a doc-bucketed segment pass
+        "tfidf_top_terms": lambda sf: text.tfidf_top_terms(_docs(sf)),
         # PII-shaped redaction over a deterministic sha-derived corpus (the
         # testdata text is clean words; injected emails/digit runs make the
         # regexes real) — DuckDB regenerates the corpus and redacts with
@@ -967,6 +974,22 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events)
             GROUP BY user_id""",
+        "event_lag_stats": """
+            WITH w AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS d_us
+              FROM events)
+            SELECT event_type, count(d_us) AS n_deltas,
+                   round(sum(d_us)::DOUBLE / (count(d_us)::DOUBLE * 1e6),
+                         4) AS avg_delta_s
+            FROM w WHERE d_us IS NOT NULL GROUP BY 1""",
+        "top_orders_per_customer": """
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                   o_orderkey, o_totalprice
+            FROM orders QUALIFY rnk <= 2""",
         "props_k_stats": """
             SELECT event_type,
                    round(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
@@ -1097,6 +1120,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "tfidf_top_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dlen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.t,
+                         (tf.tf::DOUBLE / dlen.n) * ln(nd.n::DOUBLE / df.df)
+                             AS raw
+                  FROM tf JOIN dlen USING (doc_id) JOIN df USING (t), nd)
+            SELECT doc_id, t AS term, round(raw, 4) AS score
+            FROM s QUALIFY ROW_NUMBER() OVER
+                (PARTITION BY doc_id ORDER BY raw DESC, t) = 1""",
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             c AS (SELECT doc_id, toks,

@@ -981,3 +981,112 @@ def minhash_cluster_counts(sf_dir: str) -> pa.Table:
     keys = sorted(counts)
     return pa.table({"cluster_key": pa.array(keys, pa.string()),
                      "n": pa.array([counts[k] for k in keys], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# window functions: LAG / ROW_NUMBER analogs (bucketed sorted-segment pass)
+# ---------------------------------------------------------------------------
+
+
+def event_lag_stats(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """Per event_type: count and mean of the inter-arrival delta (seconds)
+    between each event and the SAME USER's previous event — the
+    ``LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)`` window,
+    without a window engine: users hash into buckets, each bucket does one
+    vectorized pass (sort by (user, ts, event_id), numpy diff masked to
+    same-user rows), partials aggregate per event_type. Deltas stay int64
+    microseconds until the one final float divide, so the DuckDB twin is
+    bit-identical. Shuffle volume = one row per (bucket, event_type), never
+    events."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)   # microseconds
+        if len(uid) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "sum_us": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        same = uid[1:] == uid[:-1]
+        d_us = (ts[1:] - ts[:-1])[same]
+        et = t.column("event_type").combine_chunks().take(
+            pa.array(np.flatnonzero(same) + 1))
+        g = pa.table({"event_type": et, "d": pa.array(d_us, pa.int64())}) \
+            .group_by("event_type").aggregate([("d", "sum"),
+                                               ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "sum_us": g.column("d_sum"),
+                         "n": g.column("count_all")})
+
+    tot = small_key_agg(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow"),
+        _sum_combine(["event_type"], ["sum_us", "n"]))
+    su = pc.cast(tot.column("sum_us").combine_chunks(), pa.float64())
+    n = pc.cast(tot.column("n").combine_chunks(), pa.float64())
+    return pa.table({
+        "event_type": tot.column("event_type"),
+        "n_deltas": tot.column("n"),
+        "avg_delta_s": _rha(pc.divide(su, pc.multiply(n, 1e6)), 4),
+    })
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 2,
+                            num_buckets: int = 256) -> rd.Dataset:
+    """Top-k orders per customer by (o_totalprice DESC, o_orderkey ASC)
+    with an explicit rank column — the
+    ``ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ...)`` window as a
+    bucketed sorted-segment pass: customers hash into buckets, one lexsort
+    per bucket, rank = offset inside the customer's segment (pure numpy,
+    no per-group slicing). Output is ~k rows per customer; the exchange
+    moves each order row once."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            t.column("o_custkey"), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ck = _np_col(t, "o_custkey")
+        ok = _np_col(t, "o_orderkey")
+        tp = _np_col(t, "o_totalprice")
+        order = np.lexsort((ok, -tp, ck))
+        ck, ok, tp = ck[order], ok[order], tp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        seg = np.cumsum(np.concatenate(
+            ([False], ck[1:] != ck[:-1])))
+        rnk = np.arange(len(ck)) - starts[seg]
+        keep = rnk < k
+        return pa.table({
+            "o_custkey": pa.array(ck[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep] + 1, pa.int64()),
+            "o_orderkey": pa.array(ok[keep], pa.int64()),
+            "o_totalprice": pa.array(tp[keep], pa.float64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+def _np_col(t: pa.Table, name: str):
+    return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)

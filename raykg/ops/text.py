@@ -332,3 +332,120 @@ def fingerprint(documents: rd.Dataset, gram: int = 3) -> rd.Dataset:
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         batch, batch_format="pyarrow")
+
+
+def tfidf_top_terms(documents: rd.Dataset,
+                    num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, term, score): each document's highest-TF-IDF term, with
+    score = (tf / doc_len) * ln(N / df) and ties broken by the
+    lexicographically smallest term. Documents with no tokens are omitted.
+
+    Fully distributed — the vocabulary is NEVER broadcast (contrast
+    unigram_logprob's documented worker-heap envelope):
+
+    1. map: Arrow-vectorized explode (split_pattern_regex -> flatten ->
+       np.repeat parent ids) + per-batch hash-agg gives exact per-doc
+       (term, tf, doc_len) rows — exact because a document is one row of
+       the input, so its tokens never span batches;
+    2. term-bucketed exchange: every row of a term lands in one bucket, so
+       df is the term's segment length right there (sorted unique +
+       repeat) — no separate df aggregate, no join; scores are emitted in
+       the same pass;
+    3. doc-bucketed exchange: per-doc argmax as a sorted-segment-boundary
+       pass (sort by doc, score DESC, term ASC; take segment heads).
+
+    N = total document count (including empty docs), matching the SQL
+    oracle's count(*)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.functions.shuffle import bucketed_group_agg, crc_bucket_array
+
+    n_docs = float(documents.count())
+    TSENT = "\x00S"   # sentinel term (zero-row-block guard; \x00 < any text)
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lst = pc.split_pattern_regex(
+            t.column("text").combine_chunks(), pattern=r"\s+")
+        flat = lst.flatten()
+        doc = np.repeat(ids, pc.list_value_length(lst)
+                        .to_numpy(zero_copy_only=False))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tt = pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                       "term": flat.filter(pa.array(keep))})
+        g = tt.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        lens = tt.group_by("doc_id").aggregate([([], "count_all")])
+        dlen = pc.cast(lens.column("count_all"), pa.int64()).combine_chunks() \
+            .take(pc.index_in(g.column("doc_id").combine_chunks(),
+                              lens.column("doc_id").combine_chunks()))
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [g.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "term": pa.concat_arrays(
+                [g.column("term").combine_chunks(),
+                 pa.array([TSENT], pa.string())]),
+            "tf": pa.concat_arrays(
+                [pc.cast(g.column("count_all"), pa.int64())
+                 .combine_chunks(), pa.array([0], pa.int64())]),
+            "dlen": pa.concat_arrays([dlen, pa.array([1], pa.int64())]),
+        })
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        term = t.column("term").combine_chunks()
+        order = pc.array_sort_indices(term)
+        t = t.take(order)
+        term = t.column("term").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tf = t.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dlen = t.column("dlen").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if not len(term):
+            return pa.table({"doc_id": pa.array([-1], pa.int64()),
+                             "term": pa.array([TSENT], pa.string()),
+                             "score": pa.array([0.0], pa.float64())})
+        bound = np.concatenate(([True], term[1:] != term[:-1]))
+        _, counts = np.unique(np.cumsum(bound) - 1, return_counts=True)
+        df = np.repeat(counts, counts).astype(np.float64)
+        score = (tf / dlen) * np.log(n_docs / df)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "score": pa.array(score, pa.float64())})
+
+    def argmax_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("doc_id", "ascending"), ("score", "descending"),
+                       ("term", "ascending")])
+        doc = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if not len(doc):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        head = np.concatenate(([True], doc[1:] != doc[:-1]))
+        t = t.take(pa.array(np.flatnonzero(head)))
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "term": t.column("term"),
+            "score": pa.array(round_half_away(
+                t.column("score").combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.float64), 4),
+                pa.float64())})
+
+    scored = bucketed_group_agg(
+        documents.select_columns(["doc_id", "text"]).map_batches(
+            tf_batch, batch_format="pyarrow"),
+        lambda t: t, "term", score_bucket, num_buckets=num_buckets)
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            t.column("doc_id"), num_buckets))
+
+    return scored.map_batches(doc_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: argmax_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")

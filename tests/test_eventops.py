@@ -117,3 +117,37 @@ def test_sessionize_and_windows_match_duckdb(ray_session, tmp_path):
     assert _norm(sliding) == _norm(_oracle("sliding_event_stats"))
     hourly = relational.hourly_event_stats(sf).to_pandas()
     assert _norm(hourly) == _norm(_oracle("hourly_event_stats"))
+
+
+def test_event_lag_stats_matches_duckdb(ray_session, tmp_path):
+    # equal-ts events (ids 2,3,4 at minute 10) pin the (ts, event_id)
+    # tie-break; users never mix (deltas are per-user)
+    sf = _sf_dir(tmp_path)
+    got = relational.event_lag_stats(sf).to_pandas()
+    assert _norm(got) == _norm(_oracle("event_lag_stats"))
+    # user 2's purchase at minute 3 is its user's first event -> the
+    # 'purchase' deltas come only from user 1 (5-0, 10-10, 200-10 min)
+    purch = got[got.event_type == "purchase"].iloc[0]
+    assert int(purch.n_deltas) == 3
+
+
+def test_top_orders_per_customer_rank_semantics(ray_session, tmp_path):
+    import pandas as pd
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+        # customer 1: tie on totalprice -> smaller orderkey ranks first
+        "o_totalprice": pa.array([5.0, 5.0, 1.0, 9.0, 2.0, 4.0],
+                                 pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = relational.top_orders_per_customer(str(tmp_path), k=2) \
+        .to_pandas().sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "o_custkey": [1, 1, 2, 2, 3],
+        "rnk": [1, 2, 1, 2, 1],
+        "o_orderkey": [10, 11, 20, 21, 30],
+        "o_totalprice": [5.0, 5.0, 9.0, 2.0, 4.0],
+    })
+    assert got.astype(str).values.tolist() == want.astype(str).values.tolist()

@@ -1,0 +1,46 @@
+"""tfidf_top_terms (raykg/ops/text.py): handcrafted-corpus semantics
+(argmax, tie-break, empty-doc omission) and partitioning invariance.
+DuckDB oracle equivalence runs through tools/check_queries.py."""
+
+import math
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from raykg.ops.text import tfidf_top_terms
+
+
+def _docs(rows, blocks=1):
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_tfidf_argmax_and_tie_break(ray_session):
+    # corpus of 4 docs; "rare" appears only in doc 0 -> top there.
+    # doc 3 is empty -> omitted. doc 2: "aa" and "bb" appear only there,
+    # both tf=1/2 and df=1 -> equal score; tie-break picks "aa".
+    got = tfidf_top_terms(_docs([
+        (0, "common rare"),
+        (1, "common common common zz"),
+        (2, "bb aa"),
+        (3, "   "),
+    ]), num_buckets=8).to_pandas().set_index("doc_id").sort_index()
+    assert got.index.tolist() == [0, 1, 2]
+    assert got.loc[0, "term"] == "rare"
+    assert abs(got.loc[0, "score"]
+               - round(0.5 * math.log(4 / 1), 4)) < 1e-12
+    # doc 1: common tf=3/4 df=2 (0.520) beats zz tf=1/4 df=1 (0.347)
+    assert got.loc[1, "term"] == "common"
+    assert got.loc[2, "term"] == "aa"
+
+
+def test_tfidf_partitioning_invariant(ray_session):
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared word{i}") for i in range(40)]
+    a = tfidf_top_terms(_docs(rows), num_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = tfidf_top_terms(_docs(rows, blocks=9), num_buckets=17).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
