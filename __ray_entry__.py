@@ -613,6 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-segment passes
         "event_lag_stats": relational.event_lag_stats,
         "top_orders_per_customer": relational.top_orders_per_customer,
+        # anti-join (no broadcast side) + rollup multi-level aggregate
+        "customers_without_orders": relational.customers_without_orders,
+        "pricing_rollup": relational.pricing_rollup,
         "kg_nodes": relational.kg_nodes,
         "kg_edges": relational.kg_edges,
         "property_signatures": relational.property_signatures,
@@ -990,6 +993,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
                    o_orderkey, o_totalprice
             FROM orders QUALIFY rnk <= 2""",
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '2000-01-01')""",
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "props_k_stats": """
             SELECT event_type,
                    round(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))

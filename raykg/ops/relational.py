@@ -1090,3 +1090,101 @@ def top_orders_per_customer(sf_dir: str, k: int = 2,
 
 def _np_col(t: pa.Table, name: str):
     return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# anti-join + rollup aggregate
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str, since: str = "2000-01-01",
+                             num_buckets: int = 256) -> rd.Dataset:
+    """(c_custkey) for customers with NO order on/after ``since`` — a
+    distributed anti-join: both sides hash into the same custkey buckets
+    (the order side is filtered then pre-distincted per batch, so the
+    exchange moves at most one row per (batch, key)), and each bucket
+    emits its customer keys absent from the order side via one np.isin.
+    No side is broadcast; skewed customers spread by the bucket hash."""
+    import datetime as dt
+
+    import numpy as np
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t.column("c_custkey"),
+                            "side": pa.array([0] * t.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+
+    cutoff = dt.datetime.fromisoformat(since)
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), cutoff))
+        u = pc.unique(t.column("o_custkey").combine_chunks())
+        return pa.table({"key": u,
+                         "side": pa.array([1] * len(u), pa.int8())})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(order_keys, batch_format="pyarrow")
+
+    def anti(t: pa.Table) -> pa.Table:
+        key = t.column("key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = t.column("side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        left = key[side == 0]
+        right = key[side == 1]
+        return pa.table({"c_custkey": pa.array(
+            left[~np.isin(left, right)], pa.int64())})
+
+    return bucketed_group_agg(cust.union(orders), lambda t: t, "key", anti,
+                              num_buckets=num_buckets)
+
+
+def pricing_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): per-(flag, status)
+    totals, per-flag subtotals (status NULL) and the grand total (both
+    NULL). The distributed work is ONE pass (the same combiner as
+    pricing_summary); the rollup levels are derived from the
+    vocabulary-sized base aggregate (a few rows), not by re-scanning."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "l_linestatus": g.column("l_linestatus"),
+                         "qty": g.column("l_quantity_sum"),
+                         "n": g.column("count_all")})
+
+    base = small_key_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         _sum_combine(["l_returnflag", "l_linestatus"],
+                                      ["qty", "n"]))
+
+    def level(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate([("qty", "sum"), ("n", "sum")])
+            qty, n = g.column("qty_sum"), g.column("n_sum")
+        else:
+            g = None
+            qty = pa.array([pc.sum(t.column("qty")).as_py()], pa.float64())
+            n = pa.array([pc.sum(t.column("n")).as_py()], pa.int64())
+        cols = {}
+        for k in ("l_returnflag", "l_linestatus"):
+            if g is not None and k in keys:
+                cols[k] = g.column(k)
+            else:
+                cols[k] = pa.array([None] * len(qty), pa.string())
+        q = pc.cast(qty, pa.float64())
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        cols["sum_qty"] = _rha(q, 2)
+        cols["n"] = pc.cast(n, pa.int64())
+        return pa.table(cols)
+
+    return pa.concat_tables([
+        level(base, ["l_returnflag", "l_linestatus"]),
+        level(base, ["l_returnflag"]),
+        level(base, []),
+    ])

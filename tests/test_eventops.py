@@ -151,3 +151,36 @@ def test_top_orders_per_customer_rank_semantics(ray_session, tmp_path):
         "o_totalprice": [5.0, 5.0, 9.0, 2.0, 4.0],
     })
     assert got.astype(str).values.tolist() == want.astype(str).values.tolist()
+
+
+def test_customers_without_orders_anti_join(ray_session, tmp_path):
+    import datetime as dtm
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    d_old = dtm.datetime(1999, 6, 1)
+    d_new = dtm.datetime(2001, 6, 1)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array([d_new, d_old, d_old], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    got = relational.customers_without_orders(str(tmp_path)) \
+        .to_pandas()["c_custkey"].sort_values().tolist()
+    # 1 has a recent order; 2 only old ones; 3, 4 none at all
+    assert got == [2, 3, 4]
+
+
+def test_pricing_rollup_levels(ray_session, tmp_path):
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "B"], pa.string()),
+        "l_linestatus": pa.array(["O", "F", "O"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = relational.pricing_rollup(str(tmp_path)).to_pandas()
+    rows = {(r.l_returnflag, r.l_linestatus): (r.sum_qty, r.n)
+            for r in got.itertuples()}
+    assert rows[("A", "O")] == (1.0, 1) and rows[("A", "F")] == (2.0, 1)
+    assert rows[("A", None)] == (3.0, 2) and rows[("B", None)] == (4.0, 1)
+    assert rows[(None, None)] == (7.0, 3)
+    assert len(rows) == 6
