@@ -647,6 +647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: corpus.stratified_sample(
             _docs(sf), {"src0": 0.2, "src1": 0.8}, default_rate=0.5),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
+        # HyperLogLog sketch: mergeable per-batch register partials,
+        # integer-exact register table + corrected estimate
+        "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
+        "hll_estimate": lambda sf: corpus.hll_estimate(_docs(sf)),
         "cross_source_overlap":
             lambda sf: corpus.cross_source_overlap(_docs(sf)),
         # deduplication
@@ -853,6 +857,8 @@ def _pagerank_sql(iters: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from raykg.ops import corpus as corpus_mod
+
     sig_body = _sig_sql()
     return {
         "graph_edges": _graph_sql() + "SELECT src, dst FROM g",
@@ -1133,6 +1139,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "hll_registers": f"""
+            WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS t
+                         FROM documents),
+            h AS (SELECT ('0x' || substr(sha256(t), 1, 16))::UBIGINT AS h
+                  FROM tok),
+            r AS (SELECT (h >> 56)::BIGINT AS register,
+                         (h % 72057594037927936)::UBIGINT AS w FROM h)
+            SELECT register,
+                   max(CASE WHEN w = 0 THEN 57
+                            ELSE 57 - length(bin(w)) END)::BIGINT AS max_rank
+            FROM r GROUP BY register""",
+        "hll_estimate": f"""
+            WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS t
+                         FROM documents),
+            h AS (SELECT ('0x' || substr(sha256(t), 1, 16))::UBIGINT AS h
+                  FROM tok),
+            r AS (SELECT (h >> 56)::BIGINT AS register,
+                         (h % 72057594037927936)::UBIGINT AS w FROM h),
+            regs AS (SELECT register,
+                            max(CASE WHEN w = 0 THEN 57
+                                ELSE 57 - length(bin(w)) END) AS m
+                     FROM r GROUP BY register),
+            s AS (SELECT sum(power(2.0, -m)) AS sp, count(*) AS np
+                  FROM regs),
+            e AS (SELECT ({corpus_mod.HLL_ALPHA!r}::DOUBLE * 65536.0)
+                             / (sp + (256 - np)) AS raw,
+                         256 - np AS zeros, np FROM s)
+            SELECT round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                              THEN 256 * ln(256.0 / zeros)
+                              ELSE raw END, 4) AS estimate,
+                   np::BIGINT AS n_registers_hit
+            FROM e""",
         "tfidf_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),

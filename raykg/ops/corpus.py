@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from raykg.functions.hashing import hex_threshold8, sha_hex
+from raykg.functions.hashing import hex_threshold8, round_half_away, sha_hex
 from raykg.functions.shuffle import bucketed_group_agg
 from raykg.ops.dedup import _grams, lsh_candidate_pairs
 
@@ -335,3 +335,94 @@ def cross_source_overlap(documents: rd.Dataset) -> pa.Table:
     return pa.Table.from_pylist(out.take_all(), schema=pa.schema([
         ("source_a", pa.string()), ("source_b", pa.string()),
         ("n_hashes", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch — mergeable approximate distinct-token count
+# ---------------------------------------------------------------------------
+
+HLL_M = 256          # registers (top 8 hash bits)
+HLL_WBITS = 56       # remaining bits scored for the rank
+# alpha_m for m >= 128 (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_token_registers(documents: rd.Dataset) -> pa.Table:
+    """(register, max_rank): the HyperLogLog register table over the
+    corpus's distinct tokens — the canonical MERGEABLE sketch for
+    approximate distinct counts at 100 TB: each batch folds its (deduped)
+    tokens into a 256-register partial, partials merge by per-register
+    MAX (associative + idempotent, so re-execution and re-partitioning
+    are free), and only register-sized tables ever move. Registers are
+    all-integer, so the DuckDB twin is bit-exact.
+
+    Hash contract (shared with the oracle): h = first 16 hex of
+    sha256(token) as uint64; register = h >> 56; rank = number of leading
+    zeros of the low 56 bits + 1 (57 when they are all zero). Absent
+    registers (no token hashed into them) are omitted — the estimator
+    counts them as zeros."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        toks = pc2.unique(pc2.list_flatten(pc2.split_pattern_regex(
+            t.column("text").combine_chunks(), pattern=r"\s+")))
+        toks = toks.filter(pc2.not_equal(toks, ""))
+        if len(toks) == 0:
+            # typed sentinel row (register -1, filtered by the combiner's
+            # consumer never — max over {0} is harmless but keep it out
+            # of the real id space)
+            return pa.table({"register": pa.array([-1], pa.int64()),
+                             "max_rank": pa.array([0], pa.int64())})
+        h = np.array([int(sha_hex(s)[:16], 16) for s in toks.to_pylist()],
+                     dtype=np.uint64)
+        reg = (h >> np.uint64(HLL_WBITS)).astype(np.int64)
+        w = h & np.uint64((1 << HLL_WBITS) - 1)
+        bl = np.zeros(len(w), np.int64)
+        for k in range(HLL_WBITS):
+            bl += (w >= np.uint64(1 << k)).astype(np.int64)
+        rank = (HLL_WBITS + 1) - bl
+        g = pa.table({"register": pa.array(reg, pa.int64()),
+                      "max_rank": pa.array(rank, pa.int64())}) \
+            .group_by("register").aggregate([("max_rank", "max")])
+        return pa.table({"register": g.column("register"),
+                         "max_rank": g.column("max_rank_max")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("register").aggregate([("max_rank", "max")])
+        return pa.table({"register": g.column("register"),
+                         "max_rank": g.column("max_rank_max")})
+
+    from raykg.ops.relational import small_key_agg
+
+    out = combine(small_key_agg(
+        documents.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    return out.filter(pc.greater_equal(out.column("register"), 0)) \
+        .sort_by("register")
+
+
+def hll_estimate(documents: rd.Dataset) -> pa.Table:
+    """One-row (estimate, n_registers_hit): the HyperLogLog cardinality
+    estimate from :func:`hll_token_registers`, with the standard
+    small-range (linear-counting) correction. Float arithmetic happens
+    once, on the 256-row register table; the oracle reproduces the same
+    formula, and the 4-decimal round absorbs summation-order ulps."""
+    import math
+
+    regs = hll_token_registers(documents)
+    ranks = regs.column("max_rank").to_pylist()
+    n_present = len(ranks)
+    zeros = HLL_M - n_present
+    sp = sum(2.0 ** -r for r in sorted(ranks)) + zeros
+    # one multiply (alpha * m^2 as a single literal product) so the float
+    # association matches the SQL twin exactly
+    raw = HLL_ALPHA * float(HLL_M * HLL_M) / sp
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        est = HLL_M * math.log(HLL_M / zeros)
+    else:
+        est = raw
+    return pa.table({
+        "estimate": pa.array([round_half_away(est, 4)], pa.float64()),
+        "n_registers_hit": pa.array([n_present], pa.int64())})

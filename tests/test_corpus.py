@@ -167,3 +167,27 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     n_a = sum(1 for _, s in rows if s == "a")
     n_b = sum(1 for _, s in rows if s == "b")
     assert 150 < n_a <= 200 and 0 < n_b < 50   # ~90% of 200, ~10% of 200
+
+
+def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from raykg.ops.corpus import HLL_M, hll_estimate, hll_token_registers
+
+    # 20k distinct tokens spread over many docs: exercises the raw-HLL
+    # branch (not linear counting) — standard error is 1.04/sqrt(256) ~ 6.5%
+    n_tok = 20000
+    rows = [{"doc_id": i, "text": " ".join(
+        f"w{j}" for j in range(i * 20, (i + 1) * 20))}
+        for i in range(n_tok // 20)]
+    docs = rd.from_items(rows)
+    est = hll_estimate(docs).to_pandas()
+    e = float(est["estimate"][0])
+    assert abs(e - n_tok) / n_tok < 0.15
+    assert int(est["n_registers_hit"][0]) == HLL_M   # all registers hit
+    # register table is invariant to partitioning (mergeable sketch)
+    a = hll_token_registers(docs).to_pandas()
+    b = hll_token_registers(docs.repartition(13)).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
