@@ -651,6 +651,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
         "hll_estimate": lambda sf: corpus.hll_estimate(_docs(sf)),
+        # Bloom-filter membership probe: mergeable set-bit partials ->
+        # broadcast once -> vectorized probe; decisions (incl. false
+        # positives) are a shared sha256 contract with the oracle
+        "bloom_contamination":
+            lambda sf: corpus.bloom_contamination(_docs(sf)),
         "cross_source_overlap":
             lambda sf: corpus.cross_source_overlap(_docs(sf)),
         # deduplication
@@ -705,6 +710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph has many components (0.8 would merge everything into one)
         "graph_components": lambda sf: graph.connected_components(
             graph.synth_graph_edges(p_intra=1.0)),
+        "graph_bfs_depths":
+            lambda sf: graph.bfs_depths(graph.synth_graph_edges(), source=0),
     }
 
 
@@ -878,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
+        # single-source BFS as a depth-bounded recursive walk; the bound
+        # (40) only needs to exceed the source's eccentricity — min(d)
+        # per node is the true BFS depth
+        "graph_bfs_depths": "WITH RECURSIVE " + _graph_sql()
+        .replace("WITH lim", "lim", 1) + """,
+            walk(node, d) AS (
+                SELECT 0::BIGINT AS node, 0::BIGINT AS d
+                UNION
+                SELECT g.dst, w.d + 1 FROM walk w
+                JOIN g ON g.src = w.node
+                WHERE w.d < 40)
+            SELECT node, min(d)::BIGINT AS depth FROM walk GROUP BY node""",
         # WCC via exhaustive reachable-label enumeration (the recursive
         # CTE's UNION-distinct bounds the walk at |component|^2 rows per
         # component — fine at oracle scale); the engine's iterative
@@ -1138,6 +1157,24 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(n)::DOUBLE AS s FROM c)
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
+            GROUP BY doc_id""",
+        "bloom_contamination": """
+            WITH probe AS (SELECT doc_id, text FROM documents
+                           WHERE doc_id % 3 = 0),
+            train AS (SELECT DISTINCT text FROM documents
+                      WHERE doc_id % 3 <> 0),
+            tpos AS (SELECT DISTINCT
+                       ('0x' || substr(sha256('bloom|' || i::VARCHAR || '|'
+                        || text), 1, 16))::UBIGINT % 16384 AS p
+                     FROM train, (SELECT unnest(range(0, 4)) AS i)),
+            ppos AS (SELECT doc_id,
+                       ('0x' || substr(sha256('bloom|' || i::VARCHAR || '|'
+                        || text), 1, 16))::UBIGINT % 16384 AS p
+                     FROM probe, (SELECT unnest(range(0, 4)) AS i))
+            SELECT doc_id,
+                   min(CASE WHEN t.p IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS bloom_hit
+            FROM ppos LEFT JOIN tpos t USING (p)
             GROUP BY doc_id""",
         "hll_registers": f"""
             WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS t

@@ -426,3 +426,111 @@ def hll_estimate(documents: rd.Dataset) -> pa.Table:
     return pa.table({
         "estimate": pa.array([round_half_away(est, 4)], pa.float64()),
         "n_registers_hit": pa.array([n_present], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe — broadcast-sketch contamination check
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14    # bits; a config constant, independent of corpus size
+BLOOM_K = 4          # hash functions
+
+
+def _bloom_positions(texts: list[str]) -> "tuple":
+    """The BLOOM_K bit positions of each text: position_i =
+    uint64(first 16 hex of sha256('bloom|i|' + text)) % BLOOM_M. Shared
+    hash contract with the DuckDB oracle, so membership decisions —
+    including false positives — are bit-exact."""
+    import numpy as np
+
+    h = np.array([[int(sha_hex(f"bloom|{i}|{s}")[:16], 16)
+                   for i in range(BLOOM_K)] for s in texts],
+                 dtype=np.uint64)
+    return h % np.uint64(BLOOM_M)
+
+
+def bloom_train_positions(train: rd.Dataset) -> pa.Table:
+    """The set-bit table of a Bloom filter over the train-side document
+    texts: (position) rows, deduped, at most BLOOM_M of them. Built as
+    per-batch distinct-position partials merged by another distinct pass —
+    union of sets is associative and idempotent, so the sketch is
+    mergeable across batches, partitions and reruns (the same property the
+    HLL registers rely on). Only filter-sized tables ever move; the corpus
+    is streamed once.
+
+    At 100 TB the filter is sized up (m ~ 10^10 bits for ~10^9 docs at 1%
+    FP) and the position set is sharded by position range instead of
+    broadcast whole; the build below is the same two-phase distinct."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table({"position": pa.array([-1], pa.int64())})
+        pos = np.unique(_bloom_positions(texts).astype(np.int64))
+        # sentinel keeps zero-row blocks typed (shuffle convention)
+        return pa.table({"position": np.concatenate([pos, [-1]])})
+
+    def combine(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pos = np.unique(t.column("position").combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({"position": pos})
+
+    from raykg.ops.relational import small_key_agg
+
+    out = combine(small_key_agg(
+        train.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    return out.filter(pc.greater_equal(out.column("position"), 0))
+
+
+def bloom_contamination(documents: rd.Dataset,
+                        probe_mod: int = 3) -> rd.Dataset:
+    """(doc_id, bloom_hit) for every probe-side document: hit = 1 iff ALL
+    of its BLOOM_K positions are set in the Bloom filter built over the
+    train side. Split is deterministic: probe = doc_id % probe_mod == 0,
+    train = the rest (the industrial shape: filter built over the training
+    corpus once, eval/bench candidates probed for contamination).
+
+    The filter (<= BLOOM_M set positions, a few KiB) is put in the object
+    store ONCE and read per probe task — the broadcast-small-side pattern;
+    the probe is a pure map_batches with vectorized searchsorted
+    membership. Exact duplicates across the split genuinely hit; any
+    additional hit is a Bloom false positive, which the oracle reproduces
+    exactly because the bit positions are a shared sha256 contract."""
+    import numpy as np
+    import ray
+
+    def _split(t: pa.Table, keep_probe: bool) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        mask = (ids % probe_mod) == 0
+        return t.filter(pa.array(mask if keep_probe else ~mask))
+
+    train = documents.map_batches(
+        lambda t: _split(t, keep_probe=False), batch_format="pyarrow")
+    bits = bloom_train_positions(train)
+    bits_np = np.sort(bits.column("position").to_numpy(zero_copy_only=False))
+    ref = ray.put(bits_np)
+
+    def probe(t: pa.Table) -> pa.Table:
+        positions = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = _split(t, keep_probe=True)
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bloom_hit": pa.array([], pa.int64())})
+        pos = _bloom_positions(texts).astype(np.int64)    # (n, BLOOM_K)
+        idx = np.searchsorted(positions, pos)
+        idx[idx >= len(positions)] = max(len(positions) - 1, 0)
+        member = (positions[idx] == pos) if len(positions) \
+            else np.zeros_like(pos, bool)
+        hit = member.all(axis=1).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").combine_chunks(),
+            "bloom_hit": pa.array(hit, pa.int64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        probe, batch_format="pyarrow")

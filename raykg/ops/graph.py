@@ -616,3 +616,122 @@ def connected_components(edges: rd.Dataset, max_iters: int = 32,
                          "component": t.column("label")})
 
     return state.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BFS depths — single-source unit-weight shortest paths
+# ---------------------------------------------------------------------------
+
+def bfs_depths(edges: rd.Dataset, source: int = 0, max_iters: int = 32,
+               num_buckets: int = 256) -> rd.Dataset:
+    """(node, depth) for every node reachable from ``source`` along
+    DIRECTED edges; depth = length of the shortest such path (source
+    itself at depth 0). The distributed frontier loop, two bucketed
+    exchanges per round and nothing node-sized on the driver:
+
+    1. src-keyed ATTACH: state rows (reached nodes + depths) and edge rows
+       hash into the same bucket by src; edges whose src is reached OFFER
+       depth+1 to their dst (sorted ``searchsorted`` with a membership
+       mask — unreached srcs emit nothing, unlike pagerank's total-state
+       assert);
+    2. node-keyed FOLD: new depth = min(old, offers); ``changed`` counts
+       nodes that are newly reached or improved, summed distributedly for
+       the fixpoint test.
+
+    Synchronous min-propagation over unit weights IS breadth-first search:
+    round r settles exactly the depth-r frontier, so the loop stops after
+    eccentricity(source)+1 rounds. Exhausting ``max_iters`` logs a warning
+    (the result would then miss nodes deeper than max_iters). All-integer
+    arithmetic — the DuckDB recursive-CTE twin is bit-exact."""
+    edges = edges.materialize()
+
+    state = rd.from_arrow(pa.table({
+        "node": pa.array([source, _SENT], pa.int64()),
+        "depth": pa.array([0, 0], pa.int64())}))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        return pa.table({"node": np.concatenate([src, [_SENT]]),
+                         "dst": np.concatenate([dst, [_SENT]]),
+                         "depth": np.zeros(len(src) + 1, np.int64)})
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "dst": pa.array([_SENT] * n, pa.int64()),
+                         "depth": t.column("depth")})
+
+    def attach(t: pa.Table) -> pa.Table:
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        dep = _np(t.column("depth"))
+        real = node >= 0
+        node, dst, dep = node[real], dst[real], dep[real]
+        is_state = dst == _SENT
+        snode, sdep = node[is_state], dep[is_state]
+        order = np.argsort(snode, kind="stable")
+        snode, sdep = snode[order], sdep[order]
+        enode, edst = node[~is_state], dst[~is_state]
+        if len(snode) and len(enode):
+            idx = np.searchsorted(snode, enode)
+            idx[idx >= len(snode)] = len(snode) - 1
+            hit = snode[idx] == enode
+            off_node, off_dep = edst[hit], sdep[idx[hit]] + 1
+        else:
+            off_node = np.empty(0, np.int64)
+            off_dep = np.empty(0, np.int64)
+        return pa.table({
+            "node": np.concatenate([off_node, [_SENT]]),
+            "d": np.concatenate([off_dep, [0]]),
+            "is_old": np.zeros(len(off_node) + 1, np.int8)})
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"), "d": t.column("depth"),
+                         "is_old": pa.array([1] * n, pa.int8())})
+
+    INF = np.int64(1) << np.int64(62)
+
+    def fold(t: pa.Table) -> pa.Table:
+        node, d = _np(t.column("node")), _np(t.column("d"))
+        old_f = _np(t.column("is_old"))
+        order = np.argsort(node, kind="stable")
+        node, d, old_f = node[order], d[order], old_f[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))
+        new = np.minimum.reduceat(d, start)
+        old = np.minimum.reduceat(np.where(old_f == 1, d, INF), start)
+        uniq = node[start]
+        changed = ((new < old) & (uniq >= 0)).astype(np.int64)
+        # the sentinel group (node=-1) survives as the per-block typed row
+        return pa.table({"node": uniq, "depth": new, "changed": changed})
+
+    converged = False
+    for _ in range(max_iters):
+        offers = bucketed_group_agg(
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(state.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "node", attach, num_buckets=num_buckets)
+        state = bucketed_group_agg(
+            offers.union(state.map_batches(old_rows,
+                                           batch_format="pyarrow")),
+            lambda t: t, "node", fold, num_buckets=num_buckets) \
+            .materialize()
+        if not state.sum("changed"):
+            converged = True
+            break
+        state = state.drop_columns(["changed"])
+    if not converged:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "bfs_depths: frontier did not empty within %d rounds — nodes "
+            "deeper than max_iters are missing from the output; raise "
+            "max_iters", max_iters)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("node"), 0))
+        cols = ["node", "depth"]
+        return t.select(cols)
+
+    return state.map_batches(fin, batch_format="pyarrow")

@@ -191,3 +191,39 @@ def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
     a = hll_token_registers(docs).to_pandas()
     b = hll_token_registers(docs.repartition(13)).to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_bloom_contamination_semantics(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raykg.ops.corpus import (BLOOM_K, _bloom_positions,
+                                  bloom_contamination,
+                                  bloom_train_positions)
+
+    # doc 3 duplicates doc 1's text across the split -> genuine hit;
+    # every other probe doc is distinct (may still FP, checked exactly)
+    texts = {0: "probe zero unique", 1: "shared text body",
+             2: "train two", 3: "shared text body", 4: "train four",
+             6: "probe six unique", 5: "train five"}
+    docs = rd.from_items([{"doc_id": k, "text": v}
+                          for k, v in sorted(texts.items())])
+    got = bloom_contamination(docs, probe_mod=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 3, 6]
+    hits = dict(zip(got["doc_id"], got["bloom_hit"]))
+    assert hits[3] == 1   # exact duplicate always hits
+    # brute-force the exact Bloom decision for the others
+    train_pos = set(bloom_train_positions(
+        docs.map_batches(lambda t: t.filter(
+            pa.array((t.column("doc_id").to_numpy(zero_copy_only=False)
+                      % 3) != 0)), batch_format="pyarrow"))
+        .column("position").to_pylist())
+    for d in (0, 6):
+        expect = int(all(int(p) in train_pos
+                         for p in _bloom_positions([texts[d]])[0]))
+        assert hits[d] == expect
+    # mergeability: the set-bit table is invariant to partitioning
+    a = bloom_train_positions(docs).to_pydict()
+    b = bloom_train_positions(docs.repartition(5)).to_pydict()
+    assert a == b

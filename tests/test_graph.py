@@ -159,3 +159,32 @@ def test_connected_components_partitioning_invariant():
                                        num_buckets=17), "node")
     assert a.equals(b)
     assert set(a["component"].unique()) <= set(range(0, 400, 40))
+
+
+def test_bfs_depths_tiny():
+    # 0 -> 1 -> 2 -> 3 plus a shortcut 0 -> 2; 9 -> 0 is unreachable
+    # (direction matters); 4 isolated
+    got = _df(graph.bfs_depths(
+        _edges([(0, 1), (1, 2), (2, 3), (0, 2), (9, 0), (4, 4)]),
+        source=0, num_buckets=8), "node")
+    assert dict(zip(got["node"], got["depth"])) == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_depths_chain_and_source_only():
+    # a 10-node directed path needs depth-9 propagation
+    got = _df(graph.bfs_depths(_edges([(i, i + 1) for i in range(9)]),
+                               source=0, num_buckets=4), "node")
+    assert got["depth"].tolist() == list(range(10))
+    # source with no out-edges: output is just the source at depth 0
+    got = _df(graph.bfs_depths(_edges([(1, 2)]), source=0, num_buckets=4),
+              "node")
+    assert got["node"].tolist() == [0] and got["depth"].tolist() == [0]
+
+
+def test_bfs_depths_partitioning_invariant():
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.bfs_depths(edges, source=0), "node")
+    b = _df(graph.bfs_depths(edges.repartition(11), source=0,
+                             num_buckets=17), "node")
+    assert a.equals(b)
+    assert int(a.loc[a["node"] == 0, "depth"].iloc[0]) == 0
