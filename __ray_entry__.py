@@ -651,6 +651,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
         "hll_estimate": lambda sf: corpus.hll_estimate(_docs(sf)),
+        # count-min sketch: linear (SUM-mergeable) register partials;
+        # point estimates = min over rows, bit-exact incl. collisions
+        "cms_registers": lambda sf: corpus.cms_token_counts(_docs(sf)),
+        "cms_estimates": lambda sf: corpus.cms_estimate_tokens(
+            _docs(sf), ["table", "query", "spark", "value", "xyzzy"]),
         # Bloom-filter membership probe: mergeable set-bit partials ->
         # broadcast once -> vectorized probe; decisions (incl. false
         # positives) are a shared sha256 contract with the oracle
@@ -1158,6 +1163,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "cms_registers": f"""
+            WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+            cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+            cells AS (SELECT r,
+                        ('0x' || substr(sha256('cms|' || r::VARCHAR || '|'
+                         || t), 1, 16))::UBIGINT % 1024 AS col, n
+                      FROM cnt, (SELECT unnest(range(0, 4)) AS r))
+            SELECT r::BIGINT AS "row", col::BIGINT AS col,
+                   sum(n)::BIGINT AS n
+            FROM cells GROUP BY 1, 2""",
+        "cms_estimates": f"""
+            WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+            cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+            cells AS (SELECT r,
+                        ('0x' || substr(sha256('cms|' || r::VARCHAR || '|'
+                         || t), 1, 16))::UBIGINT % 1024 AS col, n
+                      FROM cnt, (SELECT unnest(range(0, 4)) AS r)),
+            regs AS (SELECT r, col, sum(n) AS n FROM cells GROUP BY 1, 2),
+            probes(token) AS (VALUES ('table'), ('query'), ('spark'),
+                              ('value'), ('xyzzy')),
+            pcell AS (SELECT token, r,
+                        ('0x' || substr(sha256('cms|' || r::VARCHAR || '|'
+                         || token), 1, 16))::UBIGINT % 1024 AS col
+                      FROM probes, (SELECT unnest(range(0, 4)) AS r))
+            SELECT token, min(coalesce(regs.n, 0))::BIGINT AS est
+            FROM pcell LEFT JOIN regs
+              ON regs.r = pcell.r AND regs.col = pcell.col
+            GROUP BY token""",
         "bloom_contamination": """
             WITH probe AS (SELECT doc_id, text FROM documents
                            WHERE doc_id % 3 = 0),

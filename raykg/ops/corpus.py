@@ -534,3 +534,96 @@ def bloom_contamination(documents: rd.Dataset,
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable approximate token frequencies
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024    # columns per row
+CMS_D = 4       # hash rows
+
+
+def _cms_cols(tokens: list[str], row: int) -> "object":
+    """Column index of each token in sketch row ``row``:
+    uint64(first 16 hex of sha256('cms|row|' + token)) % CMS_W — the shared
+    hash contract with the DuckDB oracle."""
+    import numpy as np
+
+    h = np.array([int(sha_hex(f"cms|{row}|{s}")[:16], 16) for s in tokens],
+                 dtype=np.uint64)
+    return (h % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_token_counts(documents: rd.Dataset) -> pa.Table:
+    """The count-min sketch register table over corpus token OCCURRENCES:
+    (row, col, n) for every non-empty cell. The sketch is LINEAR — cells
+    add — so per-batch partials merge by plain SUM: associative,
+    commutative, re-partitioning-safe, the same mergeability story as the
+    HLL registers and the Bloom set bits. Cell counts are integers, so the
+    DuckDB twin is bit-exact.
+
+    The sketch is CMS_D x CMS_W regardless of corpus size (at 100 TB you
+    widen CMS_W for a tighter epsilon = e/W error bound; the build cost is
+    unchanged — one streamed pass, register-sized exchanges only)."""
+    from collections import Counter
+
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tok for tok in s.split() if tok)
+        if not c:
+            return pa.table({"row": pa.array([-1], pa.int64()),
+                             "col": pa.array([-1], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+        toks = list(c.keys())
+        cnts = np.array(list(c.values()), np.int64)
+        rows, cols, ns = [], [], []
+        for r in range(CMS_D):
+            rows.append(np.full(len(toks), r, np.int64))
+            cols.append(_cms_cols(toks, r))
+            ns.append(cnts)
+        p = pa.table({"row": np.concatenate(rows),
+                      "col": np.concatenate(cols),
+                      "n": np.concatenate(ns)})
+        g = p.group_by(["row", "col"]).aggregate([("n", "sum")])
+        return pa.table({"row": g.column("row"), "col": g.column("col"),
+                         "n": g.column("n_sum")})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["row", "col"]).aggregate([("n", "sum")])
+        return pa.table({"row": g.column("row"), "col": g.column("col"),
+                         "n": g.column("n_sum")})
+
+    from raykg.ops.relational import small_key_agg
+
+    out = combine(small_key_agg(
+        documents.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    return out.filter(pc.greater_equal(out.column("row"), 0)) \
+        .sort_by([("row", "ascending"), ("col", "ascending")])
+
+
+def cms_estimate_tokens(documents: rd.Dataset,
+                        probes: list[str]) -> pa.Table:
+    """(token, est) for each probe token: the count-min point estimate
+    min over rows of cell(row, col(token)) — an upper bound on the true
+    occurrence count, inflated only by hash collisions. Register lookup is
+    driver-side (the sketch is a fixed-size table); the corpus pass is the
+    one inside :func:`cms_token_counts`."""
+    import numpy as np
+
+    regs = cms_token_counts(documents)
+    cell = {(r, c): n for r, c, n in zip(regs.column("row").to_pylist(),
+                                         regs.column("col").to_pylist(),
+                                         regs.column("n").to_pylist())}
+    probes = sorted(probes)
+    ests = []
+    for tok in probes:
+        vals = [cell.get((r, int(_cms_cols([tok], r)[0])), 0)
+                for r in range(CMS_D)]
+        ests.append(min(vals))
+    return pa.table({"token": pa.array(probes, pa.string()),
+                     "est": pa.array(ests, pa.int64())})

@@ -227,3 +227,24 @@ def test_bloom_contamination_semantics(ray_session):
     a = bloom_train_positions(docs).to_pydict()
     b = bloom_train_positions(docs.repartition(5)).to_pydict()
     assert a == b
+
+
+def test_cms_estimates_and_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from raykg.ops.corpus import cms_estimate_tokens, cms_token_counts
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "alpha beta " + ("gamma " * (i + 1))}
+         for i in range(6)])
+    est = cms_estimate_tokens(docs, ["alpha", "gamma", "nothere"]) \
+        .to_pandas().set_index("token")["est"]
+    # CMS estimates upper-bound true counts; with 3 tokens in a 4x1024
+    # sketch there are no collisions, so they are exact
+    assert est["alpha"] == 6
+    assert est["gamma"] == sum(range(1, 7))
+    assert est["nothere"] == 0
+    # linear sketch: register table invariant to partitioning
+    a = cms_token_counts(docs).to_pydict()
+    b = cms_token_counts(docs.repartition(4)).to_pydict()
+    assert a == b
