@@ -642,6 +642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-level training-data ops
         "neardup_keep": lambda sf: corpus.neardup_keep(_docs(sf)),
         "neardup_components": lambda sf: corpus.neardup_components(_docs(sf)),
+        # same output via alternating star contraction (O(log^2 n) rounds,
+        # diameter-independent — the long-chain-graph scale path)
+        "neardup_components_star": lambda sf: corpus.neardup_components(
+            _docs(sf), algorithm="star"),
         "hash_split": lambda sf: corpus.hash_split(_docs(sf)),
         "pack_sequences": lambda sf: corpus.pack_sequences(_docs(sf)),
         "stratified_sample": lambda sf: corpus.stratified_sample(
@@ -1326,6 +1330,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jac >= 0.6)""",
         "neardup_components": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            vp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.6),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM vp
+                  UNION ALL SELECT doc_b, doc_a FROM vp),
+            nodes AS (SELECT DISTINCT a AS node FROM e),
+            reach(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY 1""",
+        # star contraction computes the same min-id components
+        "neardup_components_star": f"""
             WITH RECURSIVE {_LSH_CTES},
             vp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.6),
             e AS (SELECT doc_a AS a, doc_b AS b FROM vp

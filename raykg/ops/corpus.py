@@ -88,21 +88,32 @@ def neardup_keep(documents: rd.Dataset, num_buckets: int = 1024,
 
 
 def neardup_components(documents: rd.Dataset, max_iters: int = 32,
+                       algorithm: str = "propagation",
                        **lsh_kwargs) -> rd.Dataset:
     """Connected components over the near-dup pair graph:
     (doc_id, component) where component = min doc_id reachable via
     candidate pairs. Docs with no near-dup partner are their own component
     and are omitted (matching the SQL oracle's pair-node universe).
 
-    Delegates to :func:`raykg.ops.graph.connected_components` — fully
-    vectorized min-label propagation (three bucketed exchanges per round,
+    ``algorithm="propagation"`` delegates to
+    :func:`raykg.ops.graph.connected_components` — fully vectorized
+    min-label propagation (three bucketed exchanges per round,
     ``searchsorted`` label attach, ``minimum.reduceat`` edge-min; no
     per-row Python anywhere), with a distributed fixpoint count and a
-    logged warning on non-convergence. Pair identity travels as two int64
-    columns, so doc ids only need to be non-negative (no 2^31 packing
-    ceiling). Near-dup components are clique-ish and converge in 2-3
-    rounds; ``max_iters`` is a runaway bound."""
-    from raykg.ops.graph import connected_components
+    logged warning on non-convergence. O(diameter) rounds — right for
+    near-dup graphs, whose components are clique-ish and converge in 2-3
+    rounds; ``max_iters`` is a runaway bound.
+
+    ``algorithm="star"`` delegates to
+    :func:`raykg.ops.graph.connected_components_star` — alternating
+    large-star/small-star contraction, O(log^2 n) rounds independent of
+    diameter; the scale path for long-chain graphs. Both produce
+    identical output (same min-id component convention).
+
+    Pair identity travels as two int64 columns either way, so doc ids
+    only need to be non-negative (no 2^31 packing ceiling)."""
+    from raykg.ops.graph import connected_components, \
+        connected_components_star
 
     pairs = lsh_candidate_pairs(documents, **lsh_kwargs) \
         .select_columns(["doc_a", "doc_b"])
@@ -111,9 +122,10 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
         return pa.table({"src": t.column("doc_a"),
                          "dst": t.column("doc_b")})
 
-    comp = connected_components(
-        pairs.map_batches(as_edges, batch_format="pyarrow"),
-        max_iters=max_iters)
+    cc = {"propagation": connected_components,
+          "star": connected_components_star}[algorithm]
+    comp = cc(pairs.map_batches(as_edges, batch_format="pyarrow"),
+              max_iters=max_iters)
     return comp.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"),
                             "component": t.column("component")}),

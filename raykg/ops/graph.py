@@ -735,3 +735,214 @@ def bfs_depths(edges: rd.Dataset, source: int = 0, max_iters: int = 32,
         return t.select(cols)
 
     return state.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components in O(log^2 n) rounds — alternating star contraction
+# ---------------------------------------------------------------------------
+
+def connected_components_star(edges: rd.Dataset, max_iters: int = 64,
+                              num_buckets: int = 256) -> rd.Dataset:
+    """(node, component) — same contract as :func:`connected_components`
+    (component = min reachable node id over the undirected simple graph,
+    pair-node universe), but via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log^2 n) rounds INDEPENDENT of
+    component diameter, vs min-label propagation's O(diameter). This is
+    the scale path for long-chain graphs (web link paths, citation
+    chains) where a 10^6-hop component would take 10^6 propagation
+    rounds but ~40 star rounds.
+
+    One bucketed node-keyed exchange per star, everything vectorized
+    (argsort + ``minimum.reduceat`` segment mins); each round's edge
+    count never grows (large-star emits exactly one edge per input edge,
+    small-star at most one), so per-round work is linear in the current
+    edge set.
+
+    Fixpoint detection compares a commutative 64-bit mix signature
+    (count + wrapping sum of per-edge hashes) across rounds: the paper's
+    potential function strictly decreases until the star-forest fixpoint,
+    so a repeated signature means convergence (up to a documented 2^-64
+    collision risk); equality with the propagation variant is asserted
+    in tests."""
+
+    def _ab(t: pa.Table):
+        return _np(t.column("a")), _np(t.column("b"))
+
+    def _pair_dedup(a: np.ndarray, b: np.ndarray):
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            keep = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[keep], b[keep]
+        return a, b
+
+    def _route(a: np.ndarray) -> np.ndarray:
+        return ((a.astype(np.uint64) * np.uint64(2654435761))
+                >> np.uint64(7)).astype(np.int64) % num_buckets
+
+    # canonical distinct undirected simple edges (a < b)
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        if len(src) and (src.min() < 0 or dst.min() < 0):
+            raise ValueError("connected_components_star: node ids must "
+                             "be non-negative (-1 is the sentinel)")
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        a, b = _pair_dedup(a, b)
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]])})
+
+    def dedup_fin(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = _pair_dedup(a[real], b[real])
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]])})
+
+    def _dedup(ds: rd.Dataset) -> rd.Dataset:
+        # route on the smaller endpoint: canonical duplicates share it
+        def keyed(t: pa.Table) -> pa.Table:
+            a, b = _ab(t)
+            real = a >= 0
+            a, b = _pair_dedup(a[real], b[real])
+            return pa.table({"a": np.concatenate([a, [_SENT]]),
+                             "b": np.concatenate([b, [_SENT]])})
+
+        return bucketed_group_agg(ds, keyed, "a", dedup_fin,
+                                  num_buckets=num_buckets)
+
+    state = _dedup(edges.map_batches(canon, batch_format="pyarrow")) \
+        .materialize()
+
+    # ---- star rounds -------------------------------------------------
+    def ls_rows(t: pa.Table) -> pa.Table:
+        """Both directions: edge (a, b) lands in group a AND group b."""
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        return pa.table({"u": np.concatenate([a, b, [_SENT]]),
+                         "v": np.concatenate([b, a, [_SENT]])})
+
+    def large_star(t: pa.Table) -> pa.Table:
+        """Per group u: m = min(u, neighbors); emit (v, m) for v > u.
+        Every canonical edge is emitted exactly once (from its smaller
+        endpoint's group), so the edge count never grows."""
+        u, v = _np(t.column("u")), _np(t.column("v"))
+        real = u >= 0
+        u, v = u[real], v[real]
+        if not len(u):   # bucket held only sentinel rows
+            return pa.table({"a": np.array([_SENT], np.int64),
+                             "b": np.array([_SENT], np.int64)})
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        start = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        counts = np.diff(np.concatenate([start, [len(u)]]))
+        m = np.minimum(np.minimum.reduceat(v, start), u[start])
+        m_row = np.repeat(m, counts)
+        keep = v > u
+        return pa.table({"a": np.concatenate([m_row[keep], [_SENT]]),
+                         "b": np.concatenate([v[keep], [_SENT]])})
+
+    def ss_rows(t: pa.Table) -> pa.Table:
+        """One direction: group by the LARGER endpoint."""
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        return pa.table({"u": np.concatenate([b, [_SENT]]),
+                         "v": np.concatenate([a, [_SENT]])})
+
+    def small_star(t: pa.Table) -> pa.Table:
+        """Per group u (all v < u): m = min(v); emit (m, v) for v != m
+        plus (m, u)."""
+        u, v = _np(t.column("u")), _np(t.column("v"))
+        real = u >= 0
+        u, v = u[real], v[real]
+        if not len(u):   # bucket held only sentinel rows
+            return pa.table({"a": np.array([_SENT], np.int64),
+                             "b": np.array([_SENT], np.int64)})
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        start = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        counts = np.diff(np.concatenate([start, [len(u)]]))
+        m = np.minimum.reduceat(v, start)
+        m_row = np.repeat(m, counts)
+        keep = v != m_row
+        out_a = np.concatenate([m_row[keep], m])
+        out_b = np.concatenate([v[keep], u[start]])
+        return pa.table({"a": np.concatenate([out_a, [_SENT]]),
+                         "b": np.concatenate([out_b, [_SENT]])})
+
+    _K1, _K2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def _signature(ds: rd.Dataset) -> tuple:
+        """Commutative edge-set signature: (count, wrapping uint64 mix
+        sum). Block partials ship as 32-bit halves so int64 columns never
+        overflow; the driver folds block-count-sized rows."""
+        def part(t: pa.Table) -> pa.Table:
+            a, b = _ab(t)
+            real = a >= 0
+            a, b = a[real], b[real]
+            mix = (a.astype(np.uint64) * _K1 + b.astype(np.uint64) * _K2)
+            # numpy unsigned sums wrap mod 2^64 — exactly the fold we want
+            s = mix.sum(dtype=np.uint64) if len(mix) else np.uint64(0)
+            return pa.table({"cnt": pa.array([len(a)], pa.int64()),
+                             "hi": pa.array([int(s >> np.uint64(32))],
+                                            pa.int64()),
+                             "lo": pa.array([int(s & np.uint64(0xFFFFFFFF))],
+                                            pa.int64())})
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        cnt = sum(r["cnt"] for r in rows)
+        mix = sum(((r["hi"] << 32) | r["lo"]) for r in rows) % (1 << 64)
+        return (cnt, mix)
+
+    sig = _signature(state)
+    converged = False
+    for _ in range(max_iters):
+        ls = _dedup(bucketed_group_agg(
+            state.map_batches(ls_rows, batch_format="pyarrow"),
+            lambda t: t, "u", large_star, num_buckets=num_buckets))
+        state = _dedup(bucketed_group_agg(
+            ls.map_batches(ss_rows, batch_format="pyarrow"),
+            lambda t: t, "u", small_star,
+            num_buckets=num_buckets)).materialize()
+        new_sig = _signature(state)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "connected_components_star: star contraction did not reach "
+            "its fixpoint within %d rounds; raise max_iters", max_iters)
+
+    # star forest: every edge (root, child); roots also map to themselves
+    def emit(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        return pa.table({"node": np.concatenate([b, a, [_SENT]]),
+                         "component": np.concatenate([a, a, [_SENT]])})
+
+    def fin(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        comp = _np(t.column("component"))
+        real = node >= 0
+        node, comp = node[real], comp[real]
+        if not len(node):   # bucket held only sentinel rows
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        order = np.argsort(node, kind="stable")
+        node, comp = node[order], comp[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))
+        return pa.table({"node": node[start],
+                         "component": np.minimum.reduceat(comp, start)})
+
+    return bucketed_group_agg(state, emit, "node", fin,
+                              num_buckets=num_buckets)

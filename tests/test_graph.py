@@ -188,3 +188,37 @@ def test_bfs_depths_partitioning_invariant():
                              num_buckets=17), "node")
     assert a.equals(b)
     assert int(a.loc[a["node"] == 0, "depth"].iloc[0]) == 0
+
+
+def test_cc_star_tiny():
+    got = _df(graph.connected_components_star(
+        _edges([(1, 0), (2, 1), (0, 2), (5, 7), (9, 9)]), num_buckets=8),
+        "node")
+    assert dict(zip(got["node"], got["component"])) == \
+        {0: 0, 1: 0, 2: 0, 5: 5, 7: 5}
+
+
+def test_cc_star_long_chain_in_log_rounds():
+    # a 64-node path has diameter 63: propagation needs 63 rounds, star
+    # contraction must finish well inside 12 (the O(log^2 n) claim)
+    got = _df(graph.connected_components_star(
+        _edges([(i, i + 1) for i in range(63)]), max_iters=12,
+        num_buckets=4), "node")
+    assert got["component"].tolist() == [0] * 64
+
+
+def test_cc_star_matches_propagation_and_partitioning():
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.connected_components(edges), "node")
+    b = _df(graph.connected_components_star(edges), "node")
+    c = _df(graph.connected_components_star(edges.repartition(11),
+                                            num_buckets=17), "node")
+    assert a.equals(b) and a.equals(c)
+
+
+def test_cc_star_big_ids():
+    big = 1 << 40
+    got = _df(graph.connected_components_star(
+        _edges([(big, big + 1), (big + 1, 3)]), num_buckets=4), "node")
+    assert dict(zip(got["node"], got["component"])) == \
+        {3: 3, big: 3, big + 1: 3}
