@@ -647,6 +647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components_star": lambda sf: corpus.neardup_components(
             _docs(sf), algorithm="star"),
         "hash_split": lambda sf: corpus.hash_split(_docs(sf)),
+        # deterministic bottom-k sketch sample: k smallest sha ranks —
+        # reservoir-equivalent but stable under resharding and resume
+        "bottomk_sample": lambda sf: corpus.bottomk_sample(_docs(sf)),
         "pack_sequences": lambda sf: corpus.pack_sequences(_docs(sf)),
         "stratified_sample": lambda sf: corpus.stratified_sample(
             _docs(sf), {"src0": 0.2, "src1": 0.8}, default_rate=0.5),
@@ -1354,6 +1357,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
             SELECT node AS doc_id, min(label) AS component
             FROM reach GROUP BY 1""",
+        "bottomk_sample": """
+            SELECT doc_id,
+                   substr(sha256('sample|42|' || doc_id::VARCHAR), 1, 16)
+                       AS sample_rank
+            FROM documents ORDER BY sample_rank LIMIT 50""",
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN substr(sha256('split|42|' || doc_id::VARCHAR),

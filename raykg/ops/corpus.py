@@ -158,6 +158,35 @@ def hash_split(documents: rd.Dataset, val_frac: float = 0.1,
         assign, batch_format="pyarrow")
 
 
+def bottomk_sample(documents: rd.Dataset, k: int = 50,
+                   seed: int = 42) -> rd.Dataset:
+    """(doc_id, rank): a deterministic uniform sample of exactly ``k``
+    docs — the k smallest sha256('sample|<seed>|<doc_id>') ranks
+    (bottom-k sketch; Cohen & Kaplan, "Summarizing data using bottom-k
+    sketches", PODC'07). Equivalent in distribution to a uniform
+    without-replacement sample, but fully deterministic, mergeable, and
+    stable under repartitioning — unlike a classic reservoir, two runs
+    (or two shards) always agree, so a training pipeline can re-draw the
+    exact sample after a resume.
+
+    Scale path: each batch keeps only its local bottom-k, so the final
+    sort sees #blocks x k rows, never the corpus. The driver receives k
+    rows."""
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        ranks = [sha_hex(f"sample|{seed}|{d}")[:16] for d in ids]
+        order = sorted(range(len(ranks)), key=ranks.__getitem__)[:k]
+        return pa.table({
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "sample_rank": pa.array([ranks[i] for i in order],
+                                    pa.string())})
+
+    partials = documents.select_columns(["doc_id"]).map_batches(
+        local_bottomk, batch_format="pyarrow")
+    return partials.sort("sample_rank").limit(k)
+
+
 def pack_sequences(documents: rd.Dataset, target_tokens: int = 256,
                    bucket_docs: int = 4096) -> rd.Dataset:
     """Sequence packing for training: assign each doc (in doc_id order) to a

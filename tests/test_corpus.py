@@ -248,3 +248,26 @@ def test_cms_estimates_and_merge_invariance(ray_session):
     a = cms_token_counts(docs).to_pydict()
     b = cms_token_counts(docs.repartition(4)).to_pydict()
     assert a == b
+
+
+def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
+    from raykg.functions.hashing import sha_hex
+
+    ids = list(range(0, 4000, 3))
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["t"] * len(ids), pa.string()),
+    })
+    want = sorted(((sha_hex(f"sample|42|{d}")[:16], d) for d in ids))[:50]
+    got = corpus.bottomk_sample(rd.from_arrow(docs), k=50).take_all()
+    assert [(r["sample_rank"], r["doc_id"]) for r in got] == want
+    # resharding must not change the sample (the reservoir-beating property)
+    got2 = corpus.bottomk_sample(
+        rd.from_arrow(docs).repartition(13), k=50).take_all()
+    assert sorted(r["doc_id"] for r in got) == \
+        sorted(r["doc_id"] for r in got2)
+    # k >= corpus: every doc comes back
+    small = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                      "text": pa.array(["a", "b"], pa.string())})
+    assert len(corpus.bottomk_sample(
+        rd.from_arrow(small), k=50).take_all()) == 2
