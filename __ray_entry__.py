@@ -678,6 +678,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "embedding_neardup_pairs":
             lambda sf: dedup.embedding_neardup_pairs(_emb(sf)),
+        # SemDeDup: cluster the embedding space, drop within-cluster
+        # semantic near-dups (lower-id representative survives)
+        "semantic_dedup": lambda sf: dedup.semantic_dedup_keep(_emb(sf)),
+        # trained-centroid configuration (the real SemDeDup); iterative
+        # float k-means has no SQL oracle — semantic_dedup is its
+        # hash-green fixed-centroid twin
+        "semantic_dedup_kmeans": lambda sf: dedup.semantic_dedup_keep(
+            _emb(sf), cent=ann.kmeans_centroids(_emb(sf), k=16, iters=3)),
         # similarity search
         "ann_bruteforce":
             lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
@@ -1445,6 +1453,21 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.35""",
+        "semantic_dedup": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                       FROM embeddings WHERE vec_id < 16),
+            sims AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, c.cid,
+                            list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.ce) AS s
+                     FROM embeddings e, c),
+            assign AS (SELECT vec_id, ve, cid FROM sims
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cid) = 1),
+            dropped AS (SELECT b.vec_id FROM assign a JOIN assign b
+                        ON a.cid = b.cid AND a.vec_id < b.vec_id
+                        WHERE list_cosine_similarity(a.ve, b.ve) >= 0.35)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -385,3 +385,71 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
                          "cos_sim": pa.array(s_col, pa.float64())})
 
     return embeddings.groupby(block_col).map_groups(pairs, batch_format="pyarrow")
+
+
+def semantic_dedup_keep(embeddings: rd.Dataset, threshold: float = 0.35,
+                        nlist: int = 16, cent: "np.ndarray | None" = None,
+                        max_cluster: int = 50_000) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then within each cluster drop every vector that has
+    a lower-id cluster-mate with cosine similarity >= ``threshold``.
+    Output: (vec_id) — the keep list. Same drop-later-duplicates policy
+    as :func:`raykg.ops.corpus.neardup_keep`, but over semantic space.
+
+    ``cent=None`` uses the engine's deterministic coarse quantizer (the
+    embeddings of vec_id < nlist, unit-normalized — SQL-exact, same
+    stand-in as ann_ivf); pass
+    :func:`raykg.ops.ann.kmeans_centroids` output for trained clusters
+    (the real SemDeDup configuration; no SQL oracle — iterative float
+    means).
+
+    Scale path: assignment is a stateless map with the centroid matrix
+    broadcast once via ``ray.put``; the quadratic cosine work happens
+    only within a cluster, and SemDeDup sizes nlist ~ sqrt(n) exactly so
+    clusters stay bounded — clusters beyond ``max_cluster`` rows are
+    capped WITH a warning (never silently)."""
+    import ray
+
+    from raykg.ops.ann import _rows_for_ids, _unit
+
+    if cent is None:
+        rows = _rows_for_ids(embeddings, list(range(nlist)))
+        by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                 for r in rows}
+        cent = _unit(np.stack([by_id[i] for i in sorted(by_id)]))
+    cent_ref = ray.put(np.ascontiguousarray(cent))
+
+    def assign(t: pa.Table, cent_ref=cent_ref) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        mat = _unit(np.array(t.column("embedding").to_pylist(),
+                             dtype=np.float64))
+        sims_c = mat @ c.T
+        # max centroid sim, ties -> smaller centroid id (argmax is
+        # first-max, and cids ascend left to right)
+        cid = np.argmax(sims_c, axis=1).astype(np.int32)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "embedding": t.column("embedding"),
+                         "cid": pa.array(cid, pa.int32())})
+
+    def keep_in_cluster(t: pa.Table) -> pa.Table:
+        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+        capped = _cap_block(ids.tolist(),
+                            t.column("cid")[0].as_py() if t.num_rows
+                            else None, max_cluster, "semantic_dedup_keep")
+        if capped is not None:
+            t = t.filter(pa.array(np.isin(ids, capped)))
+            ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+        unit = _unit(np.array(t.column("embedding").to_pylist(),
+                              dtype=np.float64))
+        order = np.argsort(ids)
+        unit, sorted_ids = unit[order], ids[order]
+        sims = unit @ unit.T
+        dominated = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pa.table({"vec_id": pa.array(sorted_ids[~dominated],
+                                            pa.int64())})
+
+    assigned = embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    return assigned.groupby("cid").map_groups(
+        keep_in_cluster, batch_format="pyarrow")

@@ -38,3 +38,47 @@ def test_lsh_hot_band_is_capped_not_quadratic(ray_session):
     assert len(pairs) == 45
     assert all(p["doc_a"] < 10 and p["doc_b"] < 10 for p in pairs)
     assert all(p["jaccard"] == 1.0 for p in pairs)
+
+
+def _emb_table(vecs):
+    return pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_semantic_dedup_keep_crafted(ray_session):
+    from raykg.ops.dedup import semantic_dedup_keep
+
+    # two orthogonal clusters seeded by vec 0 and vec 1 (nlist=2 uses
+    # them as centroids); 2,3 near-duplicate 0; 4 near 1; 5 orthogonal
+    # to everything (kept; lands in some cluster but below threshold)
+    vecs = [
+        (1.0, 0.0, 0.0, 0.0),   # 0: centroid A          -> keep
+        (0.0, 1.0, 0.0, 0.0),   # 1: centroid B          -> keep
+        (0.99, 0.1, 0.0, 0.0),  # 2: ~dup of 0           -> drop
+        (0.98, 0.15, 0.0, 0.0),  # 3: ~dup of 0 and 2    -> drop
+        (0.1, 0.99, 0.0, 0.0),  # 4: ~dup of 1           -> drop
+        (0.0, 0.0, 1.0, 0.0),   # 5: orthogonal          -> keep
+    ]
+    got = sorted(r["vec_id"] for r in semantic_dedup_keep(
+        rd.from_arrow(_emb_table(vecs)), threshold=0.9,
+        nlist=2).take_all())
+    assert got == [0, 1, 5]
+
+
+def test_semantic_dedup_kmeans_variant(ray_session):
+    from raykg.ops.ann import kmeans_centroids
+    from raykg.ops.dedup import semantic_dedup_keep
+
+    vecs = [(float(i % 4 == d) + 0.01 * i, float(d == 1), float(d == 2),
+             float(d == 3)) for i, d in
+            ((i, i % 4) for i in range(40))]
+    emb = rd.from_arrow(_emb_table(vecs))
+    cent = kmeans_centroids(emb, k=4, iters=3)
+    a = sorted(r["vec_id"] for r in semantic_dedup_keep(
+        emb, threshold=0.95, cent=cent).take_all())
+    b = sorted(r["vec_id"] for r in semantic_dedup_keep(
+        emb.repartition(7), threshold=0.95, cent=cent).take_all())
+    assert a == b and 0 < len(a) < 40   # deterministic, actually dedups
