@@ -653,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: corpus.pack_sequences(_docs(sf)),
         "stratified_sample": lambda sf: corpus.stratified_sample(
             _docs(sf), {"src0": 0.2, "src1": 0.8}, default_rate=0.5),
+        # mC4/XLM-R temperature mixing: data-dependent per-source rates
+        # from a vocabulary-sized count aggregate
+        "temperature_mix": lambda sf: corpus.temperature_mix(_docs(sf)),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
@@ -1387,6 +1390,22 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) // 256)::BIGINT AS bin
             FROM t""",
+        # temperature mixing: thresholds derived from the data (per-source
+        # counts), identical pow/floor/to_hex arithmetic to the engine
+        "temperature_mix": """
+            WITH c AS (SELECT source, count(*)::DOUBLE AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS ws FROM c),
+            thr AS (SELECT source,
+                           lower(lpad(to_hex(least(4294967295,
+                                floor(least(1.0, 0.5 * tot * (pow(n, 0.5)
+                                      / ws) / n) * 4294967296))::BIGINT),
+                                8, '0')) AS h
+                    FROM c, t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON thr.source = d.source
+            WHERE substr(sha256('mix|42|' || d.doc_id::VARCHAR), 1, 8)
+                  < thr.h""",
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE substr(sha256('ssamp|42|' || doc_id::VARCHAR), 1, 8) <

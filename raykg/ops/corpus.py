@@ -668,3 +668,55 @@ def cms_estimate_tokens(documents: rd.Dataset,
         ests.append(min(vals))
     return pa.table({"token": pa.array(probes, pa.string()),
                      "est": pa.array(ests, pa.int64())})
+
+
+def temperature_mix(documents: rd.Dataset, alpha: float = 0.5,
+                    target_frac: float = 0.5, seed: int = 42) -> rd.Dataset:
+    """(doc_id, source): temperature-based source rebalancing — sample
+    each source s with probability p_s = min(1, T * w_s / c_s) where
+    w_s = c_s^alpha / sum_t c_t^alpha and T = target_frac * N. This is
+    the multilingual/multi-source mixing rule of mC4 (Raffel et al.,
+    JMLR 2020) and XLM-R (alpha in (0,1) upweights small sources toward
+    a flatter mix); alpha=1 reduces to a plain uniform target_frac
+    sample.
+
+    The per-source counts are a vocabulary-sized aggregate (one partial
+    row per source per block, recombined via ``small_key_agg`` — no
+    all-to-all), so only #sources rows ever reach the driver; the keep
+    decision itself is a stateless deterministic sha draw per doc
+    (stable under resharding and resume, same family as
+    :func:`hash_split`). DuckDB twin computes the identical thresholds
+    with pow/floor/to_hex."""
+    from raykg.ops.relational import small_key_agg
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("source", "count")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("source_count")})
+
+    def recombine(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("n_sum")})
+
+    counts_t = small_key_agg(
+        documents.select_columns(["source"]).map_batches(
+            count_batch, batch_format="pyarrow"),
+        recombine)
+    counts = dict(zip(counts_t.column("source").to_pylist(),
+                      counts_t.column("n").to_pylist()))
+    tot = float(sum(counts.values()))
+    wsum = sum(float(c) ** alpha for c in counts.values())
+    thr = {s: hex_threshold8(min(
+               1.0, target_frac * tot * (float(c) ** alpha / wsum) / c))
+           for s, c in counts.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        mask = [sha_hex(f"mix|{seed}|{d}")[:8] < thr[s]
+                for d, s in zip(ids, srcs)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return documents.select_columns(["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow")

@@ -271,3 +271,39 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
                       "text": pa.array(["a", "b"], pa.string())})
     assert len(corpus.bottomk_sample(
         rd.from_arrow(small), k=50).take_all()) == 2
+
+
+def test_temperature_mix_flattens_and_is_deterministic(ray_session):
+    from raykg.functions.hashing import hex_threshold8, sha_hex
+
+    # 900 docs in 'big', 100 in 'small' — alpha=0.5 must upweight 'small'
+    ids = list(range(1000))
+    srcs = ["big" if i < 900 else "small" for i in ids]
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["t"] * 1000, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    got = corpus.temperature_mix(rd.from_arrow(docs), alpha=0.5,
+                                 target_frac=0.5).take_all()
+    kept = {r["doc_id"]: r["source"] for r in got}
+
+    # brute-force the exact expected keep set with the same float path
+    counts = {"big": 900.0, "small": 100.0}
+    wsum = sum(c ** 0.5 for c in counts.values())
+    thr = {s: hex_threshold8(min(1.0, 0.5 * 1000.0 * (c ** 0.5 / wsum) / c))
+           for s, c in counts.items()}
+    want = {d: s for d, s in zip(ids, srcs)
+            if sha_hex(f"mix|42|{d}")[:8] < thr[s]}
+    assert kept == want
+
+    n_small = sum(1 for s in kept.values() if s == "small")
+    n_big = sum(1 for s in kept.values() if s == "big")
+    # alpha=0.5 weights: big 0.75, small 0.25 of the 500-doc target ->
+    # small keeps ~100% of its docs (p clamps to 1.0), big ~42%
+    assert n_small > 90 and 0.3 < n_big / 900 < 0.55
+
+    got2 = corpus.temperature_mix(
+        rd.from_arrow(docs).repartition(13), alpha=0.5,
+        target_frac=0.5).take_all()
+    assert {r["doc_id"] for r in got2} == set(kept)
