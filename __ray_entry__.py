@@ -631,6 +631,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram":
             lambda sf: text.doc_length_histogram(_docs(sf)),
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
+        # bigram LM quality signal (CCNet-style); the join twin computes
+        # the identical number with NOTHING broadcast or driver-resident
+        "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
+        "bigram_logprob_join": lambda sf: text.bigram_logprob(
+            _docs(sf), mode="join"),
         # TF-IDF without a vocabulary broadcast: df falls out of the
         # term-bucketed exchange, argmax is a doc-bucketed segment pass
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(_docs(sf)),
@@ -752,6 +757,18 @@ _GRAMS = f"""
               i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))))
     END
 """
+
+_BIGRAM_NLL_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    ix AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t
+           WHERE len(l) >= 2),
+    bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM ix),
+    cbg AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+    cw AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY 1)
+    SELECT doc_id, round(sum(-log2(cbg.c / cw.c1)) / count(*), 4)
+               AS mean_nll
+    FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
+    GROUP BY 1"""
 
 _MINHASH8 = """list_transform(range(0, 8), h -> coalesce(list_min(
     list_transform(grams, x -> substr(sha256(x || '#' || h::VARCHAR || '#42'), 1, 8))),
@@ -1181,6 +1198,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "bigram_logprob": _BIGRAM_NLL_SQL,
+        # the join-mode twin computes the identical number, so it shares
+        # the oracle — both rows must hash-match the same SQL
+        "bigram_logprob_join": _BIGRAM_NLL_SQL,
         "cms_registers": f"""
             WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
             cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t),

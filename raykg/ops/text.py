@@ -449,3 +449,204 @@ def tfidf_top_terms(documents: rd.Dataset,
         .groupby("bucket").map_groups(
             lambda t: argmax_bucket(t.drop_columns(["bucket"])),
             batch_format="pyarrow")
+
+
+def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
+                   num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, mean_nll): mean -log2(p(w2|w1)) per document under the
+    corpus's own bigram MLE, p(w2|w1) = c(w1 w2) / c(w1 as bigram-first)
+    — the CCNet-style LM quality signal, one order up from
+    :func:`unigram_logprob`. Docs with fewer than 2 tokens are omitted.
+    The mean is weighted by bigram multiplicity, so both modes compute
+    the identical number (rounded to 4 decimals; float association noise
+    is ~1e-12, far below the rounding grain).
+
+    ``mode="broadcast"``: bigram + first-token count tables shipped once
+    via ``ray.put``, stateless scoring map — right while the bigram
+    vocabulary fits a worker heap (it grows with corpus size, so this
+    envelope ends before 100 TB).
+
+    ``mode="join"``: NOTHING is broadcast or driver-resident — the count
+    tables stay distributed and are attached to per-doc bigram rows by
+    two bucketed tag-join shuffles (tag 0 = probe row, tag 1 = count
+    partial, co-bucketed on the key; vectorized ``pc.index_in`` attach
+    within the bucket), then a per-doc bucketed aggregate. The
+    unbounded-vocabulary scale path; tested equal to broadcast mode."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    SEP = "\x1f"   # tokens are whitespace-split, so 0x1f never collides
+
+    def doc_bigrams(t: pa.Table):
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            if len(toks) < 2:
+                continue
+            yield d, Counter(zip(toks[:-1], toks[1:]))
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        ids, w1s, bgs, ns = [], [], [], []
+        for d, c in doc_bigrams(t):
+            for (w1, w2), n in c.items():
+                ids.append(d)
+                w1s.append(w1)
+                bgs.append(w1 + SEP + w2)
+                ns.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "bg": pa.array(bgs, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    probes = documents.select_columns(["doc_id", "text"]).map_batches(
+        probe_rows, batch_format="pyarrow")
+
+    def count_agg(key: str):
+        """partial/finalize for summing ``n`` per distinct ``key``"""
+        def part(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([("n", "sum")])
+            return pa.table({key: g.column(key), "n": g.column("n_sum")})
+        return part
+
+    if mode == "broadcast":
+        cbg = {r["bg"]: r["n"] for r in bucketed_group_agg(
+            probes, count_agg("bg"), "bg", count_agg("bg"),
+            num_buckets=num_buckets).take_all()}
+        cw = {r["w1"]: r["n"] for r in bucketed_group_agg(
+            probes, count_agg("w1"), "w1", count_agg("w1"),
+            num_buckets=num_buckets).take_all()}
+        ref = ray.put((cbg, cw))
+
+        def score(t: pa.Table) -> pa.Table:
+            bg_c, w_c = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+            ids, out = [], []
+            for d, c in doc_bigrams(t):
+                tot = sum(c.values())
+                nll = sum(n * -math.log2(bg_c[w1 + SEP + w2] / w_c[w1])
+                          for (w1, w2), n in c.items()) / tot
+                ids.append(d)
+                out.append(round_half_away(nll, 4))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "mean_nll": pa.array(out, pa.float64())})
+
+        return documents.select_columns(["doc_id", "text"]).map_batches(
+            score, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"bigram_logprob: unknown mode {mode!r}")
+
+    def tag_join(ds: rd.Dataset, key: str, carry: list[str],
+                 out_col: str) -> rd.Dataset:
+        """One bucketed shuffle that attaches the global sum of ``n`` per
+        ``key`` (built from the probe rows themselves) onto every probe
+        row, keeping ``carry`` columns. Probe rows travel tagged 0;
+        per-batch count partials travel tagged 1 with the count in
+        ``cnt``; the bucket finalize sums the partials per key and
+        attaches via vectorized ``index_in``."""
+        carry_t = {c: ds.schema().base_schema.field(c).type
+                   for c in carry}
+
+        def tag0(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tag", pa.array(np.zeros(t.num_rows, np.int8))) \
+                .append_column("cnt", pa.array(
+                    np.zeros(t.num_rows, np.int64)))
+
+        def tag1(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([("n", "sum")])
+            m = g.num_rows
+            cols = {key: g.column(key),
+                    "tag": pa.array(np.ones(m, np.int8)),
+                    "cnt": g.column("n_sum")}
+            for c, typ in carry_t.items():   # null filler, never read
+                cols[c] = pa.nulls(m, typ)
+            cols["n"] = pa.nulls(m, pa.int64())
+            order = [key, *carry, "n", "tag", "cnt"]
+            return pa.table({c: cols[c] for c in order})
+
+        def reorder(t: pa.Table) -> pa.Table:
+            return t.select([key, *carry, "n", "tag", "cnt"])
+
+        unioned = ds.map_batches(tag0, batch_format="pyarrow") \
+            .map_batches(reorder, batch_format="pyarrow") \
+            .union(ds.map_batches(tag1, batch_format="pyarrow"))
+
+        def attach(t: pa.Table) -> pa.Table:
+            tags = t.column("tag").combine_chunks()
+            build = t.filter(pc.equal(tags, 1))
+            probe = t.filter(pc.equal(tags, 0))
+            bk = build.group_by(key).aggregate([("cnt", "sum")])
+            idx = pc.index_in(probe.column(key), bk.column(key))
+            cnt = pc.take(bk.column("cnt_sum"), idx)
+            out = {c: probe.column(c) for c in (*carry, "n")}
+            out[key] = probe.column(key)
+            out[out_col] = cnt
+            return pa.table(out)
+
+        return bucketed_group_agg(unioned, lambda t: t, key, attach,
+                                  num_buckets=num_buckets)
+
+    with_cbg = tag_join(probes, "bg", ["doc_id", "w1"], "c_bg")
+    # w1 counts are rebuilt from the SAME probe stream inside the second
+    # tag_join — but its input now carries c_bg, so counts come from a
+    # dedicated pass over `probes` unioned in with matching layout
+    joined = tag_join(
+        with_cbg.map_batches(
+            lambda t: t.select(["w1", "doc_id", "c_bg", "n"]),
+            batch_format="pyarrow"),
+        "w1", ["doc_id", "c_bg"], "c_w1")
+
+    def per_doc_part(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id").combine_chunks())
+        n = np.asarray(t.column("n").combine_chunks(), dtype=np.float64)
+        cb = np.asarray(t.column("c_bg").combine_chunks(),
+                        dtype=np.float64)
+        cw = np.asarray(t.column("c_w1").combine_chunks(),
+                        dtype=np.float64)
+        if not len(d):
+            return pa.table({"doc_id": pa.array([-1], pa.int64()),
+                             "s_nll": pa.array([0.0], pa.float64()),
+                             "s_n": pa.array([0.0], pa.float64())})
+        nll = n * -np.log2(cb / cw)
+        order = np.argsort(d, kind="stable")
+        d, nll, n = d[order], nll[order], n[order]
+        start = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([d[start], [-1]]), pa.int64()),
+            "s_nll": pa.array(
+                np.concatenate([np.add.reduceat(nll, start), [0.0]]),
+                pa.float64()),
+            "s_n": pa.array(
+                np.concatenate([np.add.reduceat(n, start), [0.0]]),
+                pa.float64())})
+
+    def per_doc_fin(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id").combine_chunks())
+        keep = d >= 0
+        d = d[keep]
+        s_nll = np.asarray(t.column("s_nll").combine_chunks(),
+                           dtype=np.float64)[keep]
+        s_n = np.asarray(t.column("s_n").combine_chunks(),
+                         dtype=np.float64)[keep]
+        if not len(d):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "mean_nll": pa.array([], pa.float64())})
+        order = np.argsort(d, kind="stable")
+        d, s_nll, s_n = d[order], s_nll[order], s_n[order]
+        start = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        mean = np.add.reduceat(s_nll, start) / np.add.reduceat(s_n, start)
+        return pa.table({
+            "doc_id": pa.array(d[start], pa.int64()),
+            "mean_nll": pa.array([round_half_away(float(x), 4)
+                                  for x in mean], pa.float64())})
+
+    return bucketed_group_agg(joined, per_doc_part, "doc_id", per_doc_fin,
+                              num_buckets=num_buckets)

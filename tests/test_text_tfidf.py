@@ -44,3 +44,40 @@ def test_tfidf_partitioning_invariant(ray_session):
     b = tfidf_top_terms(_docs(rows, blocks=9), num_buckets=17).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bigram_logprob_hand_computed_and_modes_agree(ray_session):
+    from raykg.ops.text import bigram_logprob
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b c", "x", "a b"], pa.string()),
+    })
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c(a)=3, c(b)=2
+    # doc 1: [0, 1, 0, 1] bits / 4 = 0.5; doc 3: 0.0; doc 2 omitted (<2 toks)
+    got = {r["doc_id"]: r["mean_nll"] for r in
+           bigram_logprob(rd.from_arrow(docs)).take_all()}
+    assert got == {1: 0.5, 3: 0.0}
+    gj = {r["doc_id"]: r["mean_nll"] for r in
+          bigram_logprob(rd.from_arrow(docs), mode="join",
+                         num_buckets=8).take_all()}
+    assert gj == got
+
+
+def test_bigram_logprob_join_partitioning_invariant(ray_session):
+    from raykg.ops.text import bigram_logprob
+
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([f"w{i % 7} w{i % 5} w{i % 3} w{i % 7}"
+                          for i in range(n)], pa.string()),
+    })
+    a = {r["doc_id"]: r["mean_nll"] for r in
+         bigram_logprob(rd.from_arrow(docs), mode="join").take_all()}
+    b = {r["doc_id"]: r["mean_nll"] for r in
+         bigram_logprob(rd.from_arrow(docs).repartition(11),
+                        mode="join", num_buckets=17).take_all()}
+    c = {r["doc_id"]: r["mean_nll"] for r in
+         bigram_logprob(rd.from_arrow(docs)).take_all()}
+    assert a == b == c and len(a) == n
