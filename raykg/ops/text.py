@@ -594,9 +594,9 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
                                   num_buckets=num_buckets)
 
     with_cbg = tag_join(probes, "bg", ["doc_id", "w1"], "c_bg")
-    # w1 counts are rebuilt from the SAME probe stream inside the second
-    # tag_join — but its input now carries c_bg, so counts come from a
-    # dedicated pass over `probes` unioned in with matching layout
+    # the w1 count partials are built from with_cbg's own rows — every
+    # probe row (and its n) survives the first join, so the sums equal
+    # the corpus bigram-first counts
     joined = tag_join(
         with_cbg.map_batches(
             lambda t: t.select(["w1", "doc_id", "c_bg", "n"]),
