@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "embedding_neardup_pairs":
             lambda sf: dedup.embedding_neardup_pairs(_emb(sf)),
+        # ExactSubstr signal (Lee et al. 2022): per-doc duplicated
+        # token-span statistics via distributed window hashing
+        "dup_span_stats": lambda sf: dedup.dup_span_stats(_docs(sf)),
         # SemDeDup: cluster the embedding space, drop within-cluster
         # semantic near-dups (lower-id representative survives)
         "semantic_dedup": lambda sf: dedup.semantic_dedup_keep(_emb(sf)),
@@ -1493,6 +1496,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.35""",
+        # the SQL twin compares the 8-token spans directly (the engine's
+        # 64-bit sha window key is collision-free at any realistic scale)
+        "dup_span_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            ix AS (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+                   FROM t WHERE len(l) >= 8),
+            w AS (SELECT doc_id,
+                         array_to_string(list_slice(l, i, i + 7), ' ') AS s
+                  FROM ix),
+            dup AS (SELECT s FROM w GROUP BY s
+                    HAVING count(DISTINCT doc_id) >= 2)
+            SELECT doc_id, count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN s IN (SELECT s FROM dup)
+                       THEN 1 ELSE 0 END)::BIGINT AS dup_windows,
+                   round(sum(CASE WHEN s IN (SELECT s FROM dup)
+                         THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                       AS dup_fraction
+            FROM w GROUP BY 1""",
         "semantic_dedup": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

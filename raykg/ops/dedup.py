@@ -453,3 +453,118 @@ def semantic_dedup_keep(embeddings: rd.Dataset, threshold: float = 0.35,
         .map_batches(assign, batch_format="pyarrow", batch_size=4096)
     return assigned.groupby("cid").map_groups(
         keep_in_cluster, batch_format="pyarrow")
+
+
+def dup_span_stats(documents: rd.Dataset, span: int = 8,
+                   num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, n_windows, dup_windows, dup_fraction): per-doc duplicated
+    token-span statistics — the ExactSubstr signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), where a window is duplicated if its exact
+    ``span``-token sequence occurs in at least one OTHER document. Docs
+    shorter than ``span`` tokens are omitted. This is the detection half
+    of suffix-array dedup, reformulated as rolling window hashes so it
+    distributes: no suffix array, no global sort.
+
+    Three bucketed exchanges, nothing driver-resident:
+    1. distinct (window-hash, doc_id) pairs -> per-hash distinct-doc
+       count; hashes seen in >= 2 docs become the dup set (stays
+       distributed);
+    2. tag-join the dup flag back onto the per-doc window stream
+       (vectorized ``index_in``);
+    3. per-doc segment aggregate."""
+    import pyarrow.compute as pc
+
+    from raykg.functions.shuffle import bucketed_group_agg
+    from raykg.ops.text import _tokens
+
+    def windows(t: pa.Table) -> pa.Table:
+        """every window occurrence, multiplicity kept"""
+        ids, hs = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            for i in range(len(toks) - span + 1):
+                ids.append(d)
+                hs.append(sha_hex(" ".join(toks[i:i + span]))[:16])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "wh": pa.array(hs, pa.string())})
+
+    win = documents.select_columns(["doc_id", "text"]).map_batches(
+        windows, batch_format="pyarrow")
+
+    # ---- pass 1: hashes that appear in >= 2 distinct docs --------------
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["wh", "doc_id"]).aggregate([])
+        return pa.table({"wh": g.column("wh"),
+                         "doc_id": g.column("doc_id")})
+
+    def dup_hashes(t: pa.Table) -> pa.Table:
+        g = distinct_pairs(t).group_by("wh") \
+            .aggregate([("doc_id", "count")])
+        return g.filter(pc.greater_equal(g.column("doc_id_count"), 2)) \
+            .select(["wh"])
+
+    dups = bucketed_group_agg(win, distinct_pairs, "wh", dup_hashes,
+                              num_buckets=num_buckets)
+
+    # ---- pass 2: tag-join the flag onto the window stream --------------
+    def probe(t: pa.Table) -> pa.Table:
+        return pa.table({"wh": t.column("wh"),
+                         "doc_id": t.column("doc_id"),
+                         "tag": pa.array([0] * t.num_rows, pa.int8())})
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"wh": t.column("wh"),
+                         "doc_id": pa.array([-1] * t.num_rows, pa.int64()),
+                         "tag": pa.array([1] * t.num_rows, pa.int8())})
+
+    unioned = win.map_batches(probe, batch_format="pyarrow") \
+        .union(dups.map_batches(build, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tags = t.column("tag").combine_chunks()
+        b = t.filter(pc.equal(tags, 1))
+        p = t.filter(pc.equal(tags, 0))
+        dup = pc.is_in(p.column("wh"),
+                       value_set=b.column("wh").combine_chunks())
+        return pa.table({"doc_id": p.column("doc_id"),
+                         "dup": pc.cast(dup, pa.int64())})
+
+    flagged = bucketed_group_agg(unioned, lambda t: t, "wh", attach,
+                                 num_buckets=num_buckets)
+
+    # ---- pass 3: per-doc aggregate --------------------------------------
+    def per_doc_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("dup", "sum"),
+                                            ("dup", "count")])
+        out = pa.table({"doc_id": g.column("doc_id"),
+                        "dup_windows": g.column("dup_sum"),
+                        "n_windows": g.column("dup_count")})
+        # sentinel row so zero-row blocks keep the schema
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [out.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "dup_windows": pa.concat_arrays(
+                [pc.cast(out.column("dup_windows").combine_chunks(),
+                         pa.int64()), pa.array([0], pa.int64())]),
+            "n_windows": pa.concat_arrays(
+                [pc.cast(out.column("n_windows").combine_chunks(),
+                         pa.int64()), pa.array([0], pa.int64())])})
+
+    def per_doc_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("dup_windows", "sum"),
+                                            ("n_windows", "sum")])
+        g = g.filter(pc.greater_equal(g.column("doc_id"), 0))
+        nw = pc.cast(g.column("n_windows_sum"), pa.float64())
+        dw = pc.cast(g.column("dup_windows_sum"), pa.float64())
+        frac = [round_half_away(d / n, 4) for d, n in
+                zip(dw.to_pylist(), nw.to_pylist())]
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_windows": g.column("n_windows_sum"),
+                         "dup_windows": g.column("dup_windows_sum"),
+                         "dup_fraction": pa.array(frac, pa.float64())})
+
+    return bucketed_group_agg(flagged, per_doc_part, "doc_id",
+                              per_doc_fin, num_buckets=num_buckets)

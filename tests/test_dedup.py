@@ -82,3 +82,41 @@ def test_semantic_dedup_kmeans_variant(ray_session):
     b = sorted(r["vec_id"] for r in semantic_dedup_keep(
         emb.repartition(7), threshold=0.95, cent=cent).take_all())
     assert a == b and 0 < len(a) < 40   # deterministic, actually dedups
+
+
+def test_dup_span_stats_crafted(ray_session):
+    from raykg.ops.dedup import dup_span_stats
+
+    shared = "one two three four five six seven eight"       # 8 tokens
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            shared + " tail1 tail2",     # 1: windows 1-3, window 1 shared
+            "head " + shared,            # 2: windows 1-2, window 2 shared
+            "alpha beta gamma delta epsilon zeta eta theta iota",  # unique
+            "short doc",                 # < span tokens -> omitted
+        ], pa.string()),
+    })
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"],
+                         r["dup_fraction"])
+           for r in dup_span_stats(rd.from_arrow(docs), span=8,
+                                   num_buckets=8).take_all()}
+    # doc1: 3 windows, the first ("one..eight") also ends doc2 -> 1 dup
+    # doc2: 2 windows, the second is the shared one -> 1 dup
+    # doc3: 2 windows, none shared
+    assert got == {1: (3, 1, 0.3333), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_dup_span_stats_self_repeat_not_dup(ray_session):
+    from raykg.ops.dedup import dup_span_stats
+
+    # the same 8-token span twice WITHIN one doc is not cross-doc dup
+    s = "a b c d e f g h"
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([s + " " + s], pa.string()),
+    })
+    got = dup_span_stats(rd.from_arrow(docs), span=8,
+                         num_buckets=4).take_all()
+    assert len(got) == 1 and got[0]["dup_windows"] == 0
+    assert got[0]["n_windows"] == 9
