@@ -634,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram LM quality signal (CCNet-style); the join twin computes
         # the identical number with NOTHING broadcast or driver-resident
         "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
+        # percent_rank() semantics without a global sort: rounded scores
+        # make the CDF table vocabulary-sized
+        "score_percentiles": lambda sf: text.score_percentiles(_docs(sf)),
         "bigram_logprob_join": lambda sf: text.bigram_logprob(
             _docs(sf), mode="join"),
         # TF-IDF without a vocabulary broadcast: df falls out of the
@@ -1163,6 +1166,20 @@ def oracle_sql() -> dict[str, str]:
                          + 0.3 * (len(list_distinct(toks)) / len(toks)::DOUBLE),
                          4) AS quality
             FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "score_percentiles": f"""
+            WITH q AS (SELECT doc_id,
+                   round(0.4 * least(1.0, len(toks) / 60.0)
+                         + 0.3 * (1.0 - len(list_filter(toks,
+                                        t -> t IN ('the', 'a')))
+                                        / len(toks)::DOUBLE)
+                         + 0.3 * (len(list_distinct(toks))
+                                  / len(toks)::DOUBLE),
+                         4) AS quality
+                   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+            SELECT doc_id, quality,
+                   round(percent_rank() OVER (ORDER BY quality), 4)
+                       AS pct_rank
+            FROM q""",
         "lang_id": f"""
             SELECT doc_id, CASE WHEN c >= 2 THEN 'en'
                                 WHEN c = 1 THEN 'maybe_en'

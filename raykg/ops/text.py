@@ -650,3 +650,53 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
 
     return bucketed_group_agg(joined, per_doc_part, "doc_id", per_doc_fin,
                               num_buckets=num_buckets)
+
+
+def score_percentiles(documents: rd.Dataset) -> rd.Dataset:
+    """(doc_id, quality, pct_rank): each document's global percentile rank
+    of its :func:`quality_score` — pct_rank = (# strictly smaller) /
+    (N - 1), the exact ``percent_rank() OVER (ORDER BY quality)``
+    semantics — WITHOUT a global sort. Quality scores are rounded to 4
+    decimals, so the distinct-value space is vocabulary-sized (<= ~10^4):
+    a per-batch count-per-score partial collapses through
+    ``small_key_agg`` to a tiny CDF table, which is broadcast once via
+    ``ray.put`` for a stateless rank-attach map. The corpus is streamed
+    twice and never sorted or collected."""
+    import numpy as np
+    import ray
+
+    from raykg.ops.relational import small_key_agg
+
+    scores = quality_score(documents)
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("quality").aggregate([("quality", "count")])
+        return pa.table({"quality": g.column("quality"),
+                         "n": g.column("quality_count")})
+
+    def recombine(t: pa.Table) -> pa.Table:
+        g = t.group_by("quality").aggregate([("n", "sum")])
+        return pa.table({"quality": g.column("quality"),
+                         "n": g.column("n_sum")})
+
+    hist = small_key_agg(
+        scores.map_batches(count_part, batch_format="pyarrow"), recombine)
+    vals = np.asarray(hist.column("quality"), dtype=np.float64)
+    cnts = np.asarray(hist.column("n"), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    total = int(cnts.sum())
+    smaller = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    denom = max(total - 1, 1)   # single-row corpus: rank 0.0
+    pct = np.array([round_half_away(s / denom, 4) for s in smaller])
+    ref = ray.put((vals, pct))
+
+    def attach(t: pa.Table) -> pa.Table:
+        v, p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        q = np.asarray(t.column("quality"), dtype=np.float64)
+        idx = np.searchsorted(v, q)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "quality": t.column("quality"),
+                         "pct_rank": pa.array(p[idx], pa.float64())})
+
+    return scores.map_batches(attach, batch_format="pyarrow")

@@ -81,3 +81,30 @@ def test_bigram_logprob_join_partitioning_invariant(ray_session):
     c = {r["doc_id"]: r["mean_nll"] for r in
          bigram_logprob(rd.from_arrow(docs)).take_all()}
     assert a == b == c and len(a) == n
+
+
+def test_score_percentiles_matches_percent_rank(ray_session):
+    import duckdb
+
+    from raykg.ops.text import score_percentiles
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(
+            ["the a " + " ".join(f"w{j}" for j in range(i + 1))
+             for i in range(40)], pa.string()),
+    })
+    got = {r["doc_id"]: (r["quality"], r["pct_rank"]) for r in
+           score_percentiles(rd.from_arrow(docs)).take_all()}
+    con = duckdb.connect()
+    con.register("documents", docs)
+    import __ray_entry__ as e
+
+    want = {d: (q, p) for d, q, p in
+            con.execute(e.oracle_sql()["score_percentiles"]).fetchall()}
+    assert got == want
+    # repartition invariance (the CDF must be global, not per-block)
+    got2 = {r["doc_id"]: (r["quality"], r["pct_rank"]) for r in
+            score_percentiles(
+                rd.from_arrow(docs).repartition(7)).take_all()}
+    assert got2 == got
