@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "sliding_event_stats": relational.sliding_event_stats,
         "sessionize": relational.sessionize,
+        # first-touch funnel: strict-order earliest-after-bound chain
+        "funnel_stages": relational.funnel_stages,
         "asof_last_click": relational.asof_last_click,
         "range_join_recent_clicks": relational.range_join_recent_clicks,
         "props_k_stats": relational.props_k_stats,
@@ -1048,6 +1050,26 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events)
             GROUP BY user_id""",
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0
+                      END)::BIGINT AS stage
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)""",
         "event_lag_stats": """
             WITH w AS (
               SELECT event_type,

@@ -1188,3 +1188,66 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
         level(base, ["l_returnflag"]),
         level(base, []),
     ])
+
+
+def funnel_stages(sf_dir: str,
+                  stages: tuple = ("view", "click", "purchase"),
+                  num_buckets: int = 256) -> rd.Dataset:
+    """(user_id, stage): strict-order funnel progress per user — stage k
+    means the user has an event chain s1 < s2 < ... < sk in time where
+    each step uses the EARLIEST occurrence after the previous step (the
+    standard first-touch funnel). Users with events but no stage-1 event
+    report stage 0.
+
+    Same bucketed shape as :func:`sessionize` (one user-keyed exchange,
+    per-bucket vectorized segment pass — no per-user map_groups). The
+    stage chain is computed with one ``minimum.reduceat`` per stage over
+    masked timestamps, so per-bucket work is O(rows x stages) with no
+    Python row loop. No combiner: the earliest-after-bound chain is not
+    decomposable batch-locally (an arbitrary number of stage-2 events
+    can precede the global stage-1 minimum), so all events cross the
+    exchange — identical shuffle volume to sessionize."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    INF = np.iinfo(np.int64).max
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "stage": pa.array([], pa.int64())})
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        etype = t.column("event_type").combine_chunks()
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.concatenate((starts, [len(uid)]))))
+        stage_count = np.zeros(len(starts), np.int64)
+        bound = np.full(len(starts), -1, np.int64)   # ts must be > bound
+        for s in stages:
+            mask = pc.equal(etype, s).to_numpy(zero_copy_only=False)
+            cand = np.where(mask & (ts > bound[seg]), ts, INF)
+            seg_min = np.minimum.reduceat(cand, starts)
+            hit = seg_min < INF
+            stage_count = np.where(hit, stage_count + 1, stage_count)
+            # users that missed this stage keep bound=INF so no later
+            # stage can match (strict ordering)
+            bound = np.where(hit, seg_min, INF)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "stage": pa.array(stage_count, pa.int64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")

@@ -184,3 +184,34 @@ def test_pricing_rollup_levels(ray_session, tmp_path):
     assert rows[("A", None)] == (3.0, 2) and rows[("B", None)] == (4.0, 1)
     assert rows[(None, None)] == (7.0, 3)
     assert len(rows) == 6
+
+
+def test_funnel_stages_crafted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raykg.ops.relational import funnel_stages
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "2024-01-01 00:00", "view"), (1, "2024-01-01 00:10", "click"),
+        (1, "2024-01-01 00:20", "purchase"),
+        # user 2: purchase BEFORE the view->click chain -> stage 2
+        (2, "2024-01-01 00:00", "purchase"), (2, "2024-01-01 00:05", "view"),
+        (2, "2024-01-01 00:10", "click"),
+        # user 3: click only, never views -> stage 0
+        (3, "2024-01-01 00:00", "click"),
+        # user 4: view then a click at the SAME instant -> strict > fails
+        (4, "2024-01-01 00:00", "view"), (4, "2024-01-01 00:00", "click"),
+        # user 5: view, early clicks before the view don't count, late does
+        (5, "2024-01-01 00:00", "click"), (5, "2024-01-01 00:05", "view"),
+        (5, "2024-01-01 00:10", "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r["stage"]
+           for r in funnel_stages(str(tmp_path), num_buckets=8).take_all()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
