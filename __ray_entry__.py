@@ -633,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram":
             lambda sf: text.doc_length_histogram(_docs(sf)),
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
+        # DSIR hashed-n-gram importance weights (Xie et al., NeurIPS'23):
+        # target = lang-ID 'en' docs, features = sha-hashed unigram buckets
+        "dsir_weights": lambda sf: text.dsir_weights(_docs(sf)),
         # bigram LM quality signal (CCNet-style); the join twin computes
         # the identical number with NOTHING broadcast or driver-resident
         "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
@@ -1240,6 +1243,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "dsir_weights": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            tgt AS (SELECT doc_id FROM tok WHERE t IN ('the', 'a')
+                    GROUP BY doc_id HAVING count(*) >= 2),
+            feat AS (SELECT doc_id,
+                            (('0x' || substr(sha256(t), 1, 8))::UBIGINT
+                             % 1024)::BIGINT AS b
+                     FROM tok),
+            braw AS (SELECT b, count(*)::DOUBLE AS n_r FROM feat GROUP BY 1),
+            btgt AS (SELECT b, count(*)::DOUBLE AS n_t FROM feat
+                     WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM feat
+                            WHERE doc_id IN (SELECT doc_id FROM tgt))::DOUBLE
+                               AS tt,
+                           (SELECT count(*) FROM feat)::DOUBLE AS rr),
+            lr AS (SELECT braw.b,
+                          log2((coalesce(n_t, 0) + 1.0) / (tt + 1024.0))
+                        - log2((n_r + 1.0) / (rr + 1024.0)) AS w
+                   FROM braw LEFT JOIN btgt ON braw.b = btgt.b
+                   CROSS JOIN tot)
+            SELECT feat.doc_id, round(avg(w), 4) AS dsir_logratio
+            FROM feat JOIN lr ON feat.b = lr.b
+            GROUP BY feat.doc_id""",
         "bigram_logprob": _BIGRAM_NLL_SQL,
         # the join-mode twin computes the identical number, so it shares
         # the oracle — both rows must hash-match the same SQL

@@ -1190,6 +1190,44 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
     ])
 
 
+def funnel_per_bucket(t: pa.Table, stages: tuple) -> pa.Table:
+    """Pure per-bucket funnel kernel (columns user_id/ts/event_type →
+    user_id/stage). Strict-order first-touch: stage k+1 must occur
+    strictly after the EARLIEST valid occurrence of stage k. One
+    ``minimum.reduceat`` per stage over masked timestamps — no Python
+    row loop. Split out of :func:`funnel_stages` so the property test
+    can drive it directly against a brute-force oracle."""
+    import numpy as np
+
+    t = t.sort_by([("user_id", "ascending")])
+    uid = pc.cast(t.column("user_id"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    if len(uid) == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "stage": pa.array([], pa.int64())})
+    INF = np.iinfo(np.int64).max
+    ts = pc.cast(t.column("ts"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    etype = t.column("event_type").combine_chunks()
+    starts = np.flatnonzero(
+        np.concatenate(([True], uid[1:] != uid[:-1])))
+    seg = np.repeat(np.arange(len(starts)),
+                    np.diff(np.concatenate((starts, [len(uid)]))))
+    stage_count = np.zeros(len(starts), np.int64)
+    bound = np.full(len(starts), -1, np.int64)   # ts must be > bound
+    for s in stages:
+        mask = pc.equal(etype, s).to_numpy(zero_copy_only=False)
+        cand = np.where(mask & (ts > bound[seg]), ts, INF)
+        seg_min = np.minimum.reduceat(cand, starts)
+        hit = seg_min < INF
+        stage_count = np.where(hit, stage_count + 1, stage_count)
+        # users that missed this stage keep bound=INF so no later
+        # stage can match (strict ordering)
+        bound = np.where(hit, seg_min, INF)
+    return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                     "stage": pa.array(stage_count, pa.int64())})
+
+
 def funnel_stages(sf_dir: str,
                   stages: tuple = ("view", "click", "purchase"),
                   num_buckets: int = 256) -> rd.Dataset:
@@ -1207,8 +1245,6 @@ def funnel_stages(sf_dir: str,
     decomposable batch-locally (an arbitrary number of stage-2 events
     can precede the global stage-1 minimum), so all events cross the
     exchange — identical shuffle volume to sessionize."""
-    import numpy as np
-
     from raykg.functions.shuffle import crc_bucket_array
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
@@ -1217,37 +1253,7 @@ def funnel_stages(sf_dir: str,
         return t.append_column("bucket", crc_bucket_array(
             pc.cast(t.column("user_id"), pa.int64()), num_buckets))
 
-    INF = np.iinfo(np.int64).max
-
-    def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("user_id", "ascending")])
-        uid = pc.cast(t.column("user_id"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        if len(uid) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "stage": pa.array([], pa.int64())})
-        ts = pc.cast(t.column("ts"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        etype = t.column("event_type").combine_chunks()
-        starts = np.flatnonzero(
-            np.concatenate(([True], uid[1:] != uid[:-1])))
-        seg = np.repeat(np.arange(len(starts)),
-                        np.diff(np.concatenate((starts, [len(uid)]))))
-        stage_count = np.zeros(len(starts), np.int64)
-        bound = np.full(len(starts), -1, np.int64)   # ts must be > bound
-        for s in stages:
-            mask = pc.equal(etype, s).to_numpy(zero_copy_only=False)
-            cand = np.where(mask & (ts > bound[seg]), ts, INF)
-            seg_min = np.minimum.reduceat(cand, starts)
-            hit = seg_min < INF
-            stage_count = np.where(hit, stage_count + 1, stage_count)
-            # users that missed this stage keep bound=INF so no later
-            # stage can match (strict ordering)
-            bound = np.where(hit, seg_min, INF)
-        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
-                         "stage": pa.array(stage_count, pa.int64())})
-
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(
-            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            lambda t: funnel_per_bucket(t.drop_columns(["bucket"]), stages),
             batch_format="pyarrow")

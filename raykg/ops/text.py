@@ -700,3 +700,97 @@ def score_percentiles(documents: rd.Dataset) -> rd.Dataset:
                          "pct_rank": pa.array(p[idx], pa.float64())})
 
     return scores.map_batches(attach, batch_format="pyarrow")
+
+
+def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """(doc_id, dsir_logratio): DSIR-style importance weight per document
+    — the hashed-n-gram importance-resampling signal of Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"
+    (NeurIPS 2023). Tokens hash into ``num_features`` buckets
+    (``sha_int(tok) % NF`` — the engine's shared sha256 contract, so the
+    DuckDB twin is exact); the target distribution p is the bag of
+    buckets over TARGET documents (here: docs the lang-ID heuristic
+    calls 'en', i.e. >= 2 marker tokens — the "high-quality domain
+    sample"), q is the bag over the whole corpus. Each doc scores the
+    mean over its token instances of
+    ``log2((t_b+1)/(T+NF)) - log2((r_b+1)/(R+NF))`` (add-one smoothing).
+    Positive = looks more like the target than the raw corpus. Empty
+    docs are omitted (nothing to score), matching the oracle's join.
+
+    Shape at scale: one streamed counting pass whose exchange is
+    register-sized (<= NF rows x 3 ints per batch partial, merged by
+    SUM — linear/mergeable like the CMS), one ``ray.put`` of an
+    NF-float array, one stateless scoring map. Nothing grows with the
+    corpus; NF widens to 10^5-10^6 for real runs (DSIR uses 10^4).
+    Unigrams only here so the oracle stays one SQL statement; adding
+    hashed bigrams is the same partial with a second update line."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raykg.functions.hashing import sha_int
+    from raykg.ops.relational import small_key_agg
+
+    NF = num_features
+
+    def _doc_buckets(s: str) -> list[int]:
+        return [sha_int(w) % NF for w in _tokens(s)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_t = np.zeros(NF, np.int64)
+        n_r = np.zeros(NF, np.int64)
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            if not toks:
+                continue
+            is_target = sum(1 for w in toks if w in EN_MARKERS) >= 2
+            for w in toks:
+                b = sha_int(w) % NF
+                n_r[b] += 1
+                if is_target:
+                    n_t[b] += 1
+        nz = np.flatnonzero(n_r)
+        if len(nz) == 0:   # typed sentinel row so zero-row blocks keep schema
+            return pa.table({"b": pa.array([-1], pa.int64()),
+                             "n_t": pa.array([0], pa.int64()),
+                             "n_r": pa.array([0], pa.int64())})
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "n_t": pa.array(n_t[nz], pa.int64()),
+                         "n_r": pa.array(n_r[nz], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("b").aggregate([("n_t", "sum"), ("n_r", "sum")])
+        return pa.table({"b": g.column("b"), "n_t": g.column("n_t_sum"),
+                         "n_r": g.column("n_r_sum")})
+
+    counts = combine(small_key_agg(
+        documents.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    counts = counts.filter(pc.greater_equal(counts.column("b"), 0))
+    bs = counts.column("b").to_numpy(zero_copy_only=False)
+    t_arr = np.zeros(NF, np.float64)
+    r_arr = np.zeros(NF, np.float64)
+    t_arr[bs] = counts.column("n_t").to_numpy(zero_copy_only=False)
+    r_arr[bs] = counts.column("n_r").to_numpy(zero_copy_only=False)
+    T, R = float(t_arr.sum()), float(r_arr.sum())
+    lr = (np.log2((t_arr + 1.0) / (T + NF))
+          - np.log2((r_arr + 1.0) / (R + NF)))
+
+    import ray
+    ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids, out = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            bks = _doc_buckets(s)
+            if not bks:
+                continue
+            ids.append(d)
+            out.append(round_half_away(float(np.mean(w[bks])), 4))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dsir_logratio": pa.array(out, pa.float64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

@@ -129,3 +129,49 @@ def test_sha_corpus_pure_and_offsets(di):
     spans = a.column("spans").to_pylist()[0]
     assert [s["offset"] for s in spans] == list(range(len(spans)))
     assert 1 <= len(spans) <= cfg.max_spans_per_doc
+
+
+# --- funnel kernel: strict-order first-touch chain vs brute force ---
+
+def _funnel_brute(rows, stages):
+    """O(users x events x stages) oracle: for each user, walk the stage
+    list taking the earliest event of each stage strictly after the
+    previous stage's chosen timestamp."""
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for uid, ts, et in rows:
+        by_user[uid].append((ts, et))
+    out = {}
+    for uid, evs in by_user.items():
+        bound = -1
+        count = 0
+        for s in stages:
+            cands = [ts for ts, et in evs if et == s and ts > bound]
+            if not cands:
+                break
+            bound = min(cands)
+            count += 1
+        out[uid] = count
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 6),          # user_id (few users -> collisions)
+              st.integers(0, 20),         # ts (small range -> ties)
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    max_size=60))
+def test_funnel_kernel_matches_bruteforce(rows):
+    import pyarrow as pa
+
+    from raykg.ops.relational import funnel_per_bucket
+
+    stages = ("view", "click", "purchase")
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = {r["user_id"]: r["stage"]
+           for r in funnel_per_bucket(t, stages).to_pylist()}
+    assert got == _funnel_brute(rows, stages)

@@ -108,3 +108,54 @@ def test_score_percentiles_matches_percent_rank(ray_session):
             score_percentiles(
                 rd.from_arrow(docs).repartition(7)).take_all()}
     assert got2 == got
+
+
+def test_dsir_weights_hand_computed(ray_session):
+    """Target = docs with >=2 marker tokens. A token shared with the
+    target scores higher than one seen only outside it; empty docs are
+    omitted; partitioning does not change the numbers."""
+    import numpy as np
+
+    from raykg.functions.hashing import sha_int
+    from raykg.ops.text import dsir_weights
+
+    rows = [
+        (0, "the a good good"),     # target (two markers)
+        (1, "good junk"),           # raw only
+        (2, "junk junk junk"),      # raw only
+        (3, ""),                    # omitted
+    ]
+    got = {r["doc_id"]: r["dsir_logratio"]
+           for r in dsir_weights(_docs(rows), num_features=64).take_all()}
+    assert set(got) == {0, 1, 2}
+
+    # brute-force the same numbers
+    NF = 64
+    t_arr, r_arr = np.zeros(NF), np.zeros(NF)
+    for _, s in rows:
+        toks = s.split()
+        tgt = sum(1 for w in toks if w in ("the", "a")) >= 2
+        for w in toks:
+            b = sha_int(w) % NF
+            r_arr[b] += 1
+            if tgt:
+                t_arr[b] += 1
+    lr = (np.log2((t_arr + 1) / (t_arr.sum() + NF))
+          - np.log2((r_arr + 1) / (r_arr.sum() + NF)))
+    for d, s in rows:
+        toks = s.split()
+        if not toks:
+            continue
+        want = round(float(np.mean([lr[sha_int(w) % NF] for w in toks])), 4)
+        assert abs(got[d] - want) < 1e-12
+    # target doc should look more target-like than the junk doc
+    assert got[0] > got[2]
+
+    # partitioning invariance
+    many = [(i, f"the a tok{i % 5}" if i % 3 == 0 else f"tok{i % 5} junk{i}")
+            for i in range(30)]
+    a = dsir_weights(_docs(many), num_features=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dsir_weights(_docs(many, blocks=7), num_features=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
