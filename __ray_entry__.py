@@ -636,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR hashed-n-gram importance weights (Xie et al., NeurIPS'23):
         # target = lang-ID 'en' docs, features = sha-hashed unigram buckets
         "dsir_weights": lambda sf: text.dsir_weights(_docs(sf)),
+        # Okapi BM25 against a fixed query-term set (retrieval-style
+        # relevance filter; Lucene idf variant)
+        "bm25_scores": lambda sf: text.bm25_scores(_docs(sf)),
         # bigram LM quality signal (CCNet-style); the join twin computes
         # the identical number with NOTHING broadcast or driver-resident
         "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
@@ -1243,6 +1246,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(-log2(c.n / tot.s)), 4) AS mean_nll
             FROM tok JOIN c ON c.t = tok.t, tot
             GROUP BY doc_id""",
+        "bm25_scores": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS d FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(d) AS avgdl FROM dl),
+            df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                   WHERE t IN ('data', 'query', 'spark') GROUP BY 1),
+            tf AS (SELECT doc_id, t, count(*)::DOUBLE AS f FROM tok
+                   WHERE t IN ('data', 'query', 'spark') GROUP BY 1, 2)
+            SELECT tf.doc_id,
+                   round(sum(ln((n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                             * f * 2.2
+                             / (f + 1.2 * (0.25 + 0.75 * dl.d / avgdl))),
+                         4) AS bm25
+            FROM tf JOIN df ON tf.t = df.t
+                    JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id""",
         "dsir_weights": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
             tgt AS (SELECT doc_id FROM tok WHERE t IN ('the', 'a')

@@ -794,3 +794,93 @@ def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def bm25_scores(documents: rd.Dataset,
+                terms: tuple = ("data", "query", "spark"),
+                k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """(doc_id, bm25): Okapi BM25 score of each document against a fixed
+    query term set — the retrieval-style relevance filter of a
+    training-data pipeline (keep docs that look like a target query /
+    seed set). idf is the Lucene-style always-positive variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``. Only documents containing at
+    least one query term are emitted (retrieval semantics; also what
+    the oracle's join produces).
+
+    Two passes, both corpus-independent in exchange volume: pass 1
+    emits one (|terms|+1)-row partial per batch (df per query term +
+    the doc-count/total-length stats on a sentinel row) merged by SUM;
+    pass 2 is a stateless scoring map over a broadcast of |terms|
+    floats. Nothing scales with corpus size except the streamed read."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from raykg.ops.relational import small_key_agg
+
+    tset = list(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        n_docs = 0
+        sum_dl = 0
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            if not toks:
+                continue
+            n_docs += 1
+            sum_dl += len(toks)
+            seen = set(toks)
+            for q in tset:
+                if q in seen:
+                    df[q] += 1
+        return pa.table({
+            "term": pa.array([""] + tset, pa.string()),
+            "df": pa.array([0] + [df[q] for q in tset], pa.int64()),
+            "n_docs": pa.array([n_docs] + [0] * len(tset), pa.int64()),
+            "sum_dl": pa.array([sum_dl] + [0] * len(tset), pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate(
+            [("df", "sum"), ("n_docs", "sum"), ("sum_dl", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("df_sum"),
+                         "n_docs": g.column("n_docs_sum"),
+                         "sum_dl": g.column("sum_dl_sum")})
+
+    stats = combine(small_key_agg(
+        documents.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    row = {r["term"]: r for r in stats.to_pylist()}
+    N = float(row[""]["n_docs"])
+    avgdl = row[""]["sum_dl"] / N if N else 1.0
+    idf = {q: math.log((N - row[q]["df"] + 0.5)
+                       / (row[q]["df"] + 0.5) + 1.0) for q in tset}
+
+    import ray
+    ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_m, ad = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids, out = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            if not toks:
+                continue
+            c = Counter(w for w in toks if w in idf_m)
+            if not c:
+                continue
+            dl = len(toks)
+            sc = sum(idf_m[q] * f * (k1 + 1.0)
+                     / (f + k1 * (1.0 - b + b * dl / ad))
+                     for q, f in c.items())
+            ids.append(d)
+            out.append(round_half_away(sc, 4))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bm25": pa.array(out, pa.float64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

@@ -159,3 +159,43 @@ def test_dsir_weights_hand_computed(ray_session):
     b = dsir_weights(_docs(many, blocks=7), num_features=64).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bm25_hand_computed(ray_session):
+    """Crafted corpus: hand-computed Okapi BM25 (Lucene idf), no-match and
+    empty docs omitted, partitioning invariance."""
+    import math
+
+    from raykg.ops.text import bm25_scores
+
+    rows = [
+        (0, "data data query x"),   # both terms
+        (1, "x y z w"),             # no query term -> omitted
+        (2, "spark"),               # one term, short doc
+        (3, ""),                    # empty -> omitted
+    ]
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_scores(_docs(rows)).take_all()}
+    assert set(got) == {0, 2}
+
+    # brute force: N=3 scored docs (0,1,2 have tokens), avgdl=(4+4+1)/3=3
+    N, avgdl, k1, b = 3.0, 3.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def term(f, dl, df):
+        return idf(df) * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+
+    want0 = round(term(2, 4, 1) + term(1, 4, 1), 4)   # data f=2, query f=1
+    want2 = round(term(1, 1, 1), 4)                   # spark f=1, dl=1
+    assert abs(got[0] - want0) < 1e-12
+    assert abs(got[2] - want2) < 1e-12
+
+    many = [(i, f"data tok{i % 5} query" if i % 2 else f"tok{i % 7} spark x")
+            for i in range(40)]
+    a = bm25_scores(_docs(many)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bdf = bm25_scores(_docs(many, blocks=9)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(bdf)
