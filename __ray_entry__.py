@@ -677,6 +677,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
         "hll_estimate": lambda sf: corpus.hll_estimate(_docs(sf)),
+        # grouped HLL: one sketch per event_type (distinct users) — the
+        # per-group cardinality shape for 100 TB (exchange = groups x 256)
+        "hll_user_counts": lambda sf: corpus.hll_group_estimates(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["event_type", "user_id"])),
         # count-min sketch: linear (SUM-mergeable) register partials;
         # point estimates = min over rows, bit-exact incl. collisions
         "cms_registers": lambda sf: corpus.cms_token_counts(_docs(sf)),
@@ -1364,6 +1369,31 @@ def oracle_sql() -> dict[str, str]:
                              / (sp + (256 - np)) AS raw,
                          256 - np AS zeros, np FROM s)
             SELECT round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                              THEN 256 * ln(256.0 / zeros)
+                              ELSE raw END, 4) AS estimate,
+                   np::BIGINT AS n_registers_hit
+            FROM e""",
+        "hll_user_counts": f"""
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (SELECT event_type,
+                         ('0x' || substr(sha256(user_id::VARCHAR), 1, 16))
+                             ::UBIGINT AS h
+                  FROM u),
+            r AS (SELECT event_type, (h >> 56)::BIGINT AS register,
+                         (h % 72057594037927936)::UBIGINT AS w FROM h),
+            regs AS (SELECT event_type, register,
+                            max(CASE WHEN w = 0 THEN 57
+                                ELSE 57 - length(bin(w)) END) AS m
+                     FROM r GROUP BY event_type, register),
+            s AS (SELECT event_type, sum(power(2.0, -m)) AS sp,
+                         count(*) AS np
+                  FROM regs GROUP BY event_type),
+            e AS (SELECT event_type,
+                         ({corpus_mod.HLL_ALPHA!r}::DOUBLE * 65536.0)
+                             / (sp + (256 - np)) AS raw,
+                         256 - np AS zeros, np FROM s)
+            SELECT event_type,
+                   round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                               THEN 256 * ln(256.0 / zeros)
                               ELSE raw END, 4) AS estimate,
                    np::BIGINT AS n_registers_hit

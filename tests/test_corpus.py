@@ -307,3 +307,29 @@ def test_temperature_mix_flattens_and_is_deterministic(ray_session):
         rd.from_arrow(docs).repartition(13), alpha=0.5,
         target_frac=0.5).take_all()
     assert {r["doc_id"] for r in got2} == set(kept)
+
+
+def test_hll_group_estimates_accuracy_and_invariance(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raykg.ops.corpus import hll_group_estimates
+
+    # two groups with very different cardinalities + one tiny group that
+    # must take the linear-counting branch
+    rows_a = [("a", i) for i in range(5000)] * 2          # 5k distinct, dup'd
+    rows_b = [("b", i) for i in range(200)]
+    rows_c = [("c", 0), ("c", 1), ("c", 0)]
+    allr = rows_a + rows_b + rows_c
+    t = pa.table({"event_type": pa.array([r[0] for r in allr], pa.string()),
+                  "user_id": pa.array([r[1] for r in allr], pa.int64())})
+    got = hll_group_estimates(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_type")
+    assert abs(got.loc["a", "estimate"] - 5000) / 5000 < 0.15
+    assert abs(got.loc["b", "estimate"] - 200) / 200 < 0.15
+    assert abs(got.loc["c", "estimate"] - 2) < 0.5
+    # duplicates don't inflate, partitioning doesn't change the numbers
+    g2 = hll_group_estimates(rd.from_arrow(t).repartition(11)).to_pandas() \
+        .set_index("event_type")
+    assert got.equals(g2)

@@ -3,7 +3,7 @@ pipelines are built on — the invariants that make 'same result at any
 partitioning / parallelism' true."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from raykg.functions.hashing import (
@@ -33,12 +33,18 @@ def test_shard_bounds_partition_exactly(n_items, n_shards):
 
 
 @given(st.floats(-1e9, 1e9, allow_nan=False), st.integers(0, 6))
+@example(x=900719925.4981925, digits=6)   # exact .5 tie at the ulp edge
 def test_round_half_away_matches_duckdb(x, digits):
     import duckdb
 
     got = round_half_away(x, digits)
-    want = duckdb.sql(
-        f"SELECT round({x!r}::DOUBLE, {digits})").fetchone()[0]
+    # bind x as a parameter: an interpolated repr parses as a DECIMAL
+    # whose >2^53 mantissa can corrupt an exact .5 tie BEFORE the cast
+    # to DOUBLE (hypothesis found 900719925.4981925 at digits=6); the
+    # oracles always round values DuckDB computed as binary doubles,
+    # which is what parameter binding transfers.
+    want = duckdb.execute(
+        f"SELECT round(?::DOUBLE, {digits})", [float(x)]).fetchone()[0]
     assert got == want or (np.isnan(got) and want is None)
 
 
