@@ -705,6 +705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr signal (Lee et al. 2022): per-doc duplicated
         # token-span statistics via distributed window hashing
         "dup_span_stats": lambda sf: dedup.dup_span_stats(_docs(sf)),
+        # GPT-3/PaLM-style train/test decontamination: train docs sharing
+        # an exact 8-token window with any test doc (hash_split rule)
+        "decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
         # SemDeDup: cluster the embedding space, drop within-cluster
         # semantic near-dups (lower-id representative survives)
         "semantic_dedup": lambda sf: dedup.semantic_dedup_keep(_emb(sf)),
@@ -1629,6 +1632,28 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
                        AS dup_fraction
             FROM w GROUP BY 1""",
+        "decontaminate": f"""
+            WITH sp AS (SELECT doc_id, {_TOKS} AS l,
+                   CASE WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRV>' THEN 'val'
+                        WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRT>' THEN 'test'
+                        ELSE 'train' END AS split
+                   FROM documents),
+            ix AS (SELECT doc_id, split, l, unnest(range(1, len(l) - 6)) AS i
+                   FROM sp WHERE len(l) >= 8 AND split <> 'val'),
+            w AS (SELECT doc_id, split,
+                         array_to_string(list_slice(l, i, i + 7), ' ') AS s
+                  FROM ix),
+            leak AS (SELECT DISTINCT s FROM w WHERE split = 'test')
+            SELECT doc_id, count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN s IN (SELECT s FROM leak)
+                       THEN 1 ELSE 0 END)::BIGINT AS contam_windows,
+                   max(CASE WHEN s IN (SELECT s FROM leak)
+                       THEN 1 ELSE 0 END)::BIGINT AS contaminated
+            FROM w WHERE split = 'train'
+            GROUP BY doc_id""".replace("<THRV>", _hex8(0.1))
+                             .replace("<THRT>", _hex8(0.2)),
         "semantic_dedup": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

@@ -568,3 +568,127 @@ def dup_span_stats(documents: rd.Dataset, span: int = 8,
 
     return bucketed_group_agg(flagged, per_doc_part, "doc_id",
                               per_doc_fin, num_buckets=num_buckets)
+
+
+def decontaminate(documents: rd.Dataset, span: int = 8,
+                  val_frac: float = 0.1, test_frac: float = 0.1,
+                  seed: int = 42, num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, n_windows, contam_windows, contaminated): train/test
+    decontamination — the GPT-3/PaLM-style n-gram overlap check. Splits
+    the corpus with the :func:`raykg.ops.corpus.hash_split` rule (pure
+    function of doc_id, so no join against a split table is needed),
+    then flags every TRAIN document that shares an exact ``span``-token
+    window with any TEST document. Train docs shorter than ``span``
+    tokens are omitted (no window to leak through).
+
+    Same three bucketed exchanges as :func:`dup_span_stats`, nothing
+    driver-resident: (1) window hashes that occur in >= 1 test doc
+    (stays distributed), (2) tag-join the flag onto the train-side
+    window stream, (3) per-doc aggregate. The test side is usually tiny
+    relative to train, so exchange volume is dominated by the one pass
+    over the train windows — the decontamination shape that holds at
+    100 TB."""
+    import pyarrow.compute as pc
+
+    from raykg.functions.hashing import hex_threshold8
+    from raykg.functions.shuffle import bucketed_group_agg
+    from raykg.ops.text import _tokens
+
+    thr_val = hex_threshold8(val_frac)
+    thr_test = hex_threshold8(val_frac + test_frac)
+
+    def _split(doc_id: int) -> str:
+        h = sha_hex(f"split|{seed}|{doc_id}")[:8]
+        return "val" if h < thr_val else \
+            "test" if h < thr_test else "train"
+
+    def windows(t: pa.Table) -> pa.Table:
+        """window occurrences of train/test docs, tagged with the split
+        (is_test=1 for test windows, 0 for train; val docs are skipped)"""
+        ids, hs, tst = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            sp = _split(d)
+            if sp == "val":
+                continue
+            toks = _tokens(s)
+            flag = 1 if sp == "test" else 0
+            for i in range(len(toks) - span + 1):
+                ids.append(d)
+                hs.append(sha_hex(" ".join(toks[i:i + span]))[:16])
+                tst.append(flag)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "wh": pa.array(hs, pa.string()),
+                         "is_test": pa.array(tst, pa.int8())})
+
+    win = documents.select_columns(["doc_id", "text"]).map_batches(
+        windows, batch_format="pyarrow")
+
+    # ---- pass 1: window hashes present in any test doc -----------------
+    def test_hashes_part(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.equal(t.column("is_test"), 1)) \
+            .group_by("wh").aggregate([])
+        return pa.table({"wh": g.column("wh")})
+
+    def test_hashes_fin(t: pa.Table) -> pa.Table:
+        # partials are already test-only; just dedupe per bucket
+        return pa.table({"wh": t.group_by("wh").aggregate([]).column("wh")})
+
+    leaks = bucketed_group_agg(win, test_hashes_part, "wh", test_hashes_fin,
+                               num_buckets=num_buckets)
+
+    # ---- pass 2: tag-join the leak flag onto the TRAIN window stream ---
+    def probe(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t.column("is_test"), 0))
+        return pa.table({"wh": p.column("wh"),
+                         "doc_id": p.column("doc_id"),
+                         "tag": pa.array([0] * p.num_rows, pa.int8())})
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"wh": t.column("wh"),
+                         "doc_id": pa.array([-1] * t.num_rows, pa.int64()),
+                         "tag": pa.array([1] * t.num_rows, pa.int8())})
+
+    unioned = win.map_batches(probe, batch_format="pyarrow") \
+        .union(leaks.map_batches(build, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tags = t.column("tag").combine_chunks()
+        b = t.filter(pc.equal(tags, 1))
+        p = t.filter(pc.equal(tags, 0))
+        hit = pc.is_in(p.column("wh"),
+                       value_set=b.column("wh").combine_chunks())
+        return pa.table({"doc_id": p.column("doc_id"),
+                         "hit": pc.cast(hit, pa.int64())})
+
+    flagged = bucketed_group_agg(unioned, lambda t: t, "wh", attach,
+                                 num_buckets=num_buckets)
+
+    # ---- pass 3: per-train-doc aggregate --------------------------------
+    def per_doc_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("hit", "sum"),
+                                            ("hit", "count")])
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [g.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "contam_windows": pa.concat_arrays(
+                [pc.cast(g.column("hit_sum").combine_chunks(), pa.int64()),
+                 pa.array([0], pa.int64())]),
+            "n_windows": pa.concat_arrays(
+                [pc.cast(g.column("hit_count").combine_chunks(), pa.int64()),
+                 pa.array([0], pa.int64())])})
+
+    def per_doc_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("contam_windows", "sum"),
+                                            ("n_windows", "sum")])
+        g = g.filter(pc.greater_equal(g.column("doc_id"), 0))
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_windows": g.column("n_windows_sum"),
+            "contam_windows": g.column("contam_windows_sum"),
+            "contaminated": pc.cast(pc.greater(
+                g.column("contam_windows_sum"), 0), pa.int64())})
+
+    return bucketed_group_agg(flagged, per_doc_part, "doc_id",
+                              per_doc_fin, num_buckets=num_buckets)

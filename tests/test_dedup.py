@@ -120,3 +120,43 @@ def test_dup_span_stats_self_repeat_not_dup(ray_session):
                          num_buckets=4).take_all()
     assert len(got) == 1 and got[0]["dup_windows"] == 0
     assert got[0]["n_windows"] == 9
+
+
+def test_decontaminate_crafted(ray_session):
+    """A train doc sharing an exact 8-token window with a test doc is
+    flagged; a clean train doc is not; test/val docs never appear."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raykg.functions.hashing import hex_threshold8, sha_hex
+    from raykg.ops.dedup import decontaminate
+
+    thr_val, thr_test = hex_threshold8(0.1), hex_threshold8(0.2)
+
+    def split(d):
+        h = sha_hex(f"split|42|{d}")[:8]
+        return "val" if h < thr_val else "test" if h < thr_test else "train"
+
+    ids = list(range(300))
+    test_id = next(d for d in ids if split(d) == "test")
+    tr = [d for d in ids if split(d) == "train"]
+    leaked, clean, short = tr[0], tr[1], tr[2]
+
+    shared = "q w e r t y u i"                      # the 8-token leak
+    rows = {
+        test_id: shared + " tail tok",
+        leaked: "head tok " + shared,               # shares the window
+        clean: "a b c d e f g h i j",               # 8+ tokens, no leak
+        short: "too short",                         # < 8 tokens -> omitted
+    }
+    t = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    got = {r["doc_id"]: r for r in
+           decontaminate(rd.from_arrow(t), num_buckets=16).take_all()}
+    assert set(got) == {leaked, clean}
+    assert got[leaked]["contaminated"] == 1
+    assert got[leaked]["contam_windows"] == 1
+    assert got[leaked]["n_windows"] == 3            # 10 tokens -> 3 windows
+    assert got[clean]["contaminated"] == 0
+    assert got[clean]["contam_windows"] == 0
