@@ -724,6 +724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
+        # class centroids + within-class prototypicality (outlier signal)
+        "label_centroids": lambda sf: ann.label_centroids(_emb(sf)),
+        "prototypicality": lambda sf: ann.prototypicality(_emb(sf)),
         # flagship KG pipeline + multimodal (rows-only: tape span corpus)
         "kg_flagship_triples": kg_flagship_triples,
         "kg_flagship_node_types": kg_flagship_node_types,
@@ -1556,6 +1559,29 @@ def oracle_sql() -> dict[str, str]:
                               ELSE '<T05>' END""".replace(
                 "<T02>", _hex8(0.2)).replace(
                 "<T08>", _hex8(0.8)).replace("<T05>", _hex8(0.5)),
+        "label_centroids": """
+            WITH e AS (SELECT label::BIGINT AS label,
+                              embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT label, unnest(v) AS x,
+                         unnest(range(1, 65)) AS dim FROM e)
+            SELECT label, dim::BIGINT AS dim, round(avg(x), 6) AS c
+            FROM d GROUP BY 1, 2""",
+        "prototypicality": """
+            WITH e AS (SELECT vec_id, label::BIGINT AS label,
+                              embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT label, unnest(v) AS x,
+                         unnest(range(1, 65)) AS dim FROM e),
+            cent AS (SELECT label, dim, round(avg(x), 6) AS c
+                     FROM d GROUP BY 1, 2),
+            vd AS (SELECT vec_id, label, unnest(v) AS x,
+                          unnest(range(1, 65)) AS dim FROM e),
+            j AS (SELECT vec_id, sum(x * c) AS dot, sum(x * x) AS nv,
+                         sum(c * c) AS nc
+                  FROM vd JOIN cent ON vd.label = cent.label
+                                   AND vd.dim = cent.dim
+                  GROUP BY 1)
+            SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nc)), 4) AS proto
+            FROM j""",
         "quantize_embeddings": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

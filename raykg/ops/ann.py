@@ -355,3 +355,80 @@ def quantize_embeddings(embeddings: rd.Dataset) -> rd.Dataset:
 
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         batch, batch_format="pyarrow")
+
+
+def label_centroids(embeddings: rd.Dataset, dim: int = 64) -> pa.Table:
+    """(label, dim, c): per-label mean embedding, one row per vector
+    component, each mean rounded to 6 decimals — the class-centroid
+    summary a curation pipeline scores prototypicality against. The
+    exchange is register-sized: every batch contributes at most
+    labels x dim partial-sum rows regardless of row count, merged by
+    SUM, finalized on the driver (a labels x dim table)."""
+    from raykg.ops.relational import small_key_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        labs = np.asarray(t.column("label").to_pylist(), np.int64)
+        mat = np.array(t.column("embedding").to_pylist(), np.float64)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labs):
+            sel = mat[labs == lab]
+            s = sel.sum(axis=0)
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(1, dim + 1))
+            out_s.extend(s.tolist())
+            out_n.extend([sel.shape[0]] * dim)
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "dim"]).aggregate([("s", "sum"),
+                                                    ("n", "sum")])
+        return pa.table({"label": g.column("label"), "dim": g.column("dim"),
+                         "s": g.column("s_sum"), "n": g.column("n_sum")})
+
+    tot = combine(small_key_agg(
+        embeddings.select_columns(["label", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"), combine))
+    tot = tot.sort_by([("label", "ascending"), ("dim", "ascending")])
+    c = [round_half_away(s / n, 6) for s, n in
+         zip(tot.column("s").to_pylist(), tot.column("n").to_pylist())]
+    return pa.table({"label": tot.column("label"),
+                     "dim": tot.column("dim"),
+                     "c": pa.array(c, pa.float64())})
+
+
+def prototypicality(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
+    """(vec_id, proto): cosine similarity of each vector to its label's
+    centroid (rounded per-dim means from :func:`label_centroids`) — the
+    outlier/prototype signal used to rank examples within a class
+    (SemDeDup/DataComp-style curation). The centroid matrix
+    (labels x dim floats) is broadcast once via ``ray.put``; scoring is
+    a stateless vectorized map, so the op is one streamed pass."""
+    cent = label_centroids(embeddings, dim=dim)
+    labs = sorted(set(cent.column("label").to_pylist()))
+    lab_ix = {lab: i for i, lab in enumerate(labs)}
+    C = np.zeros((len(labs), dim), np.float64)
+    for lab, d, c in zip(cent.column("label").to_pylist(),
+                         cent.column("dim").to_pylist(),
+                         cent.column("c").to_pylist()):
+        C[lab_ix[lab], d - 1] = c
+    ref = ray.put((lab_ix, C))
+
+    def score(t: pa.Table) -> pa.Table:
+        lmap, cm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mat = np.array(t.column("embedding").to_pylist(), np.float64)
+        rows = np.array([lmap[v] for v in t.column("label").to_pylist()],
+                        np.int64)
+        cvec = cm[rows]
+        dot = (mat * cvec).sum(axis=1)
+        denom = np.sqrt((mat * mat).sum(axis=1)) \
+            * np.sqrt((cvec * cvec).sum(axis=1))
+        proto = [round_half_away(float(x), 4) for x in dot / denom]
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "proto": pa.array(proto, pa.float64())})
+
+    return embeddings.select_columns(
+        ["vec_id", "label", "embedding"]).map_batches(
+        score, batch_format="pyarrow")
