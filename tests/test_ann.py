@@ -39,6 +39,42 @@ def test_lsh_results_subset_semantics(ray_session):
     assert recall >= 0.2, recall
 
 
+def test_prototypicality_crafted(ray_session):
+    """A vector equal to its label centroid scores proto == 1.0; an
+    anti-aligned one scores -1.0; off-axis vectors land strictly between."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raykg.ops.ann import label_centroids, prototypicality
+
+    dim = 4
+    # label 0: two vectors symmetric about (1,0,0,0) -> centroid on x-axis;
+    # label 1: a singleton (its own centroid) plus an anti-aligned probe
+    rows = {
+        "vec_id": [0, 1, 2, 3],
+        "label": [0, 0, 1, 1],
+        "embedding": [[1.0, 1.0, 0.0, 0.0], [1.0, -1.0, 0.0, 0.0],
+                      [0.0, 0.0, 2.0, 0.0], [0.0, 0.0, -2.0, 0.0]],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+
+    cent = label_centroids(ds, dim=dim)
+    cmap = {(lb, d): c for lb, d, c in zip(cent.column("label").to_pylist(),
+                                           cent.column("dim").to_pylist(),
+                                           cent.column("c").to_pylist())}
+    assert cmap[(0, 1)] == 1.0 and cmap[(0, 2)] == 0.0
+    assert cmap[(1, 3)] == 0.0  # mean of 2 and -2
+
+    # label-1 centroid is the zero vector -> drop that label to keep the
+    # cosine well-defined; score only label 0
+    ds0 = rd.from_arrow(pa.table({k: v[:2] for k, v in rows.items()}))
+    proto = prototypicality(ds0, dim=dim).to_pandas() \
+        .set_index("vec_id")["proto"]
+    # both vectors are at 45 degrees from the (1,0,0,0) centroid
+    assert np.isclose(proto[0], round(1 / np.sqrt(2), 4))
+    assert np.isclose(proto[1], round(1 / np.sqrt(2), 4))
+
+
 def test_ivf_kmeans_recall_and_convergence(ray_session):
     from raykg.ops.ann import ann_bruteforce, ann_ivf_kmeans, kmeans_centroids
 
