@@ -708,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-3/PaLM-style train/test decontamination: train docs sharing
         # an exact 8-token window with any test doc (hash_split rule)
         "decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
+        "segment_dedup": lambda sf: dedup.segment_dedup(_docs(sf)),
         # SemDeDup: cluster the embedding space, drop within-cluster
         # semantic near-dups (lower-id representative survives)
         "semantic_dedup": lambda sf: dedup.semantic_dedup_keep(_emb(sf)),
@@ -1680,6 +1681,26 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE split = 'train'
             GROUP BY doc_id""".replace("<THRV>", _hex8(0.1))
                              .replace("<THRT>", _hex8(0.2)),
+        # removal half of ExactSubstr: non-overlapping 8-token segments,
+        # first corpus-wide occurrence (by doc_id, then position) survives
+        "segment_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            sg AS (SELECT doc_id, (s // 8)::BIGINT AS idx,
+                          array_to_string(list_slice(l, s + 1, s + 8), ' ')
+                              AS seg
+                   FROM (SELECT doc_id, l, unnest(range(0, len(l), 8)) AS s
+                         FROM t WHERE len(l) > 0)),
+            m AS (SELECT seg, min(doc_id * 1048576 + idx) AS mp
+                  FROM sg GROUP BY seg)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN doc_id * 1048576 + idx = mp
+                                       THEN sg.seg END, ' ' ORDER BY idx),
+                            '') AS text_clean,
+                   count(*)::BIGINT AS n_segs,
+                   sum(CASE WHEN doc_id * 1048576 + idx = mp
+                       THEN 1 ELSE 0 END)::BIGINT AS kept_segs
+            FROM sg JOIN m ON sg.seg = m.seg
+            GROUP BY doc_id""",
         "semantic_dedup": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

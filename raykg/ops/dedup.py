@@ -570,6 +570,158 @@ def dup_span_stats(documents: rd.Dataset, span: int = 8,
                               per_doc_fin, num_buckets=num_buckets)
 
 
+def segment_dedup(documents: rd.Dataset, span: int = 8,
+                  num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, text_clean, n_segs, kept_segs): exact duplicated-segment
+    REMOVAL — the rewrite half of ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499), where :func:`dup_span_stats` is the detection
+    half. Docs are segmented into NON-overlapping ``span``-token windows
+    (the trailing window may be shorter); a segment occurrence survives
+    iff it is the corpus-wide FIRST occurrence of its exact text in
+    (doc_id, segment-index) order. ``text_clean`` is the surviving
+    segments re-joined by a single space in original order (possibly
+    ``''`` when every segment was removed elsewhere-first). Docs with no
+    tokens are omitted (no segment to keep or drop).
+
+    Three bucketed exchanges, nothing driver-resident:
+    1. per-segment-hash min of the packed (doc_id << 20 | idx) occurrence
+       key — the first-occurrence rule, resolved distributed;
+    2. tag-join the winning occurrence key back onto the segment stream
+       (vectorized ``index_in``); segment text crosses the wire exactly
+       once (this pass), the register-sized (hash, min) pairs twice;
+    3. per-doc ordered reassembly.
+
+    Occurrence keys pack as doc_id * 2^20 + idx, so doc_id must be in
+    [0, 2^43) and docs are bounded at 2^20 segments (= 8M tokens at
+    span 8) — both checked loudly per batch, same discipline as
+    kg_edges' 30-bit guard."""
+    import pyarrow.compute as pc
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    IDX_BITS = 20
+    IDX_CAP = 1 << IDX_BITS
+
+    def segments(t: pa.Table) -> pa.Table:
+        ids, idxs, packs, hs, segs = [], [], [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            if not (0 <= d < (1 << 43)):
+                raise ValueError(
+                    f"segment_dedup requires 0 <= doc_id < 2^43, got {d} "
+                    "(occurrence keys pack as doc_id * 2^20 + idx)")
+            toks = _tokens(s)
+            n_segs = (len(toks) + span - 1) // span
+            if n_segs >= IDX_CAP:
+                raise ValueError(
+                    f"doc {d} has {n_segs} segments >= 2^{IDX_BITS} cap; "
+                    "raise span or split the document")
+            for i in range(n_segs):
+                seg = " ".join(toks[i * span:(i + 1) * span])
+                ids.append(d)
+                idxs.append(i)
+                packs.append(d * IDX_CAP + i)
+                hs.append(sha_hex(seg)[:16])
+                segs.append(seg)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "idx": pa.array(idxs, pa.int64()),
+                         "packed": pa.array(packs, pa.int64()),
+                         "sh": pa.array(hs, pa.string()),
+                         "seg": pa.array(segs, pa.string())})
+
+    seg_stream = documents.select_columns(["doc_id", "text"]).map_batches(
+        segments, batch_format="pyarrow")
+
+    # ---- pass 1: first occurrence (min packed key) per segment hash ----
+    def min_part(t: pa.Table) -> pa.Table:
+        g = t.select(["sh", "packed"]).group_by("sh") \
+            .aggregate([("packed", "min")])
+        return pa.table({"sh": g.column("sh"),
+                         "packed": g.column("packed_min")})
+
+    winners = bucketed_group_agg(seg_stream, min_part, "sh", min_part,
+                                 num_buckets=num_buckets)
+
+    # ---- pass 2: tag-join the winner key onto the segment stream -------
+    def probe(t: pa.Table) -> pa.Table:
+        return pa.table({"sh": t.column("sh"),
+                         "doc_id": t.column("doc_id"),
+                         "idx": t.column("idx"),
+                         "packed": t.column("packed"),
+                         "seg": t.column("seg"),
+                         "tag": pa.array([0] * t.num_rows, pa.int8())})
+
+    def build(t: pa.Table) -> pa.Table:
+        return pa.table({"sh": t.column("sh"),
+                         "doc_id": pa.array([-1] * t.num_rows, pa.int64()),
+                         "idx": pa.array([0] * t.num_rows, pa.int64()),
+                         "packed": t.column("packed"),
+                         "seg": pa.array([""] * t.num_rows, pa.string()),
+                         "tag": pa.array([1] * t.num_rows, pa.int8())})
+
+    unioned = seg_stream.map_batches(probe, batch_format="pyarrow") \
+        .union(winners.map_batches(build, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tags = t.column("tag").combine_chunks()
+        b = t.filter(pc.equal(tags, 1))
+        p = t.filter(pc.equal(tags, 0))
+        pos = pc.index_in(p.column("sh"),
+                          value_set=b.column("sh").combine_chunks())
+        win = pc.take(b.column("packed").combine_chunks(), pos)
+        keep = pc.cast(pc.equal(p.column("packed").combine_chunks(), win),
+                       pa.int64())
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        # sentinel row: doc_id=-1 cannot occur (checked in segments());
+        # keeps zero-row blocks typed through the next shuffle
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [p.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "idx": pa.concat_arrays(
+                [p.column("idx").combine_chunks(), pa.array([0], pa.int64())]),
+            "seg": pa.concat_arrays(
+                [p.column("seg").combine_chunks(), pa.array([""], pa.string())]),
+            "keep": pa.concat_arrays([keep, pa.array([0], pa.int64())])})
+
+    flagged = bucketed_group_agg(unioned, lambda t: t, "sh", attach,
+                                 num_buckets=num_buckets)
+
+    # ---- pass 3: per-doc ordered reassembly ----------------------------
+    def rebuild(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        out_d, out_t, out_n, out_k = [], [], [], []
+        if not t.num_rows:   # sentinel-only bucket; terminal stage, so a
+            return pa.table({   # typed zero-row table is fine here
+                "doc_id": pa.array(out_d, pa.int64()),
+                "text_clean": pa.array(out_t, pa.string()),
+                "n_segs": pa.array(out_n, pa.int64()),
+                "kept_segs": pa.array(out_k, pa.int64())})
+        ids = np.asarray(t.column("doc_id").to_pylist(), np.int64)
+        idxs = np.asarray(t.column("idx").to_pylist(), np.int64)
+        keeps = np.asarray(t.column("keep").to_pylist(), np.int64)
+        segs = t.column("seg").to_pylist()
+        order = np.lexsort((idxs, ids))
+        ids, idxs, keeps = ids[order], idxs[order], keeps[order]
+        segs = [segs[i] for i in order]
+        # segment boundaries per doc
+        bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        for s, e in zip(bounds, np.r_[bounds[1:], len(ids)]):
+            out_d.append(int(ids[s]))
+            out_t.append(" ".join(g for g, k in
+                                  zip(segs[s:e], keeps[s:e]) if k))
+            out_n.append(int(e - s))
+            out_k.append(int(keeps[s:e].sum()))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "text_clean": pa.array(out_t, pa.string()),
+                         "n_segs": pa.array(out_n, pa.int64()),
+                         "kept_segs": pa.array(out_k, pa.int64())})
+
+    return bucketed_group_agg(flagged, lambda t: t, "doc_id", rebuild,
+                              num_buckets=num_buckets)
+
+
 def decontaminate(documents: rd.Dataset, span: int = 8,
                   val_frac: float = 0.1, test_frac: float = 0.1,
                   seed: int = 42, num_buckets: int = 256) -> rd.Dataset:

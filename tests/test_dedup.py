@@ -160,3 +160,35 @@ def test_decontaminate_crafted(ray_session):
     assert got[leaked]["n_windows"] == 3            # 10 tokens -> 3 windows
     assert got[clean]["contaminated"] == 0
     assert got[clean]["contam_windows"] == 0
+
+
+def test_segment_dedup_crafted(ray_session):
+    """First corpus-wide occurrence (doc_id, then position) survives;
+    later exact segments are stripped; ragged tails segment separately."""
+    from raykg.ops.dedup import segment_dedup
+
+    seg_a = "a b c d e f g h"                # 8 tokens = one segment
+    seg_b = "p q r s t u v w"
+    rows = {
+        # doc 0: A + B -> keeps both (first occurrences)
+        0: f"{seg_a} {seg_b}",
+        # doc 1: B + A -> both already owned by doc 0 -> text_clean ''
+        1: f"{seg_b} {seg_a}",
+        # doc 2: A twice -> within-doc repeat also stripped
+        2: f"{seg_a} {seg_a}",
+        # doc 3: A + ragged 3-token tail -> tail is its own segment, kept
+        3: f"{seg_a} x y z",
+    }
+    t = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    got = {r["doc_id"]: r for r in
+           segment_dedup(rd.from_arrow(t), span=8, num_buckets=16)
+           .take_all()}
+    assert got[0]["text_clean"] == f"{seg_a} {seg_b}"
+    assert (got[0]["n_segs"], got[0]["kept_segs"]) == (2, 2)
+    assert got[1]["text_clean"] == ""
+    assert (got[1]["n_segs"], got[1]["kept_segs"]) == (2, 0)
+    assert got[2]["text_clean"] == ""
+    assert (got[2]["n_segs"], got[2]["kept_segs"]) == (2, 0)
+    assert got[3]["text_clean"] == "x y z"
+    assert (got[3]["n_segs"], got[3]["kept_segs"]) == (2, 1)
