@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text.quality_score(_docs(sf)),
         "lang_id": lambda sf: text.lang_id(_docs(sf)),
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
+        "inverted_index": lambda sf: text.inverted_index(_docs(sf)),
         "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
         "doc_length_histogram":
@@ -1236,6 +1237,16 @@ def oracle_sql() -> dict[str, str]:
                                   list_slice(toks, i, i + 2), ' ')), 1, 12)))
                    END AS fingerprint
             FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)""",
+        "inverted_index": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, term
+                         FROM (SELECT doc_id, unnest({_TOKS}) AS term
+                               FROM documents)),
+            g AS (SELECT term, count(*) AS df,
+                         list(doc_id ORDER BY doc_id) AS l
+                  FROM tok GROUP BY term)
+            SELECT term, df::BIGINT AS df,
+                   array_to_string(list_slice(l, 1, 32), ',') AS postings
+            FROM g""",
         "value_quantiles": """
             SELECT event_type, 0.25 AS q,
                    round(quantile_cont(value, 0.25), 4) AS value

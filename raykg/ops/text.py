@@ -311,6 +311,69 @@ def redact_pii(documents: rd.Dataset) -> rd.Dataset:
         batch, batch_format="pyarrow")
 
 
+def inverted_index(documents: rd.Dataset, max_postings: int = 32,
+                   num_buckets: int = 1024) -> rd.Dataset:
+    """(term, df, postings): inverted-index build — document frequency
+    plus the first ``max_postings`` doc ids (ascending) per term,
+    serialized as a comma-joined string (a stable wire format the SQL
+    twin reproduces exactly; full lists for stopword-grade terms would
+    be corpus-sized, so the stored prefix is capped and ``df`` keeps the
+    true total). Per-doc term multiplicity is collapsed at the source
+    (df counts documents, not occurrences).
+
+    Scale shape: per-batch distinct (term, doc) explode, then ONE
+    bucketed exchange — the combiner pre-collapses duplicate pairs and
+    carries partial postings already truncated to ``max_postings`` plus
+    a partial df count, so a hot term contributes at most one
+    register-sized row per batch to the shuffle, never its full postings
+    stream."""
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms, dfs, posts = [], [], []
+        pairs: dict[str, set[int]] = {}
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for w in set(_tokens(s)):
+                pairs.setdefault(w, set()).add(d)
+        for w in pairs:
+            docs = sorted(pairs[w])
+            terms.append(w)
+            dfs.append(len(docs))
+            posts.append(",".join(map(str, docs[:max_postings])))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "postings": pa.array(posts, pa.string())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        terms, dfs, posts = [], [], []
+        acc: dict[str, tuple[int, list[int]]] = {}
+        for w, n, p in zip(t.column("term").to_pylist(),
+                           t.column("df").to_pylist(),
+                           t.column("postings").to_pylist()):
+            cur = acc.get(w)
+            ids = [int(x) for x in p.split(",")] if p else []
+            if cur is None:
+                acc[w] = (n, ids)
+            else:
+                # merge two sorted prefixes; truncation is safe because
+                # each side already holds its smallest ids
+                acc[w] = (cur[0] + n,
+                          sorted(set(cur[1]) | set(ids))[:max_postings])
+        for w, (n, ids) in acc.items():
+            terms.append(w)
+            dfs.append(n)
+            posts.append(",".join(map(str, ids[:max_postings])))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "postings": pa.array(posts, pa.string())})
+
+    return bucketed_group_agg(documents.select_columns(["doc_id", "text"])
+                              .map_batches(explode, batch_format="pyarrow"),
+                              merge, "term", merge,
+                              num_buckets=num_buckets)
+
+
 def fingerprint(documents: rd.Dataset, gram: int = 3) -> rd.Dataset:
     """Document fingerprint: minimum sha256[:12] over token `gram`-grams
     (a 1-hash MinHash / winnowing-style content fingerprint). Documents

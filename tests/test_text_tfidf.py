@@ -199,3 +199,28 @@ def test_bm25_hand_computed(ray_session):
     bdf = bm25_scores(_docs(many, blocks=9)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(bdf)
+
+
+def test_inverted_index_cap_and_prefix_merge(ray_session):
+    """df keeps the true document count while postings truncate to the
+    max_postings smallest doc ids — and the truncated per-batch prefixes
+    must still merge to the exact global prefix (top-k merge property),
+    so the 9-block run must equal the 1-block run."""
+    from raykg.ops.text import inverted_index
+
+    # term "hot" in 40 docs (ids 0..39), "cold" in docs 5 and 17 only
+    rows = [(i, "hot cold" if i in (5, 17) else "hot") for i in range(40)]
+    got = {r["term"]: r for r in
+           inverted_index(_docs(rows), max_postings=8,
+                          num_buckets=16).take_all()}
+    assert got["hot"]["df"] == 40
+    assert got["hot"]["postings"] == ",".join(map(str, range(8)))
+    assert got["cold"]["df"] == 2
+    assert got["cold"]["postings"] == "5,17"
+
+    a = inverted_index(_docs(rows), max_postings=8, num_buckets=16) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    b = inverted_index(_docs(rows, blocks=9), max_postings=8,
+                       num_buckets=16) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    assert a.equals(b)
