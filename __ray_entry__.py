@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: text.lang_id(_docs(sf)),
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
         "inverted_index": lambda sf: text.inverted_index(_docs(sf)),
+        "gopher_rules": lambda sf: text.gopher_rules(_docs(sf)),
         "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
         "doc_length_histogram":
@@ -1247,6 +1248,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df::BIGINT AS df,
                    array_to_string(list_slice(l, 1, 32), ',') AS postings
             FROM g""",
+        "gopher_rules": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n_words,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     list_sum(list_transform(toks, w -> len(w)))::DOUBLE
+                     / len(toks) END AS mean_raw,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     ((len(text) - len(replace(text, '#', '')))
+                      + (len(text) - len(replace(text, '...', ''))) / 3
+                     )::DOUBLE / len(toks) END AS sym_raw,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     len(list_filter(toks,
+                         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                     / len(toks) END AS alpha_raw,
+                   (list_contains(toks, 'the')::INT
+                    + list_contains(toks, 'a')::INT
+                    + list_contains(toks, 'be')::INT
+                    + list_contains(toks, 'to')::INT
+                    + list_contains(toks, 'of')::INT
+                    + list_contains(toks, 'and')::INT
+                    + list_contains(toks, 'that')::INT
+                    + list_contains(toks, 'have')::INT
+                    + list_contains(toks, 'with')::INT) AS stop_hits
+                  FROM t)
+            SELECT doc_id, n_words::BIGINT AS n_words,
+                   round(mean_raw, 4) AS mean_word_len,
+                   round(sym_raw, 4) AS symbol_ratio,
+                   round(alpha_raw, 4) AS alpha_ratio,
+                   stop_hits::BIGINT AS stop_hits,
+                   (n_words BETWEEN 50 AND 100000)::BIGINT AS ok_words,
+                   (mean_raw BETWEEN 3.0 AND 10.0)::BIGINT AS ok_mean_len,
+                   (sym_raw <= 0.1)::BIGINT AS ok_symbols,
+                   (alpha_raw >= 0.8)::BIGINT AS ok_alpha,
+                   (stop_hits >= 2)::BIGINT AS ok_stops,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_raw BETWEEN 3.0 AND 10.0)
+                    AND (sym_raw <= 0.1) AND (alpha_raw >= 0.8)
+                    AND (stop_hits >= 2))::BIGINT AS keep
+            FROM s""",
         "value_quantiles": """
             SELECT event_type, 0.25 AS q,
                    round(quantile_cont(value, 0.25), 4) AS value

@@ -311,6 +311,76 @@ def redact_pii(documents: rd.Dataset) -> rd.Dataset:
         batch, batch_format="pyarrow")
 
 
+GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_rules(documents: rd.Dataset, min_words: int = 50,
+                 max_words: int = 100_000, min_mean_len: float = 3.0,
+                 max_mean_len: float = 10.0, max_symbol_ratio: float = 0.1,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> rd.Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A1.1),
+    adapted to the engine's whitespace-token contract: per-doc boolean
+    flags (as 0/1 ints for a stable hash wire format) plus the raw
+    statistics, and ``keep`` = AND of all flags.
+
+    - ``ok_words``: token count in [min_words, max_words]
+    - ``ok_mean_len``: mean token length in [min_mean_len, max_mean_len]
+    - ``ok_symbols``: ('#' chars + non-overlapping '...' runs) / words
+      <= max_symbol_ratio
+    - ``ok_alpha``: fraction of tokens containing [A-Za-z]
+      >= min_alpha_ratio (ASCII class on both sides — Python's Unicode
+      ``isalpha`` would diverge from the SQL twin on accented text)
+    - ``ok_stops``: >= min_stop_hits DISTINCT stop words present
+
+    Ratio flags compare RAW float64 ratios (identical IEEE division in
+    numpy/Python and DuckDB DOUBLE); the reported ratio columns are
+    rounded to 4 for the hash. Stateless map_batches — no shuffle."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        n_w, mean_l, sym_r, alpha_r, stop_h = [], [], [], [], []
+        flags = {k: [] for k in ("ok_words", "ok_mean_len", "ok_symbols",
+                                 "ok_alpha", "ok_stops", "keep")}
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            n = len(toks)
+            mean = (sum(len(w) for w in toks) / n) if n else 0.0
+            syms = s.count("#") + s.count("...")
+            sym = (syms / n) if n else 0.0
+            alpha = (sum(1 for w in toks if _ALPHA_RE.search(w)) / n
+                     if n else 0.0)
+            stops = sum(1 for w in GOPHER_STOPS if w in toks)
+            ok = {
+                "ok_words": min_words <= n <= max_words,
+                "ok_mean_len": min_mean_len <= mean <= max_mean_len,
+                "ok_symbols": sym <= max_symbol_ratio,
+                "ok_alpha": alpha >= min_alpha_ratio,
+                "ok_stops": stops >= min_stop_hits,
+            }
+            ok["keep"] = all(ok.values())
+            n_w.append(n)
+            mean_l.append(round_half_away(mean, 4))
+            sym_r.append(round_half_away(sym, 4))
+            alpha_r.append(round_half_away(alpha, 4))
+            stop_h.append(stops)
+            for k, v in ok.items():
+                flags[k].append(int(v))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_words": pa.array(n_w, pa.int64()),
+            "mean_word_len": pa.array(mean_l, pa.float64()),
+            "symbol_ratio": pa.array(sym_r, pa.float64()),
+            "alpha_ratio": pa.array(alpha_r, pa.float64()),
+            "stop_hits": pa.array(stop_h, pa.int64()),
+            **{k: pa.array(v, pa.int64()) for k, v in flags.items()},
+        })
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")
+
+
 def inverted_index(documents: rd.Dataset, max_postings: int = 32,
                    num_buckets: int = 1024) -> rd.Dataset:
     """(term, df, postings): inverted-index build — document frequency

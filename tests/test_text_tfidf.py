@@ -224,3 +224,31 @@ def test_inverted_index_cap_and_prefix_merge(ray_session):
                        num_buckets=16) \
         .to_pandas().sort_values("term").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_gopher_rules_each_flag(ray_session):
+    """One crafted doc per rule: every flag must be falsifiable
+    independently, and keep is the AND of all five."""
+    from raykg.ops.text import gopher_rules
+
+    base = "the a " + " ".join(["word"] * 58)          # 60 tokens, clean
+    rows = [
+        (0, base),                                      # all flags pass
+        (1, "the a word"),                              # too few words
+        (2, "the a " + " ".join(["##"] * 10 + ["word"] * 48)),  # symbols
+        (3, "the a " + " ".join(["11"] * 58)),          # non-alpha words
+        (4, "the a " + " ".join(["extraordinarily"] * 58)),  # long words
+        (5, " ".join(["word"] * 60)),                   # no stop words
+    ]
+    got = {r["doc_id"]: r for r in gopher_rules(_docs(rows, blocks=3))
+           .take_all()}
+    assert got[0]["keep"] == 1
+    assert got[1]["ok_words"] == 0 and got[1]["ok_stops"] == 1
+    assert got[2]["ok_symbols"] == 0 and got[2]["ok_alpha"] == 1
+    assert got[3]["ok_alpha"] == 0
+    assert got[4]["ok_mean_len"] == 0
+    assert got[5]["ok_stops"] == 0 and got[5]["ok_words"] == 1
+    for d in (1, 2, 3, 4, 5):
+        assert got[d]["keep"] == 0
+    assert got[0]["n_words"] == 60
+    assert got[2]["symbol_ratio"] == round(20 / 60, 4)
