@@ -727,6 +727,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
+        # corpus-wide similarity graph: exact baseline + LSH-bucketed
+        # scale path (bucket family shared with ann_lsh, SQL-exact)
+        "knn_graph_exact": lambda sf: ann.knn_graph_exact(_emb(sf), k=5),
+        "knn_graph": lambda sf: ann.knn_graph(_emb(sf), k=5, bits=6),
         # class centroids + within-class prototypicality (outlier signal)
         "label_centroids": lambda sf: ann.label_centroids(_emb(sf)),
         "prototypicality": lambda sf: ann.prototypicality(_emb(sf)),
@@ -1811,6 +1815,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 3) AS cos_sim FROM cand
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) <= 5""",
+        "knn_graph_exact": """
+            WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                              round(list_cosine_similarity(
+                                  a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]), 3) AS cos_sim
+                       FROM embeddings a
+                       JOIN embeddings b ON b.vec_id != a.vec_id)
+            SELECT query_id, neighbor_id, cos_sim FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) <= 5""",
+        "knn_graph": """
+            WITH dots AS (
+              SELECT vec_id, b,
+                     list_sum(list_transform(range(1, len(embedding) + 1),
+                       d -> embedding[d] * (CASE WHEN substr(sha256(
+                                 'plane|' || b::VARCHAR || '|'
+                                 || (d - 1)::VARCHAR || '|42'), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END))) AS dot
+              FROM embeddings, (SELECT unnest(range(0, 6)) AS b)),
+            buckets AS (SELECT vec_id,
+                               sum(CASE WHEN dot >= 0
+                                   THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                               AS bucket
+                        FROM dots GROUP BY 1),
+            s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(
+                             ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]), 3) AS cos_sim
+                  FROM buckets a
+                  JOIN buckets b ON b.bucket = a.bucket
+                                AND b.vec_id != a.vec_id
+                  JOIN embeddings ea ON ea.vec_id = a.vec_id
+                  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+            SELECT query_id, neighbor_id, cos_sim FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) <= 5""",
         "ann_ivf": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

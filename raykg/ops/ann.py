@@ -319,6 +319,121 @@ def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     return _merge_topk(partial, k)
 
 
+def _rows_topk(ids: np.ndarray, r: np.ndarray, query_ids: np.ndarray,
+               k: int) -> pa.Table:
+    """Exact per-row top-k over a rounded similarity matrix ``r``
+    (rows = queries, columns = candidates in ASCENDING-id order; self /
+    invalid cells pre-set to -inf). Stable argsort over ascending-id
+    columns implements the shared ranking contract: cos_sim (rounded 3)
+    DESC, then neighbor_id ASC."""
+    top = min(k, r.shape[1])
+    order = np.argsort(-r, axis=1, kind="stable")[:, :top]
+    sims = np.take_along_axis(r, order, axis=1)
+    keep = np.isfinite(sims)
+    n_per_row = keep.sum(axis=1)
+    return pa.table({
+        "query_id": pa.array(np.repeat(query_ids, n_per_row), pa.int64()),
+        "neighbor_id": pa.array(ids[order[keep]], pa.int64()),
+        "cos_sim": pa.array(sims[keep], pa.float64()),
+    })
+
+
+_KNN_SCHEMA = pa.schema([("query_id", pa.int64()),
+                         ("neighbor_id", pa.int64()),
+                         ("cos_sim", pa.float64())])
+
+
+def knn_graph_exact(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Exact corpus-wide kNN graph: top-k cosine neighbors per vector,
+    self excluded — the similarity-graph build that feeds SemDeDup /
+    graph analytics, and the recall reference for ``knn_graph``.
+
+    Shape: the unit-normalized corpus matrix is broadcast ONCE via
+    ``ray.put`` and each batch computes its own rows' similarity slice
+    and exact top-k locally — no shuffle, no merge stage. Envelope: the
+    corpus embedding matrix must fit a worker heap (same envelope as
+    ``ann_bruteforce``'s query side, inverted); beyond that, use
+    ``knn_graph``, the bucketed scale path.
+
+    Ranking contract (shared with the SQL twin): cos_sim rounded to 3
+    DESC, then neighbor_id ASC."""
+    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _unit(np.array([r["embedding"] for r in rows],
+                         dtype=np.float64)[order])
+    corpus_ref = ray.put((ids, mat))
+
+    class RowTopK:
+        def __init__(self):
+            self.ids, self.mat = ray.get(corpus_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _KNN_SCHEMA.empty_table()
+            q_ids = np.array(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            q = _unit(np.array(batch.column("embedding").to_pylist(),
+                               dtype=np.float64))
+            r = round_half_away(q @ self.mat.T, 3)
+            self_col = np.searchsorted(self.ids, q_ids)
+            r[np.arange(len(q_ids)), self_col] = -np.inf
+            return _rows_topk(self.ids, r, q_ids, k)
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        RowTopK, batch_format="pyarrow", concurrency=(1, 8),
+        batch_size=4096)
+
+
+def knn_graph(embeddings: rd.Dataset, k: int = 5, bits: int = 6,
+              seed: int = 42, max_bucket: int = 200_000) -> rd.Dataset:
+    """LSH-bucketed kNN graph — the scale path: ONE exchange on the
+    sha-derived sign-LSH bucket id (same hash family as ``ann_lsh``, so
+    bucket assignment is SQL-exact), then exact all-pairs top-k WITHIN
+    each bucket. Neighbors outside the vector's bucket are missed by
+    design (recall measured against ``knn_graph_exact`` in tests).
+
+    Scale shape: expected bucket size is N / 2**bits — size ``bits`` so
+    a bucket's matrix fits a worker (at 10**9 vectors, bits=14 gives
+    ~60k-row buckets); per-bucket work is quadratic in bucket size, so
+    a degenerate hot bucket is capped at ``max_bucket`` (smallest
+    vec_ids kept, logged) instead of silently going quadratic on the
+    whole corpus. The output is bucket-local, so no merge stage."""
+    import logging
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        return t.append_column(
+            "bucket", pa.array(lsh_bucket_ids(mat, mat.shape[1], bits, seed),
+                               pa.int64()))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        if len(ids) > max_bucket:
+            logging.getLogger("raykg").warning(
+                "knn_graph: hot bucket of %d rows capped to %d "
+                "(bits=%d too small for this corpus?)",
+                len(ids), max_bucket, bits)
+            ids, mat = ids[:max_bucket], mat[:max_bucket]
+        if len(ids) < 2:
+            return _KNN_SCHEMA.empty_table()
+        u = _unit(mat)
+        r = round_half_away(u @ u.T, 3)
+        np.fill_diagonal(r, -np.inf)
+        return _rows_topk(ids, r, ids, k)
+
+    return (embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def quantize_embeddings(embeddings: rd.Dataset) -> rd.Dataset:
     """Per-vector int8 scalar quantization (the storage-compression step of
     an embedding pipeline): code_i = round((v_i - min) * 255 / (max - min))

@@ -92,3 +92,49 @@ def test_ivf_kmeans_recall_and_convergence(ray_session):
     c3b = kmeans_centroids(_emb(), k=8, iters=3)
     assert np.allclose(c3, c3b)
     assert c3.shape == (8, len(_emb().take(1)[0]["embedding"]))
+
+
+def _knn_vecs(rows, blocks=1):
+    import pyarrow as pa
+
+    t = pa.table({"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "embedding": pa.array([r[1] for r in rows],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_knn_graph_exact_crafted(ray_session):
+    """Two tight clusters on orthogonal axes: every vector's top
+    neighbors are its own cluster, self excluded, ties by id asc."""
+    from raykg.ops.ann import knn_graph_exact
+
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.98, 0.02]),
+            (10, [0.0, 1.0]), (11, [0.01, 0.99]), (12, [0.02, 0.98])]
+    got = knn_graph_exact(_knn_vecs(rows, blocks=3), k=2).to_pandas()
+    by_q = {q: sorted(g["neighbor_id"]) for q, g in got.groupby("query_id")}
+    assert by_q[0] == [1, 2] and by_q[1] == [0, 2] and by_q[2] == [0, 1]
+    assert by_q[10] == [11, 12] and by_q[12] == [10, 11]
+    assert (got["cos_sim"] <= 1.0).all() and len(got) == 12
+
+
+def test_knn_graph_recall_and_invariance(ray_session):
+    """The bucketed graph shares the exact graph's ranking rule within
+    a bucket, reaches usable recall on the tiny table (2 bits -> 4
+    buckets of ~125: measured 0.37 vs exact; more bits trade recall
+    for scan reduction), and is block-layout invariant."""
+    from raykg.ops.ann import knn_graph, knn_graph_exact
+
+    exact = knn_graph_exact(_emb(), k=5).to_pandas()
+    ex_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = knn_graph(_emb(), k=5, bits=2).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    ap_pairs = set(zip(a["query_id"], a["neighbor_id"]))
+    recall = len(ex_pairs & ap_pairs) / len(ex_pairs)
+    assert recall >= 0.3, recall
+    # every query present in the output searched only its own bucket,
+    # so per-query result counts never exceed k
+    assert a.groupby("query_id").size().max() <= 5
+    b = knn_graph(_emb().repartition(7), k=5, bits=2).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    assert a.equals(b)
