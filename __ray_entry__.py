@@ -518,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _emb(sf_dir):
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _curate_corpus_query(sf_dir):
+        from raykg.pipelines.curate import curate_corpus
+        return curate_corpus(_docs(sf_dir), num_buckets=256)
+
     def kg_flagship_triples(sf_dir):
         cfg = KGConfig(n_docs=400, batch_size=512, link_concurrency=2)
         return build_kg(synth.documents_dataset(cfg), cfg).triples
@@ -710,6 +714,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-3/PaLM-style train/test decontamination: train docs sharing
         # an exact 8-token window with any test doc (hash_split rule)
         "decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
+        # end-to-end curation flagship: quality -> dedup -> decontam ->
+        # split, one streaming pipeline, one DuckDB statement
+        "curate_corpus": _curate_corpus_query,
         "segment_dedup": lambda sf: dedup.segment_dedup(_docs(sf)),
         # SemDeDup: cluster the embedding space, drop within-cluster
         # semantic near-dups (lower-id representative survives)
@@ -1714,6 +1721,48 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
                        AS dup_fraction
             FROM w GROUP BY 1""",
+        "curate_corpus": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            q AS (SELECT doc_id, text, toks FROM t
+                  WHERE len(toks) BETWEEN 50 AND 100000
+                    AND (list_sum(list_transform(toks, w -> len(w)))::DOUBLE
+                         / len(toks)) BETWEEN 3.0 AND 10.0
+                    AND ((len(text) - len(replace(text, '#', '')))
+                         + (len(text) - len(replace(text, '...', ''))) / 3
+                        )::DOUBLE / len(toks) <= 0.1
+                    AND len(list_filter(toks,
+                            w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                        / len(toks) >= 0.8
+                    AND (list_contains(toks, 'the')::INT
+                         + list_contains(toks, 'a')::INT
+                         + list_contains(toks, 'be')::INT
+                         + list_contains(toks, 'to')::INT
+                         + list_contains(toks, 'of')::INT
+                         + list_contains(toks, 'and')::INT
+                         + list_contains(toks, 'that')::INT
+                         + list_contains(toks, 'have')::INT
+                         + list_contains(toks, 'with')::INT) >= 2),
+            d AS (SELECT doc_id, toks FROM q
+                  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)),
+            sp AS (SELECT doc_id, toks,
+                   CASE WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRV>' THEN 'val'
+                        WHEN substr(sha256('split|42|' || doc_id::VARCHAR),
+                             1, 8) < '<THRT>' THEN 'test'
+                        ELSE 'train' END AS split
+                   FROM d),
+            w AS (SELECT doc_id, split,
+                         array_to_string(list_slice(l, i, i + 7), ' ') AS s
+                  FROM (SELECT doc_id, split, toks AS l,
+                               unnest(range(1, len(toks) - 6)) AS i
+                        FROM sp WHERE len(toks) >= 8 AND split <> 'val')),
+            leak AS (SELECT DISTINCT s FROM w WHERE split = 'test'),
+            bad AS (SELECT DISTINCT doc_id FROM w
+                    WHERE split = 'train'
+                      AND s IN (SELECT s FROM leak))
+            SELECT doc_id, split FROM sp
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+            .replace("<THRV>", _hex8(0.1)).replace("<THRT>", _hex8(0.2)),
         "decontaminate": f"""
             WITH sp AS (SELECT doc_id, {_TOKS} AS l,
                    CASE WHEN substr(sha256('split|42|' || doc_id::VARCHAR),

@@ -315,6 +315,39 @@ GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
+def gopher_doc_stats(s: str) -> tuple[int, float, float, float, int]:
+    """Raw per-doc statistics behind the Gopher rules (shared by
+    :func:`gopher_rules` and the curation pipeline): (n_words,
+    mean_word_len, symbol_ratio, alpha_ratio, stop_hits), all on raw
+    float64 so threshold comparisons are bit-identical to the SQL
+    twins' DOUBLE arithmetic."""
+    toks = _tokens(s)
+    n = len(toks)
+    mean = (sum(len(w) for w in toks) / n) if n else 0.0
+    sym = ((s.count("#") + s.count("...")) / n) if n else 0.0
+    alpha = (sum(1 for w in toks if _ALPHA_RE.search(w)) / n) if n else 0.0
+    stops = sum(1 for w in GOPHER_STOPS if w in toks)
+    return n, mean, sym, alpha, stops
+
+
+def gopher_flags(n: int, mean: float, sym: float, alpha: float, stops: int,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> dict[str, bool]:
+    """Threshold the raw stats into the five rule flags + ``keep``."""
+    ok = {
+        "ok_words": min_words <= n <= max_words,
+        "ok_mean_len": min_mean_len <= mean <= max_mean_len,
+        "ok_symbols": sym <= max_symbol_ratio,
+        "ok_alpha": alpha >= min_alpha_ratio,
+        "ok_stops": stops >= min_stop_hits,
+    }
+    ok["keep"] = all(ok.values())
+    return ok
+
+
 def gopher_rules(documents: rd.Dataset, min_words: int = 50,
                  max_words: int = 100_000, min_mean_len: float = 3.0,
                  max_mean_len: float = 10.0, max_symbol_ratio: float = 0.1,
@@ -344,22 +377,11 @@ def gopher_rules(documents: rd.Dataset, min_words: int = 50,
         flags = {k: [] for k in ("ok_words", "ok_mean_len", "ok_symbols",
                                  "ok_alpha", "ok_stops", "keep")}
         for s in t.column("text").to_pylist():
-            toks = _tokens(s)
-            n = len(toks)
-            mean = (sum(len(w) for w in toks) / n) if n else 0.0
-            syms = s.count("#") + s.count("...")
-            sym = (syms / n) if n else 0.0
-            alpha = (sum(1 for w in toks if _ALPHA_RE.search(w)) / n
-                     if n else 0.0)
-            stops = sum(1 for w in GOPHER_STOPS if w in toks)
-            ok = {
-                "ok_words": min_words <= n <= max_words,
-                "ok_mean_len": min_mean_len <= mean <= max_mean_len,
-                "ok_symbols": sym <= max_symbol_ratio,
-                "ok_alpha": alpha >= min_alpha_ratio,
-                "ok_stops": stops >= min_stop_hits,
-            }
-            ok["keep"] = all(ok.values())
+            n, mean, sym, alpha, stops = gopher_doc_stats(s)
+            ok = gopher_flags(n, mean, sym, alpha, stops, min_words,
+                              max_words, min_mean_len, max_mean_len,
+                              max_symbol_ratio, min_alpha_ratio,
+                              min_stop_hits)
             n_w.append(n)
             mean_l.append(round_half_away(mean, 4))
             sym_r.append(round_half_away(sym, 4))
