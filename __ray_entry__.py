@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
         "inverted_index": lambda sf: text.inverted_index(_docs(sf)),
         "gopher_rules": lambda sf: text.gopher_rules(_docs(sf)),
+        "quality_funnel": lambda sf: text.quality_funnel(_docs(sf)),
         "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
         "doc_length_histogram":
@@ -1298,6 +1299,40 @@ def oracle_sql() -> dict[str, str]:
                     AND (sym_raw <= 0.1) AND (alpha_raw >= 0.8)
                     AND (stop_hits >= 2))::BIGINT AS keep
             FROM s""",
+        "quality_funnel": f"""
+            WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+            s AS (SELECT source,
+                   (len(toks) BETWEEN 50 AND 100000) AS f1,
+                   (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                      list_sum(list_transform(toks, w -> len(w)))::DOUBLE
+                      / len(toks) END BETWEEN 3.0 AND 10.0) AS f2,
+                   (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                      ((len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) / 3
+                      )::DOUBLE / len(toks) END <= 0.1) AS f3,
+                   (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                      len(list_filter(toks,
+                          w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                      / len(toks) END >= 0.8) AS f4,
+                   ((list_contains(toks, 'the')::INT
+                     + list_contains(toks, 'a')::INT
+                     + list_contains(toks, 'be')::INT
+                     + list_contains(toks, 'to')::INT
+                     + list_contains(toks, 'of')::INT
+                     + list_contains(toks, 'and')::INT
+                     + list_contains(toks, 'that')::INT
+                     + list_contains(toks, 'have')::INT
+                     + list_contains(toks, 'with')::INT) >= 2) AS f5
+                  FROM t)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum((NOT f1)::INT)::BIGINT AS fail_words,
+                   sum((NOT f2)::INT)::BIGINT AS fail_mean_len,
+                   sum((NOT f3)::INT)::BIGINT AS fail_symbols,
+                   sum((NOT f4)::INT)::BIGINT AS fail_alpha,
+                   sum((NOT f5)::INT)::BIGINT AS fail_stops,
+                   sum((f1 AND f2 AND f3 AND f4 AND f5)::INT)::BIGINT
+                       AS kept
+            FROM s GROUP BY source""",
         "value_quantiles": """
             SELECT event_type, 0.25 AS q,
                    round(quantile_cont(value, 0.25), 4) AS value

@@ -403,6 +403,43 @@ def gopher_rules(documents: rd.Dataset, min_words: int = 50,
         batch, batch_format="pyarrow")
 
 
+def quality_funnel(documents: rd.Dataset, **gopher_params) -> pa.Table:
+    """Per-source curation drop accounting: documents scanned, failures
+    per Gopher rule (a doc can fail several), and survivors — the
+    filter-funnel report every large curation run publishes alongside
+    its output. Exchange volume is register-sized: one partial row per
+    (source, batch), merged by ``small_key_agg`` — no keyed shuffle at
+    any corpus size."""
+    from raykg.ops.relational import _sum_combine, small_key_agg
+
+    cnt_cols = ["n_docs", "fail_words", "fail_mean_len", "fail_symbols",
+                "fail_alpha", "fail_stops", "kept"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for src, s in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            row = acc.setdefault(src, [0] * len(cnt_cols))
+            ok = gopher_flags(*gopher_doc_stats(s), **gopher_params)
+            row[0] += 1
+            row[1] += not ok["ok_words"]
+            row[2] += not ok["ok_mean_len"]
+            row[3] += not ok["ok_symbols"]
+            row[4] += not ok["ok_alpha"]
+            row[5] += not ok["ok_stops"]
+            row[6] += ok["keep"]
+        return pa.table({
+            "source": pa.array(list(acc.keys()), pa.string()),
+            **{c: pa.array([v[i] for v in acc.values()], pa.int64())
+               for i, c in enumerate(cnt_cols)},
+        })
+
+    return small_key_agg(
+        documents.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        _sum_combine(["source"], cnt_cols))
+
+
 def inverted_index(documents: rd.Dataset, max_postings: int = 32,
                    num_buckets: int = 1024) -> rd.Dataset:
     """(term, df, postings): inverted-index build — document frequency

@@ -252,3 +252,27 @@ def test_gopher_rules_each_flag(ray_session):
         assert got[d]["keep"] == 0
     assert got[0]["n_words"] == 60
     assert got[2]["symbol_ratio"] == round(20 / 60, 4)
+
+
+def test_quality_funnel_matches_flags(ray_session):
+    """The funnel's per-source counts must equal column sums of
+    gopher_rules' flags, whatever the block layout."""
+    import pyarrow as pa
+
+    from raykg.ops.text import gopher_rules, quality_funnel
+
+    base = "the a " + " ".join(["word"] * 58)
+    rows = [(i, "s" + str(i % 2),
+             base if i % 3 else "the a short") for i in range(12)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())})
+    ds = rd.from_arrow(t).repartition(5)
+    fun = quality_funnel(ds).to_pandas().set_index("source").sort_index()
+    flags = gopher_rules(ds).to_pandas()
+    flags["source"] = flags["doc_id"].map({r[0]: r[1] for r in rows})
+    by = flags.groupby("source")
+    assert (fun["n_docs"] == by.size()).all()
+    assert (fun["kept"] == by["keep"].sum()).all()
+    assert (fun["fail_words"] == by["ok_words"].agg(lambda c: (1 - c).sum())).all()
+    assert fun["n_docs"].sum() == 12
