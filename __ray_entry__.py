@@ -774,6 +774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
+        "graph_kcore":
+            lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
+                                   max_rounds=8),
         # p_intra=1.0 keeps every edge inside its 40-node community, so the
         # graph has many components (0.8 would merge everything into one)
         "graph_components": lambda sf: graph.connected_components(
@@ -943,6 +946,31 @@ def _pagerank_sql(iters: int) -> str:
     return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peel (exact round semantics of
+    raykg.ops.graph.kcore: a round recomputes degrees over the current
+    edge set and drops every node below k simultaneously)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times -> 3^rounds
+    # plan copies without it
+    sql = _graph_sql() + """,
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b FROM g)"""
+    for r in range(rounds):
+        sql += f""",
+    d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+             (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+             GROUP BY node),
+    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r}
+                 WHERE a IN (SELECT node FROM s{r})
+                   AND b IN (SELECT node FROM s{r}))"""
+    return sql + f"""
+    SELECT node, count(*)::BIGINT AS deg FROM
+    (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node"""
+
+
 def oracle_sql() -> dict[str, str]:
     from raykg.ops import corpus as corpus_mod
 
@@ -965,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
+        "graph_kcore": _kcore_sql(4, 8),
         # single-source BFS as a depth-bounded recursive walk; the bound
         # (40) only needs to exceed the source's eccentricity — min(d)
         # per node is the true BFS depth

@@ -946,3 +946,164 @@ def connected_components_star(edges: rd.Dataset, max_iters: int = 64,
 
     return bucketed_group_agg(state, emit, "node", fin,
                               num_buckets=num_buckets)
+
+
+def kcore(edges: rd.Dataset, k: int = 3, max_rounds: int = 16,
+          num_buckets: int = 256) -> rd.Dataset:
+    """(node, deg): the k-core of the UNDIRECTED simple graph underlying
+    ``edges`` — the maximal subgraph in which every node keeps degree
+    >= k — with each surviving node's degree inside the core. The
+    density/cohesion filter of graph curation (spam farms peel away,
+    tight communities survive).
+
+    Distributed synchronous peeling, three bucketed exchanges per round
+    and nothing node- or edge-sized on the driver:
+
+    1. degree count over the current edge set (endpoint explode ->
+       node-keyed sum); the same aggregate emits the distributed
+       ``dead`` count for the fixpoint test;
+    2./3. one membership-masked attach per endpoint column (bfs_depths'
+       idiom): survivor marker rows and edge rows hash into the same
+       bucket; an edge survives iff its key endpoint finds a marker.
+
+    Each round's edge set is materialized into the object store (the
+    peeling recurrence needs it twice); the set only ever shrinks. A
+    node removed in round r can lower neighbors below k only in round
+    r+1, so convergence takes exactly peel-depth rounds;
+    exhausting ``max_rounds`` logs a warning and returns the partially
+    peeled degrees (both the engine and the unrolled SQL twin then ran
+    exactly the same ``max_rounds`` peels, so they still agree)."""
+    import logging
+
+    def _ab(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return _np(t.column("a")), _np(t.column("b"))
+
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        route = ((a.astype(np.uint64) * np.uint64(2654435761)
+                  + b.astype(np.uint64))
+                 & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]]),
+                         "ph": np.concatenate([route, [_SENT]])})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]])})
+
+    und = bucketed_group_agg(edges, canon, "ph", distinct,
+                             num_buckets=num_buckets).materialize()
+
+    def deg_combine(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        node, cnt = np.unique(np.concatenate([a[real], b[real]]),
+                              return_counts=True)
+        return pa.table({
+            "node": np.concatenate([node, [_SENT]]),
+            "cnt": np.concatenate([cnt.astype(np.int64), [0]])})
+
+    def deg_fin(t: pa.Table) -> pa.Table:
+        node, cnt = _np(t.column("node")), _np(t.column("cnt"))
+        order = np.argsort(node, kind="stable")
+        node, cnt = node[order], cnt[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))
+        uniq = node[start]
+        deg = np.add.reduceat(cnt, start)
+        dead = ((deg < k) & (uniq >= 0)).astype(np.int64)
+        return pa.table({"node": uniq, "deg": deg, "dead": dead})
+
+    def degrees(e: rd.Dataset) -> rd.Dataset:
+        return bucketed_group_agg(e, deg_combine, "node", deg_fin,
+                                  num_buckets=num_buckets).materialize()
+
+    def _filter_on(e: rd.Dataset, surv: rd.Dataset, col: str) -> rd.Dataset:
+        def edge_rows(t: pa.Table) -> pa.Table:
+            a, b = _ab(t)
+            real = a >= 0
+            a, b = a[real], b[real]
+            key = a if col == "a" else b
+            return pa.table({
+                "key": np.concatenate([key, [_SENT]]),
+                "a": np.concatenate([a, [_SENT]]),
+                "b": np.concatenate([b, [_SENT]]),
+                "is_node": np.zeros(len(a) + 1, np.int8)})
+
+        def surv_rows(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            return pa.table({
+                "key": np.concatenate([node, [_SENT]]),
+                "a": np.full(len(node) + 1, _SENT, np.int64),
+                "b": np.full(len(node) + 1, _SENT, np.int64),
+                "is_node": np.concatenate(
+                    [np.ones(len(node), np.int8), [0]])})
+
+        def keep_member(t: pa.Table) -> pa.Table:
+            key = _np(t.column("key"))
+            a, b = _ab(t)
+            is_node = _np(t.column("is_node"))
+            marker = np.unique(key[(is_node == 1) & (key >= 0)])
+            ea, eb, ek = a[is_node == 0], b[is_node == 0], \
+                key[is_node == 0]
+            real = ea >= 0
+            ea, eb, ek = ea[real], eb[real], ek[real]
+            if len(marker) and len(ea):
+                idx = np.searchsorted(marker, ek)
+                idx[idx >= len(marker)] = len(marker) - 1
+                hit = marker[idx] == ek
+                ea, eb = ea[hit], eb[hit]
+            else:
+                ea = np.empty(0, np.int64)
+                eb = np.empty(0, np.int64)
+            return pa.table({"a": np.concatenate([ea, [_SENT]]),
+                             "b": np.concatenate([eb, [_SENT]])})
+
+        return bucketed_group_agg(
+            e.map_batches(edge_rows, batch_format="pyarrow")
+            .union(surv.map_batches(surv_rows, batch_format="pyarrow")),
+            lambda t: t, "key", keep_member, num_buckets=num_buckets)
+
+    def surv_nodes(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("dead"), 0),
+                       pc.greater_equal(t.column("node"), 0))
+        return t.filter(keep).select(["node"])
+
+    state = None
+    for _ in range(max_rounds):
+        state = degrees(und)
+        if not state.sum("dead"):
+            break
+        surv = state.map_batches(surv_nodes, batch_format="pyarrow")
+        und = _filter_on(_filter_on(und, surv, "a"), surv, "b") \
+            .materialize()
+    else:
+        logging.getLogger("raykg").warning(
+            "kcore: max_rounds=%d exhausted before the peel converged — "
+            "returning the partially peeled degrees", max_rounds)
+        state = degrees(und)
+
+    def emit(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("node"), 0)
+        return t.filter(keep).select(["node", "deg"])
+
+    return state.map_batches(emit, batch_format="pyarrow")

@@ -222,3 +222,49 @@ def test_cc_star_big_ids():
         _edges([(big, big + 1), (big + 1, 3)]), num_buckets=4), "node")
     assert dict(zip(got["node"], got["component"])) == \
         {3: 3, big: 3, big + 1: 3}
+
+
+def test_kcore_triangle_with_pendants(ray_session):
+    """2-core of a triangle with pendant chains = exactly the triangle:
+    the chain peels inward one node per round (depth > 1 exercises the
+    iterative peel, not just one degree filter)."""
+    # triangle 0-1-2; chain 2-3-4-5 hangs off it; duplicate/reversed
+    # edges must not inflate degrees
+    ds = _edges([(0, 1), (1, 2), (2, 0), (0, 2),
+                 (2, 3), (3, 4), (4, 5), (5, 4)])
+    d = _df(graph.kcore(ds, k=2), "node")
+    assert d["node"].tolist() == [0, 1, 2]
+    assert d["deg"].tolist() == [2, 2, 2]
+    # k=3 peels everything (typed empty result, not a crash)
+    assert graph.kcore(ds, k=3).count() == 0
+
+
+def test_kcore_matches_brute_force_peel(ray_session):
+    """Synchronous peel on the synthetic graph == a driver-side
+    reference peel, and the result is block-layout invariant."""
+    import collections
+
+    rows = graph.synth_graph_edges().to_pandas()
+    adj = collections.defaultdict(set)
+    for s, t in zip(rows["src"], rows["dst"]):
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    k = 4
+    deg = {n: len(v) for n, v in adj.items()}
+    live = set(deg)
+    while True:
+        dead = [n for n in live if deg[n] < k]
+        if not dead:
+            break
+        for n in dead:
+            live.discard(n)
+            for m in adj[n]:
+                if m in live:
+                    deg[m] -= 1
+    got = _df(graph.kcore(graph.synth_graph_edges(), k=k), "node")
+    assert set(got["node"]) == live
+    assert got["deg"].min() >= k
+    got2 = _df(graph.kcore(graph.synth_graph_edges().repartition(9), k=k),
+               "node")
+    assert got.equals(got2)
