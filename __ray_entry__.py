@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": lambda sf: text.inverted_index(_docs(sf)),
         "gopher_rules": lambda sf: text.gopher_rules(_docs(sf)),
         "quality_funnel": lambda sf: text.quality_funnel(_docs(sf)),
+        "cooccurrence_pmi": lambda sf: text.cooccurrence_pmi(_docs(sf)),
         "chunk_documents": lambda sf: text.chunk_documents(_docs(sf)),
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
         "doc_length_histogram":
@@ -1362,6 +1363,31 @@ def oracle_sql() -> dict[str, str]:
                    sum((f1 AND f2 AND f3 AND f4 AND f5)::INT)::BIGINT
                        AS kept
             FROM s GROUP BY source""",
+        "cooccurrence_pmi": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            ix AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+                   FROM t),
+            pairs AS MATERIALIZED (
+                SELECT least(toks[i], toks[i + d]) AS w1,
+                       greatest(toks[i], toks[i + d]) AS w2
+                FROM ix, (SELECT unnest(range(1, 5)) AS d)
+                WHERE i + d <= len(toks)),
+            c12 AS (SELECT w1, w2, count(*) AS c FROM pairs
+                    GROUP BY 1, 2 HAVING count(*) >= 5),
+            uni AS MATERIALIZED (
+                SELECT w, count(*) AS c FROM
+                (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM uni)::DOUBLE AS n,
+                           (SELECT count(*) FROM pairs)::DOUBLE AS p)
+            SELECT w1, w2, c12.c::BIGINT AS c12,
+                   round(log2((c12.c / tot.p)
+                              / ((u1.c / tot.n) * (u2.c / tot.n))), 4)
+                       AS pmi
+            FROM c12 JOIN uni u1 ON u1.w = c12.w1
+                     JOIN uni u2 ON u2.w = c12.w2
+                     CROSS JOIN tot
+            QUALIFY row_number() OVER (
+                ORDER BY pmi DESC, w1, w2) <= 50""",
         "value_quantiles": """
             SELECT event_type, 0.25 AS q,
                    round(quantile_cont(value, 0.25), 4) AS value

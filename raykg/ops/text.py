@@ -503,6 +503,141 @@ def inverted_index(documents: rd.Dataset, max_postings: int = 32,
                               num_buckets=num_buckets)
 
 
+def cooccurrence_pmi(documents: rd.Dataset, window: int = 4,
+                     min_count: int = 5, top_k: int = 50,
+                     num_buckets: int = 256) -> rd.Dataset:
+    """Top-``top_k`` token pairs by pointwise mutual information within
+    a ±``window`` skip-gram context — the collocation/phrase-mining
+    statistic of word-embedding and tokenizer pipelines. A pair is the
+    unordered (lexicographically canonicalized) token pair at positions
+    (i, j), 0 < j - i <= window; PMI = log2((c12/P) / ((c1/N)(c2/N)))
+    with c12 = pair occurrences, P = total pair slots, c = corpus token
+    counts, N = total tokens; rounded to 4 (ranking on the rounded
+    value, ties (w1, w2) ascending — the contract the SQL twin shares).
+
+    Scale shape: ONE pair-keyed exchange (per-batch Counter combiner, so
+    a hot collocation adds one partial row per batch), then the
+    ``min_count`` filter prunes the long tail BEFORE two broadcast-free
+    tag-join exchanges attach the unigram counts; N and P are scalar
+    distributed sums. Only ``top_k`` rows reach the driver at the end;
+    nothing vocabulary-sized is ever broadcast."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    SEP = "\x1f"
+
+    # --- pair probe rows (per-batch Counter combiner) ---
+    def pair_rows(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            for i in range(len(toks)):
+                for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                    a, b = toks[i], toks[j]
+                    c[(a, b) if a <= b else (b, a)] += 1
+        keys = [w1 + SEP + w2 for w1, w2 in c]
+        return pa.table({
+            "pair": pa.array(keys + [""], pa.string()),
+            "w1": pa.array([p[0] for p in c] + [""], pa.string()),
+            "w2": pa.array([p[1] for p in c] + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    probes = documents.select_columns(["text"]).map_batches(
+        pair_rows, batch_format="pyarrow")
+
+    # --- unigram count partials ---
+    def uni_rows(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_tokens(s))
+        return pa.table({"w": pa.array(list(c.keys()) + [""], pa.string()),
+                         "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    uni = documents.select_columns(["text"]).map_batches(
+        uni_rows, batch_format="pyarrow")
+
+    p_total = probes.sum("n")          # pair slots (sentinels add 0)
+    n_total = uni.sum("n")             # corpus tokens
+    if not p_total:
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "c12": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())
+        }))
+
+    def pair_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("pair").aggregate([("n", "sum"), ("w1", "max"),
+                                          ("w2", "max")])
+        keep = pc.and_(pc.greater_equal(g.column("n_sum"), min_count),
+                       pc.not_equal(g.column("pair"), ""))
+        g = g.filter(keep)
+        return pa.table({"w1": g.column("w1_max"), "w2": g.column("w2_max"),
+                         "c12": g.column("n_sum")})
+
+    pairs = bucketed_group_agg(probes, lambda t: t, "pair", pair_fin,
+                               num_buckets=num_buckets)
+
+    # --- attach unigram counts: tag-join per endpoint column ---
+    def attach_count(ds: rd.Dataset, carry: list[str], key_col: str,
+                     out_col: str) -> rd.Dataset:
+        order = ["key", *carry, "tag", "cnt"]
+
+        def probe_side(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in carry}
+            cols["key"] = t.column(key_col)
+            cols["tag"] = pa.array(np.zeros(t.num_rows, np.int8))
+            cols["cnt"] = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({c: cols[c] for c in order})
+
+        def build_side(t: pa.Table) -> pa.Table:
+            m = t.num_rows
+            cols = {"key": t.column("w"), "cnt": t.column("n"),
+                    "tag": pa.array(np.ones(m, np.int8))}
+            for c in carry:
+                typ = pa.int64() if c in ("c12", "c1") else pa.string()
+                cols[c] = pa.nulls(m, typ)   # filler, never read
+            return pa.table({c: cols[c] for c in order})
+
+        def attach(t: pa.Table) -> pa.Table:
+            tags = t.column("tag").combine_chunks()
+            build = t.filter(pc.equal(tags, 1))
+            probe = t.filter(pc.equal(tags, 0))
+            probe = probe.filter(pc.not_equal(probe.column("key"), ""))
+            bk = build.group_by("key").aggregate([("cnt", "sum")])
+            idx = pc.index_in(probe.column("key"), bk.column("key"))
+            out = {c: probe.column(c) for c in carry}
+            out[key_col] = probe.column("key")
+            out[out_col] = pc.take(bk.column("cnt_sum"), idx)
+            return pa.table(out)
+
+        unioned = ds.map_batches(probe_side, batch_format="pyarrow") \
+            .union(uni.map_batches(build_side, batch_format="pyarrow"))
+        return bucketed_group_agg(unioned, lambda t: t, "key", attach,
+                                  num_buckets=num_buckets)
+
+    with_c1 = attach_count(pairs, ["w2", "c12"], "w1", "c1")
+    full = attach_count(with_c1, ["w1", "c12", "c1"], "w2", "c2")
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False)
+        pmi = [round_half_away(
+            math.log2((a / p_total) / ((b / n_total) * (c / n_total))), 4)
+            for a, b, c in zip(c12.tolist(), c1.tolist(), c2.tolist())]
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "c12": t.column("c12"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return full.map_batches(score, batch_format="pyarrow") \
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False]) \
+        .limit(top_k)
+
+
 def fingerprint(documents: rd.Dataset, gram: int = 3) -> rd.Dataset:
     """Document fingerprint: minimum sha256[:12] over token `gram`-grams
     (a 1-hash MinHash / winnowing-style content fingerprint). Documents

@@ -276,3 +276,46 @@ def test_quality_funnel_matches_flags(ray_session):
     assert (fun["kept"] == by["keep"].sum()).all()
     assert (fun["fail_words"] == by["ok_words"].agg(lambda c: (1 - c).sum())).all()
     assert fun["n_docs"].sum() == 12
+
+
+def test_cooccurrence_pmi_vs_reference(ray_session):
+    """Engine PMI == a driver-side reference implementation on a crafted
+    corpus (perfect collocation ranks first), block-layout invariant."""
+    import math
+    from collections import Counter
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.ops.text import cooccurrence_pmi
+
+    rows = [(i, "alpha beta " + " ".join(
+        f"f{(i * 7 + j) % 11}" for j in range(10))) for i in range(30)]
+
+    def ref(window=2, min_count=2, top_k=10):
+        pc_, uc = Counter(), Counter()
+        P = N = 0
+        for _, s in rows:
+            toks = s.split()
+            uc.update(toks)
+            N += len(toks)
+            for i in range(len(toks)):
+                for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                    a, b = sorted((toks[i], toks[j]))
+                    pc_[(a, b)] += 1
+                    P += 1
+        out = [(a, b, c,
+                round_half_away(math.log2(
+                    (c / P) / ((uc[a] / N) * (uc[b] / N))), 4))
+               for (a, b), c in pc_.items() if c >= min_count]
+        out.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return out[:top_k]
+
+    exp = ref()
+    got = cooccurrence_pmi(_docs(rows, blocks=4), window=2, min_count=2,
+                           top_k=10, num_buckets=32).take_all()
+    got_t = [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in got]
+    assert got_t == exp
+    # the always-adjacent pair dominates
+    assert got_t[0][:2] == ("alpha", "beta")
+    got_1 = cooccurrence_pmi(_docs(rows), window=2, min_count=2,
+                             top_k=10, num_buckets=32).take_all()
+    assert [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in got_1] == got_t
