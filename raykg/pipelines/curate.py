@@ -194,3 +194,74 @@ def curate_corpus(documents: rd.Dataset, span: int = 8,
 
     return bucketed_group_agg(marked, verdict_combine, "doc_id",
                               verdict_finalize, num_buckets=num_buckets)
+
+
+def curate_and_write(documents: rd.Dataset, out_dir: str,
+                     num_buckets: int = 1024, **curate_params) -> dict:
+    """Run :func:`curate_corpus` and export the surviving documents WITH
+    their text as hive-partitioned parquet (``out_dir/split=train/...``)
+    — one part file per block inside each split, so a rerun can skip or
+    re-emit individual partitions, and a trainer can mount each split
+    directory independently.
+
+    The split verdicts re-attach to the text with ONE doc_id-keyed
+    tag-join exchange (verdict rows are register-sized relative to the
+    text stream; a doc without a verdict row was dropped by curation
+    and is filtered in the bucket — the anti-join falls out of the same
+    exchange). Returns per-split row counts (vocabulary-sized)."""
+    verdicts = curate_corpus(documents, num_buckets=num_buckets,
+                             **curate_params)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [t.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "text": pa.concat_arrays(
+                [t.column("text").combine_chunks(),
+                 pa.array([""], pa.string())]),
+            "split": pa.array([""] * (n + 1), pa.string()),
+            "tag": pa.array([0] * n + [0], pa.int8())})
+
+    def verdict_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [t.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "text": pa.array([""] * (n + 1), pa.string()),
+            "split": pa.concat_arrays(
+                [t.column("split").combine_chunks(),
+                 pa.array([""], pa.string())]),
+            "tag": pa.array([1] * n + [1], pa.int8())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        tags = t.column("tag").combine_chunks()
+        probe = t.filter(pc.equal(tags, 0))
+        probe = probe.filter(pc.greater_equal(probe.column("doc_id"), 0))
+        build = t.filter(pc.equal(tags, 1))
+        build = build.filter(pc.greater_equal(build.column("doc_id"), 0))
+        idx = pc.index_in(probe.column("doc_id"), build.column("doc_id"))
+        split = pc.take(build.column("split"), idx)
+        keep = pc.is_valid(split)
+        return pa.table({"doc_id": probe.column("doc_id").filter(keep),
+                         "text": probe.column("text").filter(keep),
+                         "split": split.filter(keep)})
+
+    from raykg.functions.shuffle import bucketed_group_agg as _bga
+    joined = _bga(
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(verdicts.map_batches(verdict_rows, batch_format="pyarrow")),
+        lambda t: t, "doc_id", attach, num_buckets=num_buckets)
+    joined.write_parquet(out_dir, partition_cols=["split"])
+
+    try:
+        out = rd.read_parquet(out_dir)
+    except FileNotFoundError:
+        # zero survivors: write_parquet emits nothing, not an empty dir
+        return {}
+    counts = dict(out.groupby("split").count().to_pandas()
+                  .itertuples(index=False, name=None))
+    return {str(k): int(v) for k, v in counts.items()}

@@ -18,9 +18,14 @@ except ImportError:
 
 
 def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Distributed read with column pruning pushed to the scan."""
+    """Distributed read with column pruning pushed to the scan. JSONL
+    (``.jsonl`` path suffix) is supported as an ingest format — columns
+    are projected after the parse (the format has no column pruning)."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=columns)
+    if path.rstrip("/").endswith(".jsonl"):
+        ds = rd.read_json(path, file_extensions=["jsonl", "json"])
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns)
 
 
@@ -29,5 +34,8 @@ def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
     file, so a rerun can skip or re-emit individual partitions)."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         ds.write_lance(path, **kwargs)
+        return
+    if path.rstrip("/").endswith(".jsonl"):
+        ds.write_json(path, **kwargs)
         return
     ds.write_parquet(path, **kwargs)

@@ -54,3 +54,35 @@ def test_curate_stages(ray_session):
     b = curate_corpus(_docs(rows), num_buckets=32).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curate_and_write_partitioned(ray_session, tmp_path):
+    """The export contains exactly the curated survivors with their
+    text, hive-partitioned by split."""
+    import os
+
+    from raykg.pipelines.curate import curate_and_write
+
+    test_id = next(d for d in range(200) if _split(d) == "test")
+    train_ids = [d for d in range(200) if _split(d) == "train"]
+    rows = [(train_ids[0], _clean("one")), (train_ids[1], _clean("two")),
+            (test_id, _clean("three")), (train_ids[2], "the a short")]
+    out = str(tmp_path / "corpus")
+    counts = curate_and_write(_docs(rows, blocks=2), out, num_buckets=16)
+    assert counts == {"train": 2, "test": 1}
+    assert sorted(os.listdir(out)) == ["split=test", "split=train"]
+    back = rd.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == sorted(
+        [train_ids[0], train_ids[1], test_id])
+    src = dict(rows)
+    assert all(src[d] == t for d, t in zip(back["doc_id"], back["text"]))
+
+
+def test_curate_and_write_zero_survivors(ray_session, tmp_path):
+    """Every document failing curation yields an empty report, not a
+    crash on the missing output directory."""
+    from raykg.pipelines.curate import curate_and_write
+
+    rows = [(i, "the a of") for i in range(20)]
+    out = str(tmp_path / "corpus")
+    assert curate_and_write(_docs(rows), out, num_buckets=16) == {}

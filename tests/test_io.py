@@ -58,3 +58,16 @@ def test_lance_parity(ray_session, tmp_path):  # pragma: no cover
     pl = read_table(lpath, columns=["doc_id", "n"])
     assert set(pl.schema().names) == {"doc_id", "n"}
     assert pl.count() == 100
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL ingest parity: write_table -> read_table reproduces the rows
+    and the pruned read projects to the requested columns."""
+    path = str(tmp_path / "t.jsonl")
+    src = rd.from_arrow(_sample_table()).repartition(4)
+    write_table(src, path)
+    back = read_table(path)
+    assert _rows(back) == _rows(src)
+    pruned = read_table(path, columns=["doc_id", "n"])
+    assert set(pruned.schema().names) == {"doc_id", "n"}
+    assert pruned.count() == 100
