@@ -365,25 +365,24 @@ def knn_graph_exact(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
                          dtype=np.float64)[order])
     corpus_ref = ray.put((ids, mat))
 
-    class RowTopK:
-        def __init__(self):
-            self.ids, self.mat = ray.get(corpus_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _KNN_SCHEMA.empty_table()
-            q_ids = np.array(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            q = _unit(np.array(batch.column("embedding").to_pylist(),
-                               dtype=np.float64))
-            r = round_half_away(q @ self.mat.T, 3)
-            self_col = np.searchsorted(self.ids, q_ids)
-            r[np.arange(len(q_ids)), self_col] = -np.inf
-            return _rows_topk(self.ids, r, q_ids, k)
+    # task map, not an actor pool: the corpus ref is plasma-resident, so
+    # the per-batch ray.get is a zero-copy mmap — no actor startup to
+    # amortize, and no fixed pool to contend with other stages' pools
+    def row_topk(batch: pa.Table, corpus_ref=corpus_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return _KNN_SCHEMA.empty_table()
+        c_ids, c_mat = ray.get(corpus_ref)
+        q_ids = np.array(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        q = _unit(np.array(batch.column("embedding").to_pylist(),
+                           dtype=np.float64))
+        r = round_half_away(q @ c_mat.T, 3)
+        self_col = np.searchsorted(c_ids, q_ids)
+        r[np.arange(len(q_ids)), self_col] = -np.inf
+        return _rows_topk(c_ids, r, q_ids, k)
 
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        RowTopK, batch_format="pyarrow", concurrency=(1, 8),
-        batch_size=4096)
+        row_topk, batch_format="pyarrow", batch_size=4096)
 
 
 def knn_graph(embeddings: rd.Dataset, k: int = 5, bits: int = 6,
