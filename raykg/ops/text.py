@@ -547,8 +547,14 @@ def cooccurrence_pmi(documents: rd.Dataset, window: int = 4,
             "w2": pa.array([p[1] for p in c] + [""], pa.string()),
             "n": pa.array(list(c.values()) + [0], pa.int64())})
 
+    # materialized once: the pair partials feed both the P scalar sum and
+    # the pair exchange, and the unigram partials feed the N sum plus TWO
+    # tag-joins — without the pin, the tokenize pass (the hot cost) would
+    # re-execute for every consumer (same discipline as lsh_candidate_pairs'
+    # sigs). Both tables are combiner output: batch-count x distinct-per-
+    # batch rows, far smaller than the text.
     probes = documents.select_columns(["text"]).map_batches(
-        pair_rows, batch_format="pyarrow")
+        pair_rows, batch_format="pyarrow").materialize()
 
     # --- unigram count partials ---
     def uni_rows(t: pa.Table) -> pa.Table:
@@ -559,7 +565,7 @@ def cooccurrence_pmi(documents: rd.Dataset, window: int = 4,
                          "n": pa.array(list(c.values()) + [0], pa.int64())})
 
     uni = documents.select_columns(["text"]).map_batches(
-        uni_rows, batch_format="pyarrow")
+        uni_rows, batch_format="pyarrow").materialize()
 
     p_total = probes.sum("n")          # pair slots (sentinels add 0)
     n_total = uni.sum("n")             # corpus tokens
