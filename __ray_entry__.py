@@ -680,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mC4/XLM-R temperature mixing: data-dependent per-source rates
         # from a vocabulary-sized count aggregate
         "temperature_mix": lambda sf: corpus.temperature_mix(_docs(sf)),
+        # Efraimidis-Spirakis weighted without-replacement sample per
+        # source, weight = n_chars (quality-weighted subsampling)
+        "weighted_sample": lambda sf: corpus.weighted_sample(_docs(sf)),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
@@ -1704,6 +1707,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON thr.source = d.source
             WHERE substr(sha256('mix|42|' || d.doc_id::VARCHAR), 1, 8)
                   < thr.h""",
+        "weighted_sample": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       round(ln((('0x' || substr(sha256(
+                                     'ws|42|' || doc_id::VARCHAR), 1, 8)
+                                 )::UBIGINT + 1) / 4294967296.0)
+                             / n_chars, 6) AS es_key
+                FROM documents WHERE n_chars > 0)
+            SELECT source, doc_id, es_key,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY es_key DESC, doc_id) AS rk
+            FROM t QUALIFY rk <= 20""",
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE substr(sha256('ssamp|42|' || doc_id::VARCHAR), 1, 8) <

@@ -278,6 +278,74 @@ def stratified_sample(documents: rd.Dataset, rates: dict[str, float],
         keep, batch_format="pyarrow")
 
 
+def weighted_sample(documents: rd.Dataset, k: int = 20,
+                    weight_col: str = "n_chars", group_col: str = "source",
+                    seed: int = 42, num_buckets: int = 64) -> rd.Dataset:
+    """(source, doc_id, es_key, rk): a weighted without-replacement
+    sample of ``k`` docs per group — Efraimidis & Spirakis 2006
+    ("Weighted random sampling with a reservoir"), where each doc draws
+    u = sha-uniform and the k largest exponential keys ln(u)/w win, so
+    selection probability is proportional to the weight. The
+    quality-weighted subsampling step of corpus curation, deterministic
+    and reshard/resume-stable like :func:`bottomk_sample`.
+
+    Ranking contract (shared with the SQL twin): es_key = ln((h+1)/2^32)
+    / w rounded to 6, h = first 8 sha hex digits of 'ws|<seed>|<doc_id>';
+    order es_key DESC then doc_id ASC; rows with weight <= 0 (or null)
+    are excluded. ln() is libm double on both sides — the same float
+    parity contract PMI/bigram scoring already rely on.
+
+    Scale shape: each batch keeps only its local per-group top-k, so the
+    ONE group-keyed exchange carries at most k x groups rows per batch
+    (never the corpus); the finalize re-ranks k x groups x batches
+    partials per bucket."""
+    import math
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        per_group: dict[str, list] = {}
+        for d, w, g in zip(t.column("doc_id").to_pylist(),
+                           t.column(weight_col).to_pylist(),
+                           t.column(group_col).to_pylist()):
+            if w is None or w <= 0:
+                continue
+            u = (int(sha_hex(f"ws|{seed}|{d}")[:8], 16) + 1) / 4294967296.0
+            per_group.setdefault(g, []).append(
+                (round_half_away(math.log(u) / w, 6), d))
+        # sentinel row: doc_id -1 keeps zero-row blocks typed (shuffle
+        # convention); dropped in the finalize
+        out_g, out_d, out_k = [""], [-1], [0.0]
+        for g, lst in per_group.items():
+            lst.sort(key=lambda p: (-p[0], p[1]))
+            for key, d in lst[:k]:
+                out_g.append(g)
+                out_d.append(d)
+                out_k.append(key)
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "es_key": pa.array(out_k, pa.float64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"),
+                          ("es_key", "descending"),
+                          ("doc_id", "ascending")]))
+        groups = t.column(group_col).to_pylist()
+        rk, keep, last, n = [], [], None, 0
+        for g in groups:              # partials-sized, k x groups x batches
+            if g != last:
+                last, n = g, 0
+            n += 1
+            rk.append(n)
+            keep.append(n <= k)
+        t = t.append_column("rk", pa.array(rk, pa.int64()))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    stream = documents.select_columns(["doc_id", weight_col, group_col])
+    return bucketed_group_agg(stream, local_topk, group_col, finalize,
+                              num_buckets=num_buckets)
+
+
 def top_ngrams(documents: rd.Dataset, k: int = 20,
                gram: int = 2) -> rd.Dataset:
     """Global top-k token n-grams by count (ties -> lexicographically

@@ -273,6 +273,46 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_weighted_sample_matches_bruteforce_and_partitioning(ray_session):
+    import math
+
+    from raykg.functions.hashing import round_half_away, sha_hex
+
+    ids = list(range(300))
+    srcs = ["s0" if i % 3 else "s1" for i in ids]
+    ws = [(i % 17) * 10 for i in ids]          # some zero weights (i%17==0)
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": pa.array(ws, pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+    def key(d, w):
+        u = (int(sha_hex(f"ws|42|{d}")[:8], 16) + 1) / 4294967296.0
+        return round_half_away(math.log(u) / w, 6)
+
+    want = {}
+    for g in ("s0", "s1"):
+        rows = sorted(((key(d, w), d) for d, w, s in zip(ids, ws, srcs)
+                       if s == g and w > 0), key=lambda p: (-p[0], p[1]))
+        want[g] = [d for _, d in rows[:5]]
+    got = corpus.weighted_sample(rd.from_arrow(docs), k=5,
+                                 num_buckets=16).take_all()
+    by_g = {}
+    for r in sorted(got, key=lambda r: (r["source"], r["rk"])):
+        by_g.setdefault(r["source"], []).append(r["doc_id"])
+    assert by_g == want
+    # resharding must not change the sample
+    got2 = corpus.weighted_sample(rd.from_arrow(docs).repartition(11), k=5,
+                                  num_buckets=16).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in got) == \
+        sorted((r["source"], r["doc_id"]) for r in got2)
+    # heavier docs win more often: mean weight of winners > corpus mean
+    win_w = [ws[d] for d in want["s0"]]
+    pool = [w for w, s in zip(ws, srcs) if s == "s0" and w > 0]
+    assert sum(win_w) / len(win_w) > sum(pool) / len(pool)
+
+
 def test_temperature_mix_flattens_and_is_deterministic(ray_session):
     from raykg.functions.hashing import hex_threshold8, sha_hex
 
