@@ -684,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source, weight = n_chars (quality-weighted subsampling)
         "weighted_sample": lambda sf: corpus.weighted_sample(_docs(sf)),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
+        # token frequency spectrum (count-of-counts / Zipf profile)
+        "freq_spectrum": lambda sf: corpus.freq_spectrum(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1767,6 +1769,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::BIGINT AS n
             FROM (SELECT unnest({_grams_sql(2)}) AS gram FROM documents)
             GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""",
+        "freq_spectrum": f"""
+            WITH c AS (SELECT tok, count(*) AS f
+                       FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                       GROUP BY 1)
+            SELECT f::BIGINT AS freq, count(*)::BIGINT AS n_tokens
+            FROM c GROUP BY 1""",
         "cross_source_overlap": """
             WITH hs AS (SELECT DISTINCT sha256(text) AS h, source
                         FROM documents)

@@ -33,6 +33,7 @@ import ray.data as rd
 from raykg.functions.hashing import hex_threshold8, round_half_away, sha_hex
 from raykg.functions.shuffle import bucketed_group_agg
 from raykg.ops.dedup import _grams, lsh_candidate_pairs
+from raykg.ops.text import _tokens
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +371,57 @@ def top_ngrams(documents: rd.Dataset, k: int = 20,
             count_batch, batch_format="pyarrow"),
         lambda t: t, "gram", fin)
     return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+def freq_spectrum(documents: rd.Dataset,
+                  num_buckets: int = 1024) -> rd.Dataset:
+    """(freq, n_tokens): the corpus token frequency spectrum — how many
+    DISTINCT tokens occur exactly ``freq`` times (the count-of-counts /
+    Zipf profile that calibrates tokenizer vocab sizes, Good-Turing
+    smoothing and rare-token cutoffs).
+
+    Two bucketed exchanges, both vocabulary-sized or smaller: token ->
+    total count (per-batch Counter combiner), then the per-bucket
+    count histograms re-key on freq (a second, spectrum-sized exchange
+    — distinct freq values grow ~sqrt(vocab), far below vocab). Nothing
+    driver-resident."""
+    from collections import Counter
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_tokens(s))
+        # sentinel "" keeps zero-row blocks typed; tokens are never ""
+        return pa.table({
+            "tok": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    def per_token(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.not_equal(t.column("tok"), "")) \
+            .group_by("tok").aggregate([("n", "sum")])
+        h = g.group_by("n_sum").aggregate([("tok", "count")])
+        # sentinel freq -1: real freqs are >= 1
+        return pa.table({
+            "freq": pa.concat_arrays(
+                [h.column("n_sum").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "n_tokens": pa.concat_arrays(
+                [pc.cast(h.column("tok_count"), pa.int64()).combine_chunks(),
+                 pa.array([0], pa.int64())])})
+
+    counted = bucketed_group_agg(
+        documents.select_columns(["text"]).map_batches(
+            count_batch, batch_format="pyarrow"),
+        lambda t: t, "tok", per_token, num_buckets=num_buckets)
+
+    def spectrum_fin(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.greater(t.column("freq"), 0)) \
+            .group_by("freq").aggregate([("n_tokens", "sum")])
+        return pa.table({"freq": g.column("freq"),
+                         "n_tokens": g.column("n_tokens_sum")})
+
+    return bucketed_group_agg(counted, lambda t: t, "freq", spectrum_fin,
+                              num_buckets=max(64, num_buckets // 16))
 
 
 def cross_source_overlap(documents: rd.Dataset) -> pa.Table:

@@ -273,6 +273,27 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_freq_spectrum_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    texts = ["a a a b b c", "a b d", "e", ""]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    tok_counts = Counter()
+    for s in texts:
+        tok_counts.update(s.split())
+    want = Counter(tok_counts.values())   # {5:1('a'), 3:1('b'), 1:3(c,d,e)}
+    got = {r["freq"]: r["n_tokens"] for r in corpus.freq_spectrum(
+        rd.from_arrow(docs), num_buckets=64).take_all()}
+    assert got == dict(want)
+    # invariant under resharding
+    got2 = {r["freq"]: r["n_tokens"] for r in corpus.freq_spectrum(
+        rd.from_arrow(docs).repartition(3), num_buckets=64).take_all()}
+    assert got2 == got
+
+
 def test_weighted_sample_matches_bruteforce_and_partitioning(ray_session):
     import math
 
