@@ -686,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
         # token frequency spectrum (count-of-counts / Zipf profile)
         "freq_spectrum": lambda sf: corpus.freq_spectrum(_docs(sf)),
+        # per-source unigram KL from the corpus blend (mixture drift)
+        "source_unigram_kl": lambda sf: corpus.source_unigram_kl(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1775,6 +1777,22 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1)
             SELECT f::BIGINT AS freq, count(*)::BIGINT AS n_tokens
             FROM c GROUP BY 1""",
+        "source_unigram_kl": f"""
+            WITH c AS (SELECT source, tok, count(*) AS cst
+                       FROM (SELECT source, unnest({_TOKS}) AS tok
+                             FROM documents)
+                       GROUP BY 1, 2),
+            ts AS (SELECT source, sum(cst) AS t_s FROM c GROUP BY 1),
+            ct AS (SELECT tok, sum(cst) AS ctot FROM c GROUP BY 1),
+            tot AS (SELECT sum(cst)::DOUBLE AS t FROM c)
+            SELECT c.source,
+                   round(sum((cst / t_s)
+                             * log2((cst / t_s) / (ctot / t))), 6)
+                       AS kl_bits,
+                   t_s::BIGINT AS n_tokens
+            FROM c JOIN ts USING (source) JOIN ct USING (tok)
+                 CROSS JOIN tot
+            GROUP BY c.source, t_s""",
         "cross_source_overlap": """
             WITH hs AS (SELECT DISTINCT sha256(text) AS h, source
                         FROM documents)

@@ -424,6 +424,94 @@ def freq_spectrum(documents: rd.Dataset,
                               num_buckets=max(64, num_buckets // 16))
 
 
+def source_unigram_kl(documents: rd.Dataset,
+                      num_buckets: int = 1024) -> rd.Dataset:
+    """(source, kl_bits, n_tokens): KL divergence (bits) of each
+    source's unigram distribution from the corpus-wide distribution —
+    the domain-shift / data-mixture diagnostic (which slice of the mix
+    looks least like the blend). KL(p_s || p) = sum_t p_s(t) *
+    log2(p_s(t) / p(t)); every p_s(t) > 0 implies p(t) > 0, so the sum
+    is always finite. kl_bits rounded to 6 (the float-parity contract
+    PMI/bigram scoring share with DuckDB).
+
+    Scale shape: per-source token totals come from ONE vocabulary-sized
+    aggregate (a handful of rows — the temperature_mix precedent) and
+    ride into the closures; the real work is ONE token-keyed exchange
+    of per-batch (source, tok) count partials whose finalize computes
+    each token's global count and per-source contributions locally,
+    emitting source-sized partial sums. A final source-keyed aggregate
+    is register-sized. Nothing vocabulary-sized is broadcast."""
+    from collections import Counter
+
+    import numpy as np
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for tok in _tokens(txt):
+                c[(s, tok)] += 1
+        # sentinel tok "": tokens are never empty
+        return pa.table({
+            "source": pa.array([k[0] for k in c] + [""], pa.string()),
+            "tok": pa.array([k[1] for k in c] + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    # materialized once: pass A and the token exchange both consume it —
+    # without the pin the tokenize pass would run twice (PMI discipline)
+    counted = documents.select_columns(["source", "text"]).map_batches(
+        count_batch, batch_format="pyarrow").materialize()
+
+    # pass A: per-source totals (source-count-sized -> driver, like
+    # temperature_mix's rate table)
+    tot_tbl = counted.groupby("source").sum("n").to_pandas()
+    totals = {r["source"]: int(r["sum(n)"])
+              for _, r in tot_tbl.iterrows() if r["source"]}
+    grand = float(sum(totals.values()))
+    if not grand:
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "kl_bits": pa.array([], pa.float64()),
+            "n_tokens": pa.array([], pa.int64())}))
+
+    # pass B: token-keyed exchange; per-bucket contribution sums
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("tok"), ""))
+        g = t.group_by(["tok", "source"]).aggregate([("n", "sum")])
+        toks = g.column("tok").to_pylist()
+        srcs = g.column("source").to_pylist()
+        ns = np.asarray(g.column("n_sum").to_pylist(), np.float64)
+        ct = Counter()
+        for tok, n in zip(toks, ns):
+            ct[tok] += n
+        out: dict[str, float] = {}
+        for tok, s, n in zip(toks, srcs, ns):
+            ps = n / totals[s]
+            p = ct[tok] / grand
+            out[s] = out.get(s, 0.0) + ps * np.log2(ps / p)
+        # sentinel source "": real sources are non-empty
+        return pa.table({
+            "source": pa.array(list(out.keys()) + [""], pa.string()),
+            "kl_part": pa.array(list(out.values()) + [0.0], pa.float64())})
+
+    parts = bucketed_group_agg(counted, lambda t: t, "tok", contrib,
+                               num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.not_equal(t.column("source"), "")) \
+            .group_by("source").aggregate([("kl_part", "sum")])
+        srcs = g.column("source").to_pylist()
+        kl = [round_half_away(x, 6)
+              for x in g.column("kl_part_sum").to_pylist()]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "kl_bits": pa.array(kl, pa.float64()),
+            "n_tokens": pa.array([totals[s] for s in srcs], pa.int64())})
+
+    return bucketed_group_agg(parts, lambda t: t, "source", fin,
+                              num_buckets=64)
+
+
 def cross_source_overlap(documents: rd.Dataset) -> pa.Table:
     """(source_a, source_b, n_hashes): number of distinct text hashes that
     appear in BOTH sources (source_a < source_b) — train/eval contamination

@@ -273,6 +273,46 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_source_unigram_kl_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    from raykg.functions.hashing import round_half_away
+
+    rows = [("a", "x x y"), ("a", "x z"), ("b", "y y y w"), ("b", "w")]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    cst: Counter = Counter()
+    for s, txt in rows:
+        for tok in txt.split():
+            cst[(s, tok)] += 1
+    ts = Counter()
+    ct = Counter()
+    for (s, tok), n in cst.items():
+        ts[s] += n
+        ct[tok] += n
+    grand = sum(ts.values())
+    want = {}
+    for s in ts:
+        kl = sum((n / ts[s]) * math.log2((n / ts[s]) / (ct[tok] / grand))
+                 for (s2, tok), n in cst.items() if s2 == s)
+        want[s] = (round_half_away(kl, 6), ts[s])
+    got = {r["source"]: (r["kl_bits"], r["n_tokens"])
+           for r in corpus.source_unigram_kl(
+               rd.from_arrow(docs), num_buckets=64).take_all()}
+    assert got == want
+    assert all(v[0] > 0 for v in got.values())   # distinct distributions
+    # invariant under resharding
+    got2 = {r["source"]: (r["kl_bits"], r["n_tokens"])
+            for r in corpus.source_unigram_kl(
+                rd.from_arrow(docs).repartition(3),
+                num_buckets=64).take_all()}
+    assert got2 == got
+
+
 def test_freq_spectrum_matches_bruteforce(ray_session):
     from collections import Counter
 
