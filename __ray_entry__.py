@@ -518,6 +518,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _emb(sf_dir):
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _snapshot_b(docs):
+        """Deterministic second corpus snapshot for corpus_diff: drop
+        doc_id % 13 == 0, append ' v2' to % 7 == 0, re-add % 11 == 0
+        under doc_id + 10_000_000 (same derivation as the SQL twin)."""
+        import pyarrow as _pa
+
+        def mutate(t):
+            ids = t.column("doc_id").to_pylist()
+            txts = t.column("text").to_pylist()
+            out_i, out_t = [], []
+            for d, s in zip(ids, txts):
+                if d % 13 == 0:
+                    continue
+                out_i.append(d)
+                out_t.append(s + " v2" if d % 7 == 0 else s)
+            for d, s in zip(ids, txts):
+                if d % 11 == 0:
+                    out_i.append(d + 10_000_000)
+                    out_t.append(s)
+            return _pa.table({
+                "doc_id": _pa.array(out_i, _pa.int64()),
+                "text": _pa.array(out_t, _pa.string())})
+
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            mutate, batch_format="pyarrow")
+
     def _curate_corpus_query(sf_dir):
         from raykg.pipelines.curate import curate_corpus
         return curate_corpus(_docs(sf_dir), num_buckets=256)
@@ -688,6 +714,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_spectrum": lambda sf: corpus.freq_spectrum(_docs(sf)),
         # per-source unigram KL from the corpus blend (mixture drift)
         "source_unigram_kl": lambda sf: corpus.source_unigram_kl(_docs(sf)),
+        # incremental-crawl delta: added/removed/changed vs a derived
+        # second snapshot (drop %13, append ' v2' to %7, add %11 as new)
+        "corpus_diff": lambda sf: corpus.corpus_diff(
+            _docs(sf), _snapshot_b(_docs(sf))),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1777,6 +1807,22 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1)
             SELECT f::BIGINT AS freq, count(*)::BIGINT AS n_tokens
             FROM c GROUP BY 1""",
+        "corpus_diff": """
+            WITH a AS (SELECT doc_id, sha256(text) AS h FROM documents),
+            b0 AS (SELECT doc_id,
+                          text || CASE WHEN doc_id % 7 = 0
+                                       THEN ' v2' ELSE '' END AS text
+                   FROM documents WHERE doc_id % 13 <> 0
+                   UNION ALL
+                   SELECT doc_id + 10000000, text FROM documents
+                   WHERE doc_id % 11 = 0),
+            b AS (SELECT doc_id, sha256(text) AS h FROM b0)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h""",
         "source_unigram_kl": f"""
             WITH c AS (SELECT source, tok, count(*) AS cst
                        FROM (SELECT source, unnest({_TOKS}) AS tok

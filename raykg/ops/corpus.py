@@ -424,6 +424,70 @@ def freq_spectrum(documents: rd.Dataset,
                               num_buckets=max(64, num_buckets // 16))
 
 
+def corpus_diff(old: rd.Dataset, new: rd.Dataset,
+                num_buckets: int = 1024) -> rd.Dataset:
+    """(doc_id, status): classify every document that differs between
+    two corpus snapshots — ``added`` (only in ``new``), ``removed``
+    (only in ``old``), ``changed`` (in both, content hash differs).
+    Unchanged docs (the overwhelming class between incremental crawls)
+    never appear in the output, so the result is delta-sized.
+
+    ONE doc_id-keyed tag-join exchange: each side ships (doc_id,
+    sha256(text), side) — register-sized rows, the text itself never
+    crosses the wire — and the per-bucket finalize classifies with two
+    vectorized ``index_in`` probes. Requires doc_id unique per side."""
+    import numpy as np
+
+    def side_rows(side: int):
+        def rows(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            hs = [sha_hex(s) for s in t.column("text").to_pylist()]
+            # sentinel doc_id -1 keeps zero-row blocks typed; real ids
+            # must be non-negative (checked in the finalize)
+            return pa.table({
+                "doc_id": pa.array(ids + [-1], pa.int64()),
+                "h": pa.array(hs + [""], pa.string()),
+                "side": pa.array([side] * (len(ids) + 1), pa.int8())})
+        return rows
+
+    unioned = old.select_columns(["doc_id", "text"]) \
+        .map_batches(side_rows(0), batch_format="pyarrow") \
+        .union(new.select_columns(["doc_id", "text"])
+               .map_batches(side_rows(1), batch_format="pyarrow"))
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        sides = t.column("side").combine_chunks()
+        a = t.filter(pc.equal(sides, 0))
+        b = t.filter(pc.equal(sides, 1))
+        a_ids = a.column("doc_id").combine_chunks()
+        b_ids = b.column("doc_id").combine_chunks()
+        ia = pc.index_in(b_ids, a_ids)          # new -> old position
+        ib = pc.index_in(a_ids, b_ids)          # old -> new position
+        added = b_ids.filter(pc.is_null(ia))
+        removed = a_ids.filter(pc.is_null(ib))
+        both = pc.is_valid(ia)
+        old_h = pc.take(a.column("h").combine_chunks(), ia)
+        changed = b_ids.filter(pc.and_kleene(
+            both, pc.not_equal(b.column("h").combine_chunks(), old_h)))
+        ids = pa.concat_arrays([added.combine_chunks()
+                                if isinstance(added, pa.ChunkedArray)
+                                else added,
+                                removed.combine_chunks()
+                                if isinstance(removed, pa.ChunkedArray)
+                                else removed,
+                                changed.combine_chunks()
+                                if isinstance(changed, pa.ChunkedArray)
+                                else changed])
+        status = (["added"] * len(added) + ["removed"] * len(removed)
+                  + ["changed"] * len(changed))
+        return pa.table({"doc_id": ids,
+                         "status": pa.array(status, pa.string())})
+
+    return bucketed_group_agg(unioned, lambda t: t, "doc_id", classify,
+                              num_buckets=num_buckets)
+
+
 def source_unigram_kl(documents: rd.Dataset,
                       num_buckets: int = 1024) -> rd.Dataset:
     """(source, kl_bits, n_tokens): KL divergence (bits) of each

@@ -273,6 +273,23 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_corpus_diff_classifies_delta(ray_session):
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["one", "two", "three", "four"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([2, 3, 4, 9], pa.int64()),
+        "text": pa.array(["two", "three CHANGED", "four", "nine"],
+                         pa.string()),
+    })
+    got = {r["doc_id"]: r["status"] for r in corpus.corpus_diff(
+        rd.from_arrow(old).repartition(2),
+        rd.from_arrow(new).repartition(3), num_buckets=16).take_all()}
+    # doc 2 and 4 unchanged -> absent; 1 removed; 3 changed; 9 added
+    assert got == {1: "removed", 3: "changed", 9: "added"}
+
+
 def test_source_unigram_kl_matches_bruteforce(ray_session):
     import math
     from collections import Counter
