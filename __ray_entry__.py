@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window-function analogs: LAG / ROW_NUMBER as bucketed
         # sorted-segment passes
         "event_lag_stats": relational.event_lag_stats,
+        # first-order Markov transition matrix (LEAD window twin)
+        "event_transitions": relational.event_transitions,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # anti-join (no broadcast side) + rollup multi-level aggregate
         "customers_without_orders": relational.customers_without_orders,
@@ -1179,6 +1181,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(d_us)::DOUBLE / (count(d_us)::DOUBLE * 1e6),
                          4) AS avg_delta_s
             FROM w WHERE d_us IS NOT NULL GROUP BY 1""",
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*)::BIGINT AS n,
+                   round(count(*) / sum(count(*))
+                             OVER (PARTITION BY event_type), 6) AS p
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         "top_orders_per_customer": """
             SELECT o_custkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -181,6 +181,12 @@ def main_worker(num_cpus: int, n_docs: int) -> None:
 def _spawn_worker(num_cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    # Ray nices workers to 15 by default (raylet RAY_worker_niceness);
+    # on a shared host that lets ANY external nice-0 process starve the
+    # measured legs disproportionately under CFS. Run measurement
+    # workers at normal priority so light co-tenant load degrades both
+    # legs evenly instead of silently crushing the wide one.
+    env.setdefault("RAY_worker_niceness", "0")
     cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
            str(num_cpus), str(n_docs)]
     # Pin the whole process tree to num_cpus PHYSICAL cores: ray.init's

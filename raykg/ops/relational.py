@@ -1045,6 +1045,65 @@ def event_lag_stats(sf_dir: str, num_buckets: int = 256) -> pa.Table:
     })
 
 
+def event_transitions(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(from_type, to_type, n, p): the first-order Markov transition
+    matrix of the per-user event stream — the
+    ``LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` window without a window engine. Same bucketed
+    sorted-segment pass as :func:`event_lag_stats`: users hash into
+    buckets, one vectorized lexsort per bucket, consecutive same-user
+    rows pair up; partial (from, to, n) counts aggregate through
+    ``small_key_agg`` (the matrix is types x types — register-sized).
+    p = n / total-out-of-from, rounded to 6 (DuckDB-parity round).
+    Shuffle volume: each event row crosses once; partials are
+    matrix-sized per bucket."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(uid) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        idx = np.flatnonzero(uid[1:] == uid[:-1])
+        et = t.column("event_type").combine_chunks()
+        g = pa.table({"from_type": et.take(pa.array(idx)),
+                      "to_type": et.take(pa.array(idx + 1))}) \
+            .group_by(["from_type", "to_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"from_type": g.column("from_type"),
+                         "to_type": g.column("to_type"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    tot = small_key_agg(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow"),
+        _sum_combine(["from_type", "to_type"], ["n"]))
+    frm = tot.column("from_type").to_pylist()
+    ns = tot.column("n").to_pylist()
+    totals: dict[str, int] = {}
+    for f, n in zip(frm, ns):
+        totals[f] = totals.get(f, 0) + n
+    p = [round_half_away(n / totals[f], 6) for f, n in zip(frm, ns)]
+    return pa.table({"from_type": tot.column("from_type"),
+                     "to_type": tot.column("to_type"),
+                     "n": tot.column("n"),
+                     "p": pa.array(p, pa.float64())})
+
+
 def top_orders_per_customer(sf_dir: str, k: int = 2,
                             num_buckets: int = 256) -> rd.Dataset:
     """Top-k orders per customer by (o_totalprice DESC, o_orderkey ASC)
