@@ -131,6 +131,20 @@ def test_event_lag_stats_matches_duckdb(ray_session, tmp_path):
     assert int(purch.n_deltas) == 3
 
 
+def test_event_transitions_matches_duckdb(ray_session, tmp_path):
+    sf = _sf_dir(tmp_path)
+    got = relational.event_transitions(sf).to_pandas()
+    assert _norm(got) == _norm(_oracle("event_transitions"))
+    # user 1's stream: click,purchase,click,click,purchase,purchase,view —
+    # the same-ts rows at minute 10 order by event_id, so click->click
+    # happens exactly once
+    row = got[(got.from_type == "click") & (got.to_type == "click")]
+    assert len(row) == 1 and int(row.iloc[0].n) == 1
+    # out-probabilities per from_type sum to ~1
+    sums = got.groupby("from_type").p.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
 def test_top_orders_per_customer_rank_semantics(ray_session, tmp_path):
     import pandas as pd
 
