@@ -720,6 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # second snapshot (drop %13, append ' v2' to %7, add %11 as new)
         "corpus_diff": lambda sf: corpus.corpus_diff(
             _docs(sf), _snapshot_b(_docs(sf))),
+        # bottom-k sketch source-similarity matrix (lexical Jaccard)
+        "source_similarity": lambda sf: corpus.source_similarity_sketch(
+            _docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1820,6 +1823,31 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1)
             SELECT f::BIGINT AS freq, count(*)::BIGINT AS n_tokens
             FROM c GROUP BY 1""",
+        "source_similarity": f"""
+            WITH ranks AS (
+              SELECT DISTINCT source, substr(sha256(tok), 1, 16) AS r
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)),
+            sk AS (SELECT source, r FROM ranks
+                   QUALIFY row_number() OVER (PARTITION BY source
+                                              ORDER BY r) <= 256),
+            srcs AS (SELECT DISTINCT source FROM sk),
+            prs AS (SELECT a.source AS sa, b.source AS sb
+                    FROM srcs a JOIN srcs b ON a.source < b.source),
+            mer AS (SELECT p.sa, p.sb, s.r,
+                           max(CASE WHEN s.source = p.sa
+                                    THEN 1 ELSE 0 END) AS in_a,
+                           max(CASE WHEN s.source = p.sb
+                                    THEN 1 ELSE 0 END) AS in_b
+                    FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+                    GROUP BY 1, 2, 3),
+            top AS (SELECT *, row_number() OVER (PARTITION BY sa, sb
+                                                 ORDER BY r) AS rn
+                    FROM mer)
+            SELECT sa AS source_a, sb AS source_b,
+                   round(sum(in_a * in_b)::DOUBLE / count(*), 6)
+                       AS est_jaccard,
+                   count(*)::BIGINT AS k_used
+            FROM top WHERE rn <= 256 GROUP BY 1, 2""",
         "corpus_diff": """
             WITH a AS (SELECT doc_id, sha256(text) AS h FROM documents),
             b0 AS (SELECT doc_id,

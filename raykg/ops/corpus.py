@@ -188,6 +188,94 @@ def bottomk_sample(documents: rd.Dataset, k: int = 50,
     return partials.sort("sample_rank").limit(k)
 
 
+def source_similarity_sketch(documents: rd.Dataset, k: int = 256,
+                             num_buckets: int = 64) -> pa.Table:
+    """(source_a, source_b, est_jaccard, k_used): pairwise LEXICAL
+    similarity between sources, estimated from per-source bottom-k
+    sketches of the distinct-token sets (Cohen & Kaplan PODC'07 — the
+    same sketch family as :func:`bottomk_sample`, here used as a
+    set-similarity estimator): J_hat = |{r in bottom-k(S_a u S_b):
+    r in S_a and r in S_b}| / k_used, k_used = min(k, |merged|),
+    membership judged against the sketches (the standard estimator).
+    Rounded to 6. The cheap way to compare two 10 TB slices without
+    touching their cross product.
+
+    Scale shape: each batch ships its local per-source bottom-k of
+    sha token ranks (k x sources rows per batch, never the vocabulary);
+    ONE source-keyed exchange merges them; the pair arithmetic runs on
+    the driver over the sketch table (k x sources rows — register-
+    sized, like cross_source_overlap's output)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        per: dict[str, set] = {}
+        memo: dict[str, str] = {}
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            bucket = per.setdefault(s, set())
+            for tok in _tokens(txt):
+                r = memo.get(tok)
+                if r is None:
+                    r = memo[tok] = sha_hex(tok)[:16]
+                bucket.add(r)
+        # sentinel source "": real sources are non-empty
+        out_s, out_r = [""], [""]
+        for s, ranks in per.items():
+            for r in sorted(ranks)[:k]:
+                out_s.append(s)
+                out_r.append(r)
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "r": pa.array(out_r, pa.string())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("source"), ""))
+        t = t.take(pc.sort_indices(t, sort_keys=[("source", "ascending"),
+                                                 ("r", "ascending")]))
+        srcs = t.column("source").to_pylist()
+        rs = t.column("r").to_pylist()
+        out_s, out_r = [""], [""]
+        last_s, last_r, n = None, None, 0
+        for s, r in zip(srcs, rs):
+            if s != last_s:
+                last_s, last_r, n = s, None, 0
+            if r == last_r:              # cross-batch duplicate rank
+                continue
+            last_r = r
+            n += 1
+            if n <= k:
+                out_s.append(s)
+                out_r.append(r)
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "r": pa.array(out_r, pa.string())})
+
+    sk = bucketed_group_agg(
+        documents.select_columns(["source", "text"]).map_batches(
+            local, batch_format="pyarrow"),
+        lambda t: t, "source", fin, num_buckets=num_buckets)
+
+    sketches: dict[str, list] = {}
+    for row in sk.take_all():                 # k x sources rows
+        if row["source"]:
+            sketches.setdefault(row["source"], []).append(row["r"])
+    names = sorted(sketches)
+    a_col, b_col, j_col, k_col = [], [], [], []
+    for i, a in enumerate(names):
+        sa = set(sketches[a])
+        for b in names[i + 1:]:
+            sb = set(sketches[b])
+            merged = sorted(sa | sb)[:k]
+            k_used = len(merged)
+            inter = sum(1 for r in merged if r in sa and r in sb)
+            a_col.append(a)
+            b_col.append(b)
+            j_col.append(round_half_away(inter / k_used, 6)
+                         if k_used else 0.0)
+            k_col.append(k_used)
+    return pa.table({"source_a": pa.array(a_col, pa.string()),
+                     "source_b": pa.array(b_col, pa.string()),
+                     "est_jaccard": pa.array(j_col, pa.float64()),
+                     "k_used": pa.array(k_col, pa.int64())})
+
+
 def pack_sequences(documents: rd.Dataset, target_tokens: int = 256,
                    bucket_docs: int = 4096) -> rd.Dataset:
     """Sequence packing for training: assign each doc (in doc_id order) to a

@@ -273,6 +273,30 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_source_similarity_sketch_exact_when_k_covers(ray_session):
+    """With k >= the union vocabulary, the estimate IS the exact token
+    Jaccard; identical sources read 1.0 and disjoint ones 0.0."""
+    rows = [("a", "x y z"), ("a", "x q"), ("b", "x y z q"),
+            ("c", "p r"), ("d", "x y z"), ("d", "q")]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    t = corpus.source_similarity_sketch(
+        rd.from_arrow(docs).repartition(3), k=64, num_buckets=16)
+    got = {(a, b): (j, ku) for a, b, j, ku in zip(
+        t.column("source_a").to_pylist(), t.column("source_b").to_pylist(),
+        t.column("est_jaccard").to_pylist(), t.column("k_used").to_pylist())}
+    vocab = {"a": {"x", "y", "z", "q"}, "b": {"x", "y", "z", "q"},
+             "c": {"p", "r"}, "d": {"x", "y", "z", "q"}}
+    for (a, b), (j, ku) in got.items():
+        want = len(vocab[a] & vocab[b]) / len(vocab[a] | vocab[b])
+        assert abs(j - want) < 1e-9, (a, b, j, want)
+        assert ku == len(vocab[a] | vocab[b])
+    assert got[("a", "b")][0] == 1.0 and got[("a", "c")][0] == 0.0
+
+
 def test_corpus_diff_classifies_delta(ray_session):
     old = pa.table({
         "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
