@@ -820,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
+        "graph_communities":
+            lambda sf: graph.label_propagation(graph.synth_graph_edges(),
+                                               rounds=4),
         # p_intra=1.0 keeps every edge inside its 40-node community, so the
         # graph has many components (0.8 would merge everything into one)
         "graph_components": lambda sf: graph.connected_components(
@@ -989,6 +992,30 @@ def _pagerank_sql(iters: int) -> str:
     return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
 
 
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous majority label propagation (exact round
+    semantics of raykg.ops.graph.label_propagation: every node adopts
+    the most frequent previous-round neighbor label, ties -> smallest
+    label; exactly ``rounds`` rounds)."""
+    sql = _graph_sql() + """,
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b FROM g),
+    nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+                        UNION ALL SELECT b, a FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM nb)"""
+    for r in range(rounds):
+        sql += f""",
+    v{r} AS MATERIALIZED (
+      SELECT nb.node, l.lab, count(*) AS c
+      FROM nb JOIN l{r} l ON l.node = nb.nbr
+      GROUP BY 1, 2),
+    l{r + 1} AS MATERIALIZED (
+      SELECT node, lab FROM v{r}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, lab) = 1)"""
+    return sql + f"\n    SELECT node, lab AS community FROM l{rounds}"
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled synchronous k-core peel (exact round semantics of
     raykg.ops.graph.kcore: a round recomputes degrees over the current
@@ -1037,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
         "graph_kcore": _kcore_sql(4, 8),
+        "graph_communities": _lpa_sql(4),
         # single-source BFS as a depth-bounded recursive walk; the bound
         # (40) only needs to exceed the source's eccentricity — min(d)
         # per node is the true BFS depth

@@ -1107,3 +1107,155 @@ def kcore(edges: rd.Dataset, k: int = 3, max_rounds: int = 16,
         return t.filter(keep).select(["node", "deg"])
 
     return state.map_batches(emit, batch_format="pyarrow")
+
+
+def label_propagation(edges: rd.Dataset, rounds: int = 4,
+                      num_buckets: int = 256) -> rd.Dataset:
+    """(node, community): synchronous majority label propagation over
+    the undirected simple graph underlying ``edges`` — the classic
+    near-linear community detector (Raghavan et al. 2007). Labels start
+    as node ids; each round, every node adopts the most frequent label
+    among its neighbors' previous-round labels, ties -> smallest label.
+    Runs EXACTLY ``rounds`` rounds (no early exit), so the unrolled
+    DuckDB twin replays byte-identical rounds; all-integer state keeps
+    the parity bit-exact. Isolated nodes don't occur in an edge list,
+    so every node has >= 1 neighbor and always receives offers.
+
+    Two bucketed exchanges per round, nothing node-sized on the driver:
+    1. nbr-keyed ATTACH (skipped in round 1, where lab0(v) = v makes
+       the neighbor's label just the neighbor id): state rows and
+       (nbr, node) rows hash by the neighbor; a sorted ``searchsorted``
+       hands each edge endpoint its neighbor's label;
+    2. node-keyed MAJORITY: per-(node, lab) run-length counts via one
+       lexsort + ``diff`` on segment starts, then argmax with the
+       smallest-label tie-break via a second lexsort — no per-group
+       Python."""
+    def _ab(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return _np(t.column("a")), _np(t.column("b"))
+
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        route = ((a.astype(np.uint64) * np.uint64(2654435761)
+                  + b.astype(np.uint64))
+                 & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]]),
+                         "ph": np.concatenate([route, [_SENT]])})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        return pa.table({"a": np.concatenate([a, [_SENT]]),
+                         "b": np.concatenate([b, [_SENT]])})
+
+    und = bucketed_group_agg(edges, canon, "ph", distinct,
+                             num_buckets=num_buckets).materialize()
+
+    def nb_rows(t: pa.Table) -> pa.Table:
+        a, b = _ab(t)
+        real = a >= 0
+        a, b = a[real], b[real]
+        return pa.table({
+            "node": np.concatenate([a, b, [_SENT]]),
+            "nbr": np.concatenate([b, a, [_SENT]])})
+
+    nb = und.map_batches(nb_rows, batch_format="pyarrow").materialize()
+
+    def majority(t: pa.Table) -> pa.Table:
+        node, lab = _np(t.column("node")), _np(t.column("lab"))
+        real = node >= 0
+        node, lab = node[real], lab[real]
+        if not len(node):
+            return pa.table({"node": np.array([_SENT], np.int64),
+                             "lab": np.array([_SENT], np.int64)})
+        order = np.lexsort((lab, node))
+        node, lab = node[order], lab[order]
+        pstart = np.flatnonzero(np.concatenate(
+            ([True], (node[1:] != node[:-1]) | (lab[1:] != lab[:-1]))))
+        cnt = np.diff(np.concatenate([pstart, [len(node)]]))
+        pn, pl = node[pstart], lab[pstart]
+        sel = np.lexsort((pl, -cnt, pn))
+        pn, pl = pn[sel], pl[sel]
+        nstart = np.flatnonzero(np.concatenate(
+            ([True], pn[1:] != pn[:-1])))
+        return pa.table({
+            "node": np.concatenate([pn[nstart], [_SENT]]),
+            "lab": np.concatenate([pl[nstart], [_SENT]])})
+
+    def nbr_key_rows(t: pa.Table) -> pa.Table:
+        node, nbr = _np(t.column("node")), _np(t.column("nbr"))
+        return pa.table({
+            "key": nbr,
+            "node": node,
+            "lab": np.zeros(len(node), np.int64),
+            "is_state": np.zeros(len(node), np.int8)})
+
+    def state_key_rows(t: pa.Table) -> pa.Table:
+        node, lab = _np(t.column("node")), _np(t.column("lab"))
+        return pa.table({
+            "key": node,
+            "node": np.full(len(node), _SENT, np.int64),
+            "lab": lab,
+            "is_state": np.ones(len(node), np.int8)})
+
+    def attach(t: pa.Table) -> pa.Table:
+        key, node = _np(t.column("key")), _np(t.column("node"))
+        lab, st = _np(t.column("lab")), _np(t.column("is_state"))
+        real = key >= 0
+        key, node, lab, st = key[real], node[real], lab[real], st[real]
+        is_s = st == 1
+        skey, slab = key[is_s], lab[is_s]
+        order = np.argsort(skey, kind="stable")
+        skey, slab = skey[order], slab[order]
+        ekey, enode = key[~is_s], node[~is_s]
+        if len(skey) and len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            idx[idx >= len(skey)] = len(skey) - 1
+            hit = skey[idx] == ekey
+            off_n, off_l = enode[hit], slab[idx[hit]]
+        else:
+            off_n = np.empty(0, np.int64)
+            off_l = np.empty(0, np.int64)
+        return pa.table({"node": np.concatenate([off_n, [_SENT]]),
+                         "lab": np.concatenate([off_l, [_SENT]])})
+
+    state: rd.Dataset | None = None
+    for _ in range(rounds):
+        if state is None:
+            # round 1: lab0(v) = v, so the neighbor's label IS its id
+            offers = nb.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "lab": t.column("nbr")}),
+                batch_format="pyarrow")
+        else:
+            offers = bucketed_group_agg(
+                nb.map_batches(nbr_key_rows, batch_format="pyarrow")
+                .union(state.map_batches(state_key_rows,
+                                         batch_format="pyarrow")),
+                lambda t: t, "key", attach, num_buckets=num_buckets)
+        state = bucketed_group_agg(offers, lambda t: t, "node", majority,
+                                   num_buckets=num_buckets).materialize()
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("node"), 0))
+        return pa.table({"node": t.column("node"),
+                         "community": t.column("lab")})
+
+    return state.map_batches(fin, batch_format="pyarrow")

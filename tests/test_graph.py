@@ -268,3 +268,18 @@ def test_kcore_matches_brute_force_peel(ray_session):
     got2 = _df(graph.kcore(graph.synth_graph_edges().repartition(9), k=k),
                "node")
     assert got.equals(got2)
+
+
+def test_label_propagation_two_triangles_with_bridge(ray_session):
+    """Two triangles joined by one bridge settle into two communities
+    (per-triangle min label) within 4 synchronous majority rounds; the
+    result is block-layout invariant."""
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+             (1, 0)]   # duplicate/reversed edge must not bias counts
+    ds = _edges(edges)
+    d = _df(graph.label_propagation(ds, rounds=4), "node")
+    assert d["node"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert d["community"].tolist() == [0, 0, 0, 2, 2, 2]
+    d2 = _df(graph.label_propagation(_edges(edges).repartition(5),
+                                     rounds=4), "node")
+    assert d.equals(d2)
