@@ -823,6 +823,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_communities":
             lambda sf: graph.label_propagation(graph.synth_graph_edges(),
                                                rounds=4),
+        # deterministic negative edge sampling (link-prediction training)
+        "graph_negatives":
+            lambda sf: graph.negative_samples(graph.synth_graph_edges(),
+                                              n_nodes=2000),
         # p_intra=1.0 keeps every edge inside its 40-node community, so the
         # graph has many components (0.8 would merge everything into one)
         "graph_components": lambda sf: graph.connected_components(
@@ -1065,6 +1069,24 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(3),
         "graph_kcore": _kcore_sql(4, 8),
         "graph_communities": _lpa_sql(4),
+        "graph_negatives": _graph_sql() + """,
+            nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+            cand AS (
+              SELECT node AS src, j,
+                     (('0x' || substr(sha256('neg|42|' || node::VARCHAR
+                          || '|' || j::VARCHAR), 1, 8))::UBIGINT
+                      % 2000)::BIGINT AS dst
+              FROM nodes CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+            ok AS (SELECT c.* FROM cand c
+                   WHERE c.dst <> c.src
+                     AND NOT EXISTS (SELECT 1 FROM g
+                                     WHERE g.src = c.src
+                                       AND g.dst = c.dst)),
+            ded AS (SELECT src, dst, min(j) AS j FROM ok GROUP BY 1, 2)
+            SELECT src, dst AS neg_dst, j FROM ded
+            QUALIFY row_number() OVER (PARTITION BY src
+                                       ORDER BY j, dst) <= 3""",
         # single-source BFS as a depth-bounded recursive walk; the bound
         # (40) only needs to exceed the source's eccentricity — min(d)
         # per node is the true BFS depth

@@ -1259,3 +1259,129 @@ def label_propagation(edges: rd.Dataset, rounds: int = 4,
                          "community": t.column("lab")})
 
     return state.map_batches(fin, batch_format="pyarrow")
+
+
+def negative_samples(edges: rd.Dataset, n_nodes: int, per_node: int = 3,
+                     draws: int = 8, seed: int = 42,
+                     num_buckets: int = 256) -> rd.Dataset:
+    """(src, neg_dst, j): deterministic negative edge sampling for
+    link-prediction training — for every node that appears as an edge
+    endpoint, up to ``per_node`` uniform non-neighbors drawn by sha
+    (draw j of node v proposes dst = sha('neg|seed|v|j') % n_nodes;
+    self-loops and existing DIRECTED edges are rejected, duplicates
+    keep their smallest j, survivors keep the ``per_node`` smallest j).
+    Deterministic and reshard-stable, so a resumed training run re-draws
+    the exact negative set — the property random.choice cannot give.
+
+    Three bucketed exchanges, nothing node- or edge-sized on the driver:
+    1. distinct endpoint nodes (node-keyed);
+    2. membership anti-join of the candidate stream against the edge
+       set on the packed pair key (requires ids < 2^31, checked — the
+       same envelope as triangle_counts);
+    3. per-src rank-and-keep (src-keyed sorted-segment pass)."""
+    edges = edges.materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if np.concatenate([src, dst, [0]]).max() >= (1 << 31) or \
+                n_nodes > (1 << 31):
+            raise ValueError("negative_samples packs pairs as "
+                             "src * 2^31 + dst; ids must be < 2^31")
+        node = np.unique(np.concatenate([src, dst]))
+        return pa.table({"node": np.concatenate([node, [_SENT]])})
+
+    def node_fin(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        node = np.unique(node[node >= 0])
+        return pa.table({"node": np.concatenate([node, [_SENT]])})
+
+    nodes = bucketed_group_agg(edges, node_rows, "node", node_fin,
+                               num_buckets=num_buckets)
+
+    # candidate + edge rows meet on the packed pair key
+    def cand_rows(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        node = node[node >= 0]
+        pks, srcs, dsts, js = [_SENT], [_SENT], [_SENT], [0]
+        for v in node.tolist():
+            for j in range(draws):
+                c = int(sha_hex(f"neg|{seed}|{v}|{j}")[:8], 16) % n_nodes
+                if c == v:
+                    continue
+                pks.append(v * (1 << 31) + c)
+                srcs.append(v)
+                dsts.append(c)
+                js.append(j)
+        return pa.table({"pk": pa.array(pks, pa.int64()),
+                         "src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64()),
+                         "j": pa.array(js, pa.int64()),
+                         "is_edge": pa.array([0] * len(pks), pa.int8())})
+
+    def edge_pk_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        pk = src * (1 << 31) + dst
+        n = len(pk)
+        return pa.table({"pk": np.concatenate([pk, [_SENT]]),
+                         "src": np.concatenate([src, [_SENT]]),
+                         "dst": np.concatenate([dst, [_SENT]]),
+                         "j": np.zeros(n + 1, np.int64),
+                         "is_edge": np.ones(n + 1, np.int8)})
+
+    def anti(t: pa.Table) -> pa.Table:
+        pk, st = _np(t.column("pk")), _np(t.column("is_edge"))
+        real = pk >= 0
+        pk, st = pk[real], st[real]
+        src = _np(t.column("src"))[real]
+        dst = _np(t.column("dst"))[real]
+        j = _np(t.column("j"))[real]
+        edge_pks = np.unique(pk[st == 1])
+        is_c = st == 0
+        cpk, csrc, cdst, cj = pk[is_c], src[is_c], dst[is_c], j[is_c]
+        if len(edge_pks):
+            idx = np.searchsorted(edge_pks, cpk)
+            idx[idx >= len(edge_pks)] = len(edge_pks) - 1
+            keep = edge_pks[idx] != cpk
+            csrc, cdst, cj, cpk = (csrc[keep], cdst[keep], cj[keep],
+                                   cpk[keep])
+        # duplicate draws of the same pair keep their smallest j
+        order = np.lexsort((cj, cpk))
+        cpk, csrc, cdst, cj = cpk[order], csrc[order], cdst[order], cj[order]
+        first = np.concatenate(([True], cpk[1:] != cpk[:-1])) \
+            if len(cpk) else np.empty(0, bool)
+        return pa.table({
+            "src": np.concatenate([csrc[first], [_SENT]]),
+            "dst": np.concatenate([cdst[first], [_SENT]]),
+            "j": np.concatenate([cj[first], [0]])})
+
+    survivors = bucketed_group_agg(
+        nodes.map_batches(cand_rows, batch_format="pyarrow")
+        .union(edges.map_batches(edge_pk_rows, batch_format="pyarrow")),
+        lambda t: t, "pk", anti, num_buckets=num_buckets)
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        j = _np(t.column("j"))
+        real = src >= 0
+        src, dst, j = src[real], dst[real], j[real]
+        order = np.lexsort((dst, j, src))
+        src, dst, j = src[order], dst[order], j[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], src[1:] != src[:-1]))) if len(src) else \
+            np.empty(0, np.int64)
+        rank = np.arange(len(src)) - np.repeat(
+            start, np.diff(np.concatenate([start, [len(src)]])))
+        keep = rank < per_node
+        return pa.table({
+            "src": np.concatenate([src[keep], [_SENT]]),
+            "neg_dst": np.concatenate([dst[keep], [_SENT]]),
+            "j": np.concatenate([j[keep], [0]])})
+
+    ranked = bucketed_group_agg(survivors, lambda t: t, "src", keep_k,
+                                num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("src"), 0))
+
+    return ranked.map_batches(fin, batch_format="pyarrow")

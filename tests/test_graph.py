@@ -283,3 +283,22 @@ def test_label_propagation_two_triangles_with_bridge(ray_session):
     d2 = _df(graph.label_propagation(_edges(edges).repartition(5),
                                      rounds=4), "node")
     assert d.equals(d2)
+
+
+def test_negative_samples_are_nonedges_and_stable(ray_session):
+    """Every sample is a non-edge and non-self-loop; counts respect
+    per_node; the draw is reshard-stable."""
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3)]
+    ds = _edges(edges)
+    d = _df(graph.negative_samples(ds, n_nodes=4, per_node=2, draws=16),
+            "src")
+    eset = set(edges)
+    for s, nd in zip(d["src"], d["neg_dst"]):
+        assert (s, nd) not in eset and s != nd
+    assert (d.groupby("src").size() <= 2).all()
+    # n_nodes=4 with dense edges still leaves at least one negative per
+    # node here (16 draws cover the 4-value space with certainty ~1)
+    assert set(d["src"]) == {0, 1, 2, 3}
+    d2 = _df(graph.negative_samples(_edges(edges).repartition(4),
+                                    n_nodes=4, per_node=2, draws=16), "src")
+    assert d.reset_index(drop=True).equals(d2.reset_index(drop=True))
