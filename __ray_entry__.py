@@ -723,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bottom-k sketch source-similarity matrix (lexical Jaccard)
         "source_similarity": lambda sf: corpus.source_similarity_sketch(
             _docs(sf)),
+        # dense vocabulary ids (distributed zipWithIndex, no global sort)
+        "vocab_ids": lambda sf: corpus.vocab_ids(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1873,6 +1875,17 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1)
             SELECT f::BIGINT AS freq, count(*)::BIGINT AS n_tokens
             FROM c GROUP BY 1""",
+        "vocab_ids": f"""
+            WITH toks AS (SELECT DISTINCT tok
+                          FROM (SELECT unnest({_TOKS}) AS tok
+                                FROM documents)),
+            b AS (SELECT tok,
+                         ('0x' || substr(sha256(tok), 1, 8))::UBIGINT % 256
+                             AS bucket
+                  FROM toks)
+            SELECT tok, (row_number() OVER (ORDER BY bucket, tok)
+                         - 1)::BIGINT AS id
+            FROM b""",
         "source_similarity": f"""
             WITH ranks AS (
               SELECT DISTINCT source, substr(sha256(tok), 1, 16) AS r

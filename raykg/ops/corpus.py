@@ -188,6 +188,70 @@ def bottomk_sample(documents: rd.Dataset, k: int = 50,
     return partials.sort("sample_rank").limit(k)
 
 
+def vocab_ids(documents: rd.Dataset,
+              num_buckets: int = 256) -> rd.Dataset:
+    """(tok, id): dense consecutive ids 0..V-1 over the corpus's
+    distinct tokens — the vocabulary-construction step of a tokenizer
+    build, i.e. distributed zipWithIndex without a global sort or a
+    driver-resident vocabulary. Ordering contract (what makes the id
+    assignment deterministic AND SQL-replicable): id = rank of the
+    token in (bucket, tok) order, bucket = first-8-sha-hex(tok) %
+    num_buckets — so DuckDB's ``row_number() OVER (ORDER BY bucket,
+    tok) - 1`` reproduces every id bit-for-bit.
+
+    Scale shape: per-batch distinct thins the ONE token-keyed exchange;
+    each bucket enumerates its sorted distinct tokens locally; only the
+    ``num_buckets`` bucket counts visit the driver to become exclusive
+    offsets (broadcast back via closure); a final stateless map adds
+    offset + local position. Nothing vocabulary-sized ever lands on the
+    driver."""
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks: set = set()
+        for s in t.column("text").to_pylist():
+            toks.update(_tokens(s))
+        out = sorted(toks)
+        bucket = [int(sha_hex(tok)[:8], 16) % num_buckets for tok in out]
+        # sentinel bucket -1 keeps zero-row blocks typed; dropped below
+        return pa.table({
+            "bucket": pa.array(bucket + [-1], pa.int32()),
+            "tok": pa.array(out + [""], pa.string())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("bucket"), 0))
+        if not t.num_rows:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "pos": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string())})
+        b = t.column("bucket")[0].as_py()
+        toks = sorted(set(t.column("tok").to_pylist()))
+        return pa.table({
+            "bucket": pa.array([b] * len(toks), pa.int32()),
+            "pos": pa.array(range(len(toks)), pa.int64()),
+            "tok": pa.array(toks, pa.string())})
+
+    positioned = documents.select_columns(["text"]) \
+        .map_batches(tok_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    counts = {int(r["bucket"]): int(r["count()"])
+              for r in positioned.groupby("bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def assign(t: pa.Table) -> pa.Table:
+        bs = t.column("bucket").to_pylist()
+        pos = t.column("pos").to_pylist()
+        ids = [offsets[b] + p for b, p in zip(bs, pos)]
+        return pa.table({"tok": t.column("tok"),
+                         "id": pa.array(ids, pa.int64())})
+
+    return positioned.map_batches(assign, batch_format="pyarrow")
+
+
 def source_similarity_sketch(documents: rd.Dataset, k: int = 256,
                              num_buckets: int = 64) -> pa.Table:
     """(source_a, source_b, est_jaccard, k_used): pairwise LEXICAL

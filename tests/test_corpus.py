@@ -273,6 +273,28 @@ def test_bottomk_sample_matches_bruteforce_and_partitioning(ray_session):
         rd.from_arrow(small), k=50).take_all()) == 2
 
 
+def test_vocab_ids_dense_and_stable(ray_session):
+    from raykg.functions.hashing import sha_hex
+
+    texts = ["red green blue", "green blue yellow", "red", ""]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = {r["tok"]: r["id"] for r in corpus.vocab_ids(
+        rd.from_arrow(docs), num_buckets=8).take_all()}
+    vocab = {"red", "green", "blue", "yellow"}
+    assert set(got) == vocab
+    assert sorted(got.values()) == [0, 1, 2, 3]       # dense 0..V-1
+    want_order = sorted(vocab, key=lambda w: (
+        int(sha_hex(w)[:8], 16) % 8, w))
+    assert [t for t, _ in sorted(got.items(), key=lambda kv: kv[1])] \
+        == want_order
+    got2 = {r["tok"]: r["id"] for r in corpus.vocab_ids(
+        rd.from_arrow(docs).repartition(3), num_buckets=8).take_all()}
+    assert got2 == got
+
+
 def test_source_similarity_sketch_exact_when_k_covers(ray_session):
     """With k >= the union vocabulary, the estimate IS the exact token
     Jaccard; identical sources read 1.0 and disjoint ones 0.0."""
