@@ -725,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)),
         # dense vocabulary ids (distributed zipWithIndex, no global sort)
         "vocab_ids": lambda sf: corpus.vocab_ids(_docs(sf)),
+        # corpus encoding: '_'-joined dense id sequence per doc
+        "encode_documents": lambda sf: corpus.encode_documents(_docs(sf)),
         # HyperLogLog sketch: mergeable per-batch register partials,
         # integer-exact register table + corrected estimate
         "hll_registers": lambda sf: corpus.hll_token_registers(_docs(sf)),
@@ -1886,6 +1888,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, (row_number() OVER (ORDER BY bucket, tok)
                          - 1)::BIGINT AS id
             FROM b""",
+        "encode_documents": f"""
+            WITH toks AS (SELECT DISTINCT tok
+                          FROM (SELECT unnest({_TOKS}) AS tok
+                                FROM documents)),
+            b AS (SELECT tok,
+                         ('0x' || substr(sha256(tok), 1, 8))::UBIGINT % 256
+                             AS bucket
+                  FROM toks),
+            v AS (SELECT tok, (row_number() OVER (ORDER BY bucket, tok)
+                               - 1)::BIGINT AS id
+                  FROM b),
+            t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                   FROM t),
+            occ AS (SELECT doc_id, tk[i] AS tok, i FROM ix)
+            SELECT occ.doc_id,
+                   string_agg(v.id::VARCHAR, '_' ORDER BY occ.i) AS ids,
+                   count(*)::BIGINT AS n_tokens
+            FROM occ JOIN v USING (tok)
+            GROUP BY 1""",
         "source_similarity": f"""
             WITH ranks AS (
               SELECT DISTINCT source, substr(sha256(tok), 1, 16) AS r

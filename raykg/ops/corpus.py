@@ -252,6 +252,101 @@ def vocab_ids(documents: rd.Dataset,
     return positioned.map_batches(assign, batch_format="pyarrow")
 
 
+def encode_documents(documents: rd.Dataset,
+                     num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, ids, n_tokens): every document encoded as its
+    '_'-joined dense vocabulary id sequence (token order preserved) —
+    the corpus-encoding half of the tokenizer path whose vocabulary
+    half is :func:`vocab_ids`. Docs with no tokens are omitted.
+
+    Broadcast-free: the vocabulary never ships to workers as a whole
+    and the text never rides a shuffle. Two exchanges: (1) token-keyed
+    tag-join of the (tok, doc, pos) occurrence stream against the
+    (tok, id) vocab stream (vectorized ``index_in``); (2) doc-keyed
+    ordered reassembly (one lexsort per bucket). Occurrences cross the
+    wire twice as register-sized rows — the canonical encode shape."""
+    import numpy as np
+
+    vocab = vocab_ids(documents, num_buckets=num_buckets)
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        docs, toks, pos = [-1], [""], [0]
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for i, tok in enumerate(_tokens(s)):
+                docs.append(d)
+                toks.append(tok)
+                pos.append(i)
+        return pa.table({"tok": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "vid": pa.array([-1] * len(docs), pa.int64()),
+                         "tag": pa.array([0] * len(docs), pa.int8())})
+
+    def vocab_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "tok": pa.concat_arrays([t.column("tok").combine_chunks(),
+                                     pa.array([""], pa.string())]),
+            "doc_id": pa.array([-1] * (n + 1), pa.int64()),
+            "pos": pa.array([0] * (n + 1), pa.int64()),
+            "vid": pa.concat_arrays([t.column("id").combine_chunks(),
+                                     pa.array([-1], pa.int64())]),
+            "tag": pa.array([1] * (n + 1), pa.int8())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        tags = t.column("tag").combine_chunks()
+        build = t.filter(pc.equal(tags, 1))
+        probe = t.filter(pc.equal(tags, 0))
+        probe = probe.filter(pc.greater_equal(probe.column("doc_id"), 0))
+        idx = pc.index_in(probe.column("tok"),
+                          build.column("tok").combine_chunks())
+        vid = pc.take(build.column("vid").combine_chunks(), idx)
+        if isinstance(vid, pa.ChunkedArray):
+            vid = vid.combine_chunks()
+        # every occurrence's token is in the vocab by construction
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [probe.column("doc_id").combine_chunks(),
+                 pa.array([-1], pa.int64())]),
+            "pos": pa.concat_arrays(
+                [probe.column("pos").combine_chunks(),
+                 pa.array([0], pa.int64())]),
+            "vid": pa.concat_arrays([vid, pa.array([-1], pa.int64())])})
+
+    joined = bucketed_group_agg(
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(occ_rows, batch_format="pyarrow")
+        .union(vocab.map_batches(vocab_rows, batch_format="pyarrow")),
+        lambda t: t, "tok", attach, num_buckets=num_buckets)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        real = d >= 0
+        d = d[real]
+        if not len(d):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ids": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        p = t.column("pos").to_numpy(zero_copy_only=False)[real]
+        v = t.column("vid").to_numpy(zero_copy_only=False)[real]
+        order = np.lexsort((p, d))
+        d, v = d[order], v[order]
+        bounds = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        ends = np.concatenate([bounds[1:], [len(d)]])
+        out_d, out_s, out_n = [], [], []
+        for s, e in zip(bounds, ends):
+            out_d.append(int(d[s]))
+            out_s.append("_".join(str(int(x)) for x in v[s:e]))
+            out_n.append(int(e - s))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "ids": pa.array(out_s, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return bucketed_group_agg(joined, lambda t: t, "doc_id", rebuild,
+                              num_buckets=num_buckets)
+
+
 def source_similarity_sketch(documents: rd.Dataset, k: int = 256,
                              num_buckets: int = 64) -> pa.Table:
     """(source_a, source_b, est_jaccard, k_used): pairwise LEXICAL

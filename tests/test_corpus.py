@@ -295,6 +295,25 @@ def test_vocab_ids_dense_and_stable(ray_session):
     assert got2 == got
 
 
+def test_encode_documents_roundtrip(ray_session):
+    """Decoding the id sequences through the vocab reproduces the
+    original token streams; zero-token docs are omitted."""
+    texts = ["red green blue", "green blue yellow", "red red", ""]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    vocab = {r["id"]: r["tok"] for r in corpus.vocab_ids(
+        ds, num_buckets=8).take_all()}
+    got = {r["doc_id"]: (r["ids"], r["n_tokens"])
+           for r in corpus.encode_documents(ds, num_buckets=8).take_all()}
+    assert set(got) == {0, 1, 2}                      # doc 3 omitted
+    for d, (ids, n) in got.items():
+        toks = [vocab[int(x)] for x in ids.split("_")]
+        assert toks == texts[d].split() and n == len(toks)
+
+
 def test_source_similarity_sketch_exact_when_k_covers(ray_session):
     """With k >= the union vocabulary, the estimate IS the exact token
     Jaccard; identical sources read 1.0 and disjoint ones 0.0."""
