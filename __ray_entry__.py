@@ -837,6 +837,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             graph.synth_graph_edges(p_intra=1.0)),
         "graph_bfs_depths":
             lambda sf: graph.bfs_depths(graph.synth_graph_edges(), source=0),
+        # DeepWalk-style deterministic walk corpus (skip-gram node
+        # embeddings input); every draw a pure sha function -> bit-exact
+        "graph_walks":
+            lambda sf: graph.random_walks(graph.synth_graph_edges(),
+                                          walk_len=4, walks_per_node=2),
+        # common-neighbor / Adamic-Adar link-prediction scores
+        "graph_link_pred":
+            lambda sf: graph.link_prediction_scores(graph.synth_graph_edges()),
     }
 
 
@@ -1049,6 +1057,57 @@ def _kcore_sql(k: int, rounds: int) -> str:
     GROUP BY node"""
 
 
+def _walks_sql(walk_len: int, walks_per_node: int, seed: int = 42) -> str:
+    """Unrolled deterministic random walks (exact step semantics of
+    raykg.ops.graph.random_walks: step s of walk (start, r) moves to the
+    rank-th smallest out-neighbor, rank = sha('walk|seed|start|r|s') %
+    out_deg; dead ends stop the walk)."""
+    sql = _graph_sql() + f""",
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM g),
+    s0 AS MATERIALIZED (
+      SELECT src AS start, r AS walk, src AS node
+      FROM (SELECT DISTINCT src FROM g)
+      CROSS JOIN (SELECT unnest(range(0, {walks_per_node})) AS r))"""
+    union = "SELECT start, walk, 0 AS step, node FROM s0"
+    for s in range(1, walk_len + 1):
+        sql += f""",
+    s{s} AS MATERIALIZED (
+      SELECT w.start, w.walk, a.dst AS node
+      FROM s{s - 1} w JOIN adj a ON a.src = w.node
+       AND a.rnk = (('0x' || substr(sha256('walk|{seed}|'
+               || w.start::VARCHAR || '|' || w.walk::VARCHAR || '|{s}'),
+               1, 8))::UBIGINT % a.deg::UBIGINT)::BIGINT)"""
+        union += f" UNION ALL SELECT start, walk, {s}, node FROM s{s}"
+    return sql + f"\n    SELECT start, walk, step, node FROM ({union})"
+
+
+def _link_pred_sql(min_cn: int) -> str:
+    """Wedge-join twin of raykg.ops.graph.link_prediction_scores: distinct
+    undirected neighbor sets, C(deg, 2) wedges per center, Adamic-Adar
+    1/ln(deg) weights rounded 4dp (the engine sums weights in ascending
+    order before rounding, so the float contract holds)."""
+    return _graph_sql() + f""",
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM g WHERE src <> dst),
+    nbr AS MATERIALIZED (SELECT a AS w, b AS u FROM und
+                         UNION ALL SELECT b, a FROM und),
+    deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM nbr GROUP BY w),
+    sc AS (SELECT n1.u AS u, n2.u AS v, count(*)::BIGINT AS cn,
+                  round(sum(1.0 / ln(d.deg)), 4) AS aa
+           FROM nbr n1 JOIN nbr n2 ON n2.w = n1.w AND n1.u < n2.u
+           JOIN deg d ON d.w = n1.w
+           GROUP BY 1, 2)
+    SELECT sc.u, sc.v, sc.cn, sc.aa,
+           (CASE WHEN e.a IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_edge
+    FROM sc LEFT JOIN und e ON e.a = sc.u AND e.b = sc.v
+    WHERE sc.cn >= {min_cn}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from raykg.ops import corpus as corpus_mod
 
@@ -1073,6 +1132,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(3),
         "graph_kcore": _kcore_sql(4, 8),
         "graph_communities": _lpa_sql(4),
+        "graph_walks": _walks_sql(4, 2),
+        "graph_link_pred": _link_pred_sql(2),
         "graph_negatives": _graph_sql() + """,
             nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),

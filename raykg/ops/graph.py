@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from raykg.functions.hashing import hex_threshold8, sha_hex
+from raykg.functions.hashing import (hex_threshold8, round_half_away,
+                                     sha_hex, sha_int)
 from raykg.functions.shuffle import bucketed_group_agg
 
 _SHIFT = np.int64(1) << np.int64(31)
@@ -1385,3 +1386,267 @@ def negative_samples(edges: rd.Dataset, n_nodes: int, per_node: int = 3,
         return t.filter(pc.greater_equal(t.column("src"), 0))
 
     return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (DeepWalk-style corpus generation)
+# ---------------------------------------------------------------------------
+
+def random_walks(edges: rd.Dataset, walk_len: int = 4,
+                 walks_per_node: int = 2, seed: int = 42,
+                 num_buckets: int = 256) -> rd.Dataset:
+    """(start, walk, step, node): DeepWalk-style walk corpus over DIRECTED
+    edges — the sentence generator feeding skip-gram node embeddings
+    (Perozzi et al. 2014), downstream of KG construction the same way
+    label_propagation / pagerank are. Every start node (= every distinct
+    edge source) launches ``walks_per_node`` walks; at node v on step s of
+    walk (start, r) the walker moves to the rank-th smallest out-neighbor
+    of v with rank = sha('walk|seed|start|r|s') % out_deg(v). A walker
+    standing on a node with no out-neighbors stops early (its remaining
+    steps are simply absent). Every draw is a pure function of
+    (seed, start, r, s), so the corpus is reshard/resume-stable and the
+    DuckDB twin (unrolled rank-joins against a ROW_NUMBER adjacency CTE)
+    is bit-exact.
+
+    Scale shape: ONE src-keyed bucketed exchange per step — adjacency rows
+    and frontier rows hash into the same bucket; the per-bucket step is a
+    lexsorted adjacency + two searchsorted calls, and the sha draws loop
+    over FRONTIER rows only (walk-sized, never edge-sized). Nothing
+    node- or edge-sized lands on the driver; per-step frontiers are
+    materialized so step k never recomputes steps 0..k-1."""
+    edges = edges.materialize()
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        return pa.table({"node": np.concatenate([np.unique(src), [_SENT]])})
+
+    def src_fin(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        node = np.unique(node[node >= 0])
+        return pa.table({"node": np.concatenate([node, [_SENT]])})
+
+    starts = bucketed_group_agg(edges, src_rows, "node", src_fin,
+                                num_buckets=num_buckets)
+
+    def frontier0(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        node = node[node >= 0]
+        start = np.repeat(node, walks_per_node)
+        walk = np.tile(np.arange(walks_per_node, dtype=np.int64), len(node))
+        return pa.table({
+            "start": np.concatenate([start, [_SENT]]),
+            "walk": np.concatenate([walk, [0]]),
+            "node": np.concatenate([start, [_SENT]])})
+
+    frontier = starts.map_batches(frontier0,
+                                  batch_format="pyarrow").materialize()
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        n = len(src)
+        return pa.table({"node": np.concatenate([src, [_SENT]]),
+                         "dst": np.concatenate([dst, [_SENT]]),
+                         "start": np.full(n + 1, _SENT, np.int64),
+                         "walk": np.zeros(n + 1, np.int64),
+                         "is_adj": np.ones(n + 1, np.int8)})
+
+    adj = edges.map_batches(adj_rows, batch_format="pyarrow").materialize()
+
+    def frontier_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "dst": pa.array([_SENT] * n, pa.int64()),
+                         "start": t.column("start"),
+                         "walk": t.column("walk"),
+                         "is_adj": pa.array([0] * n, pa.int8())})
+
+    def make_step(s: int):
+        def step_fin(t: pa.Table) -> pa.Table:
+            node, dst = _np(t.column("node")), _np(t.column("dst"))
+            start, walk = _np(t.column("start")), _np(t.column("walk"))
+            is_adj = _np(t.column("is_adj"))
+            # adjacency sentinels carry node=-1 and are dropped with the
+            # frontier sentinels here; a fresh sentinel is appended below
+            a = (is_adj == 1) & (node >= 0)
+            f = (is_adj == 0) & (node >= 0)
+            anode, adst = node[a], dst[a]
+            order = np.lexsort((adst, anode))
+            anode, adst = anode[order], adst[order]
+            fnode, fstart, fwalk = node[f], start[f], walk[f]
+            lo = np.searchsorted(anode, fnode, side="left")
+            hi = np.searchsorted(anode, fnode, side="right")
+            deg = hi - lo
+            alive = deg > 0
+            fstart, fwalk = fstart[alive], fwalk[alive]
+            lo, deg = lo[alive], deg[alive]
+            if len(fstart):
+                ranks = np.fromiter(
+                    (sha_int(f"walk|{seed}|{st}|{w}|{s}")
+                     for st, w in zip(fstart.tolist(), fwalk.tolist())),
+                    dtype=np.int64, count=len(fstart)) % deg
+                nxt = adst[lo + ranks]
+            else:
+                nxt = np.empty(0, np.int64)
+            return pa.table({
+                "start": np.concatenate([fstart, [_SENT]]),
+                "walk": np.concatenate([fwalk, [0]]),
+                "node": np.concatenate([nxt, [_SENT]])})
+        return step_fin
+
+    def with_step(s: int):
+        def add(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t.column("start"), 0))
+            return t.append_column(
+                "step", pa.array([s] * t.num_rows, pa.int64()))
+        return add
+
+    outs = [frontier.map_batches(with_step(0), batch_format="pyarrow")]
+    for s in range(1, walk_len + 1):
+        frontier = bucketed_group_agg(
+            adj.union(frontier.map_batches(frontier_rows,
+                                           batch_format="pyarrow")),
+            lambda t: t, "node", make_step(s),
+            num_buckets=num_buckets).materialize()
+        outs.append(frontier.map_batches(with_step(s),
+                                         batch_format="pyarrow"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.select_columns(["start", "walk", "step", "node"])
+
+
+# ---------------------------------------------------------------------------
+# link-prediction scores: common neighbors + Adamic-Adar
+# ---------------------------------------------------------------------------
+
+def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
+                           max_neighbors: int = 128,
+                           num_buckets: int = 256) -> rd.Dataset:
+    """(u, v, cn, aa, is_edge) for every unordered node pair sharing at
+    least ``min_cn`` UNDIRECTED common neighbors: cn = |N(u) ∩ N(v)| and
+    aa = Adamic-Adar Σ_w 1/ln(deg(w)) over the common neighbors w
+    (Adamic & Adar 2003) — the classic KG link-prediction / missing-edge
+    candidate scorer. ``is_edge`` marks pairs already present as an edge
+    (either direction), so ``is_edge = 0`` rows are the predictions.
+
+    Wedge enumeration, never all-pairs: one center-keyed exchange builds
+    each node w's distinct undirected neighbor set and emits the
+    C(deg_w, 2) wedges (u < v) through w; a second pair-keyed exchange
+    sums counts/weights per pair and folds in the undirected edge rows for
+    the ``is_edge`` flag. Hub guard: a center with more than
+    ``max_neighbors`` neighbors is SKIPPED with a loud warning — a
+    celebrity node would otherwise emit O(deg^2) wedges (same contract as
+    _cap_block in ops/dedup.py); the scores near such hubs are then
+    undercounts, raise the cap deliberately if you need them. ``aa`` is
+    rounded to 4 dp after a deterministic ascending-weight summation so
+    the DuckDB twin hash-matches (cf. bigram_logprob's float contract)."""
+    edges = edges.materialize()
+
+    def nbr_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        w = np.concatenate([src, dst])
+        u = np.concatenate([dst, src])
+        pk = np.unique(w * _SHIFT + u)        # in-batch dedup
+        return pa.table({"w": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "u": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    def wedge_fin(t: pa.Table) -> pa.Table:
+        w, u = _np(t.column("w")), _np(t.column("u"))
+        real = w >= 0
+        w, u = w[real], u[real]
+        pk = np.unique(w * _SHIFT + u)        # distinct neighbor pairs
+        w, u = pk // _SHIFT, pk % _SHIFT
+        seg = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1]))) \
+            if len(w) else np.empty(0, np.int64)
+        seglen = np.diff(np.concatenate([seg, [len(w)]])).astype(np.int64)
+        capped = int((seglen > max_neighbors).sum())
+        if capped:
+            import logging
+
+            logging.getLogger("raykg").warning(
+                "link_prediction_scores: %d center node(s) exceed "
+                "max_neighbors=%d and were skipped — pair scores through "
+                "those hubs are undercounted; raise max_neighbors to "
+                "include them", capped, max_neighbors)
+        pks, us, vs, ws = [np.empty(0, np.int64)], [np.empty(0, np.int64)], \
+            [np.empty(0, np.int64)], [np.empty(0, np.float64)]
+        for i, s0 in enumerate(seg.tolist()):
+            d = int(seglen[i])
+            if d < 2 or d > max_neighbors:
+                continue
+            nbrs = u[s0:s0 + d]               # already ascending
+            ia, ib = np.triu_indices(d, k=1)
+            uu, vv = nbrs[ia], nbrs[ib]
+            pks.append(uu * _SHIFT + vv)
+            us.append(uu)
+            vs.append(vv)
+            ws.append(np.full(len(uu), 1.0 / np.log(float(d)), np.float64))
+        pk2 = np.concatenate(pks)
+        n = len(pk2)
+        return pa.table({
+            "pk": np.concatenate([pk2, [_SENT]]),
+            "u": np.concatenate([np.concatenate(us), [_SENT]]),
+            "v": np.concatenate([np.concatenate(vs), [_SENT]]),
+            "c": np.concatenate([np.ones(n, np.int64), [0]]),
+            "wt": np.concatenate([np.concatenate(ws), [0.0]]),
+            "is_edge": np.zeros(n + 1, np.int64)})
+
+    wedges = bucketed_group_agg(edges, nbr_rows, "w", wedge_fin,
+                                num_buckets=num_buckets)
+
+    def edge_pair_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        pk = np.unique(a * _SHIFT + b)
+        n = len(pk)
+        return pa.table({
+            "pk": np.concatenate([pk, [_SENT]]),
+            "u": np.concatenate([pk // _SHIFT, [_SENT]]),
+            "v": np.concatenate([pk % _SHIFT, [_SENT]]),
+            "c": np.zeros(n + 1, np.int64),
+            "wt": np.zeros(n + 1, np.float64),
+            "is_edge": np.concatenate([np.ones(n, np.int64),
+                                        [0]])})
+
+    def score_fin(t: pa.Table) -> pa.Table:
+        pk, c = _np(t.column("pk")), _np(t.column("c"))
+        wt, ie = _np(t.column("wt")), _np(t.column("is_edge"))
+        real = pk >= 0
+        pk, c, wt, ie = pk[real], c[real], wt[real], ie[real]
+        # ascending (pk, wt) lexsort => deterministic float summation order
+        order = np.lexsort((wt, pk))
+        pk, c, wt, ie = pk[order], c[order], wt[order], ie[order]
+        seg = np.flatnonzero(np.concatenate(([True], pk[1:] != pk[:-1]))) \
+            if len(pk) else np.empty(0, np.int64)
+        cn = np.add.reduceat(c, seg) if len(seg) else np.empty(0, np.int64)
+        aa = np.add.reduceat(wt, seg) if len(seg) else \
+            np.empty(0, np.float64)
+        edge_flag = (np.maximum.reduceat(ie, seg) if len(seg) else
+                     np.empty(0, np.int8)).astype(np.int64)
+        upk = pk[seg]
+        keep = cn >= min_cn
+        upk, cn, aa, edge_flag = (upk[keep], cn[keep], aa[keep],
+                                  edge_flag[keep])
+        return pa.table({
+            "u": np.concatenate([upk // _SHIFT, [_SENT]]),
+            "v": np.concatenate([upk % _SHIFT, [_SENT]]),
+            "cn": np.concatenate([cn, [0]]),
+            "aa": np.concatenate([round_half_away(aa, 4), [0.0]]),
+            "is_edge": np.concatenate([edge_flag, [0]])})
+
+    scored = bucketed_group_agg(
+        wedges.union(edges.map_batches(edge_pair_rows,
+                                       batch_format="pyarrow")),
+        lambda t: t, "pk", score_fin, num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("u"), 0))
+
+    return scored.map_batches(fin, batch_format="pyarrow")

@@ -302,3 +302,141 @@ def test_negative_samples_are_nonedges_and_stable(ray_session):
     d2 = _df(graph.negative_samples(_edges(edges).repartition(4),
                                     n_nodes=4, per_node=2, draws=16), "src")
     assert d.reset_index(drop=True).equals(d2.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# random walks
+# ---------------------------------------------------------------------------
+
+def _brute_walks(pairs, walk_len, walks_per_node, seed=42):
+    from raykg.functions.hashing import sha_int
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    rows = []
+    for start in sorted(adj):
+        for r in range(walks_per_node):
+            cur = start
+            rows.append((start, r, 0, cur))
+            for s in range(1, walk_len + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                cur = nbrs[sha_int(f"walk|{seed}|{start}|{r}|{s}")
+                           % len(nbrs)]
+                rows.append((start, r, s, cur))
+    return sorted(rows)
+
+
+def test_random_walks_tiny():
+    # 3 is a dead end: walks passing through it stop early
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 0), (2, 3)]
+    got = _df(graph.random_walks(_edges(pairs), walk_len=3,
+                                 walks_per_node=2), ["start", "walk", "step"])
+    rows = sorted(zip(got["start"], got["walk"], got["step"], got["node"]))
+    assert rows == _brute_walks(pairs, 3, 2)
+    # step-0 rows exist for every distinct src x walk
+    step0 = got[got["step"] == 0]
+    assert len(step0) == 3 * 2
+
+
+def test_random_walks_follow_edges():
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 0), (2, 3), (3, 4),
+             (4, 0), (4, 5)]
+    got = graph.random_walks(_edges(pairs), walk_len=4,
+                             walks_per_node=1).to_pandas()
+    eset = set(pairs)
+    byw = {}
+    for _, r in got.iterrows():
+        byw.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    for (_, _), steps in byw.items():
+        seq = [steps[s] for s in sorted(steps)]
+        assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
+        # no gaps: steps are 0..len-1
+        assert sorted(steps) == list(range(len(steps)))
+
+
+def test_random_walks_partition_invariance():
+    pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(30) if i % 7 !=
+             (i * 3 + 1) % 7]
+    a = graph.random_walks(_edges(pairs).repartition(1), walk_len=2,
+                           walks_per_node=2).to_pandas()
+    b = graph.random_walks(_edges(pairs).repartition(7), walk_len=2,
+                           walks_per_node=2).to_pandas()
+    key = ["start", "walk", "step"]
+    pa_ = a.sort_values(key).reset_index(drop=True)
+    pb_ = b.sort_values(key).reset_index(drop=True)
+    assert pa_.equals(pb_)
+
+
+# ---------------------------------------------------------------------------
+# link-prediction scores (common neighbors + Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+def _brute_linkpred(pairs, min_cn):
+    import math
+
+    from raykg.functions.hashing import round_half_away
+    adj = {}
+    und = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        und.add((min(a, b), max(a, b)))
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            common = adj[u] & adj[v]
+            if len(common) >= min_cn:
+                aa = sum(sorted(1.0 / math.log(len(adj[w]))
+                                for w in common))
+                out[(u, v)] = (len(common), float(round_half_away(aa, 4)),
+                               1 if (u, v) in und else 0)
+    return out
+
+
+def test_link_prediction_tiny():
+    # 0 and 3 share neighbors {1, 2}; 1-2 are also an edge themselves
+    pairs = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 2), (4, 0)]
+    got = _df(graph.link_prediction_scores(_edges(pairs), min_cn=1),
+              ["u", "v"])
+    want = _brute_linkpred(pairs, 1)
+    assert {(r["u"], r["v"]): (r["cn"], r["aa"], r["is_edge"])
+            for _, r in got.iterrows()} == want
+    # the flagship prediction: (0, 3) is NOT an edge but shares 2 neighbors
+    row = got[(got["u"] == 0) & (got["v"] == 3)].iloc[0]
+    assert row["cn"] == 2 and row["is_edge"] == 0
+
+
+def test_link_prediction_dedups_multiedges_and_directions():
+    pairs = [(0, 1), (1, 0), (0, 1), (2, 0), (2, 1), (1, 1)]
+    got = _df(graph.link_prediction_scores(_edges(pairs), min_cn=1),
+              ["u", "v"])
+    assert {(r["u"], r["v"]): (r["cn"], r["aa"], r["is_edge"])
+            for _, r in got.iterrows()} == _brute_linkpred(pairs, 1)
+
+
+def test_link_prediction_hub_cap():
+    # star around node 0 with 6 leaves: cap at 4 skips the hub entirely
+    # (the warning fires inside the Ray worker; behavior is what we pin)
+    pairs = [(0, i) for i in range(1, 7)]
+    got = graph.link_prediction_scores(_edges(pairs), min_cn=1,
+                                       max_neighbors=4).to_pandas()
+    assert len(got) == 0
+    # uncapped, every leaf pair shares the hub
+    full = graph.link_prediction_scores(_edges(pairs), min_cn=1).to_pandas()
+    assert len(full) == 15
+
+
+def test_link_prediction_partition_invariance():
+    pairs = [(i % 9, (i * 5 + 2) % 9) for i in range(40) if i % 9 !=
+             (i * 5 + 2) % 9]
+    a = _df(graph.link_prediction_scores(_edges(pairs).repartition(1),
+                                         min_cn=1), ["u", "v"])
+    b = _df(graph.link_prediction_scores(_edges(pairs).repartition(8),
+                                         min_cn=1), ["u", "v"])
+    assert len(a) > 0
+    assert a.equals(b)
