@@ -712,6 +712,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source, weight = n_chars (quality-weighted subsampling)
         "weighted_sample": lambda sf: corpus.weighted_sample(_docs(sf)),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
+        # BPE tokenizer training: the round-1 pair statistics AND the full
+        # iterative merge table (unrolled-round SQL twin, hash-checked)
+        "bpe_pair_counts":
+            lambda sf: corpus.bpe_pair_counts(_docs(sf), k=30),
+        "bpe_merges": lambda sf: corpus.bpe_train(_docs(sf), n_merges=6),
         # token frequency spectrum (count-of-counts / Zipf profile)
         "freq_spectrum": lambda sf: corpus.freq_spectrum(_docs(sf)),
         # per-source unigram KL from the corpus blend (mixture drift)
@@ -1106,6 +1111,44 @@ def _link_pred_sql(min_cn: int) -> str:
            (CASE WHEN e.a IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_edge
     FROM sc LEFT JOIN und e ON e.a = sc.u AND e.b = sc.v
     WHERE sc.cn >= {min_cn}"""
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled BPE training twin of raykg.ops.corpus.bpe_train: symbol
+    sequences as double-separator strings (see _BPE_SEP there), merge
+    application = one replace() per round (left-to-right non-overlapping,
+    same kernel as the engine's pc.replace_substring), argmax ties ->
+    smallest (l, r)."""
+    S, D = "\x1f", "\x1f\x1f"
+    sql = f"""
+    WITH wc AS MATERIALIZED (
+      SELECT tok AS w, count(*)::BIGINT AS c
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
+    v0 AS MATERIALIZED (
+      SELECT '{S}' || array_to_string(string_split(w, ''), '{D}') || '{S}'
+               AS s, c
+      FROM wc)"""
+    for r in range(n_merges):
+        sql += f""",
+    p{r} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i + 1] AS r, sum(c)::BIGINT AS cnt
+      FROM (SELECT string_split(trim(s, '{S}'), '{D}') AS syms, c
+            FROM v{r}),
+           LATERAL (SELECT unnest(range(1, len(syms))) AS i) t
+      GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{r + 1} AS MATERIALIZED (
+      SELECT replace(s,
+          '{S}' || (SELECT l FROM m{r}) || '{D}'
+                || (SELECT r FROM m{r}) || '{S}',
+          '{S}' || (SELECT l FROM m{r})
+                || (SELECT r FROM m{r}) || '{S}') AS s, c
+      FROM v{r})"""
+    union = " UNION ALL ".join(
+        f'SELECT {r} AS "rank", l AS lft, r AS rgt, cnt FROM m{r}'
+        for r in range(n_merges))
+    return sql + f"\n    SELECT * FROM ({union})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1932,6 +1975,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::BIGINT AS n
             FROM (SELECT unnest({_grams_sql(2)}) AS gram FROM documents)
             GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""",
+        "bpe_pair_counts": f"""
+            WITH wc AS (SELECT tok AS w, count(*)::BIGINT AS c
+                        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                        GROUP BY 1),
+            p AS (SELECT substr(w, i::INT, 1) AS l,
+                         substr(w, i::INT + 1, 1) AS r,
+                         sum(c)::BIGINT AS cnt
+                  FROM wc,
+                       LATERAL (SELECT unnest(range(1, length(w))) AS i) t
+                  GROUP BY 1, 2)
+            SELECT l, r, cnt FROM p ORDER BY cnt DESC, l, r LIMIT 30""",
+        "bpe_merges": _bpe_sql(6),
         "freq_spectrum": f"""
             WITH c AS (SELECT tok, count(*) AS f
                        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)

@@ -1315,3 +1315,201 @@ def hll_group_estimates(events: rd.Dataset, key: str = "event_type",
     return pa.table({key: pa.array(names, pa.string()),
                      "estimate": pa.array(ests, pa.float64()),
                      "n_registers_hit": pa.array(hits, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+# Symbol sequences are stored as ONE string: single separator at both ends,
+# double separator between symbols ("\x1fa\x1f\x1fb\x1f" = [a, b]). The
+# double-sep encoding makes "merge pair (l, r) greedily left-to-right,
+# non-overlapping" a plain substring replace — '\x1fl\x1f\x1fr\x1f' ->
+# '\x1flr\x1f' — which is exactly what Python str.replace, Arrow's
+# replace_substring AND DuckDB's replace() all implement, so the engine
+# (vectorized pc.replace_substring) and the unrolled SQL twin share the
+# merge kernel bit-for-bit. Symbols must not contain chars <= 0x1f
+# (asserted at symbolize time); separator-below-alphabet also makes the
+# pair-string ordering equal the (l, r) tuple ordering the tie-break uses.
+_BPE_SEP = "\x1f"
+
+
+def _bpe_encode(word: str) -> str:
+    return _BPE_SEP + (_BPE_SEP * 2).join(word) + _BPE_SEP
+
+
+def _bpe_syms(enc: str) -> list[str]:
+    return enc.strip(_BPE_SEP).split(_BPE_SEP * 2)
+
+
+def _bpe_word_counts(documents: rd.Dataset,
+                     num_buckets: int) -> rd.Dataset:
+    """(word, c): corpus word counts — the ONE corpus-sized scan BPE needs;
+    everything after operates on this vocabulary-sized table."""
+    from collections import Counter
+
+    def wc_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_tokens(s))
+        # sentinel "": _tokens never yields an empty string
+        return pa.table({
+            "word": pa.array(list(c.keys()) + [""], pa.string()),
+            "c": pa.array(list(c.values()) + [0], pa.int64())})
+
+    def wc_fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("word"), ""))
+        g = t.group_by("word").aggregate([("c", "sum")])
+        return pa.table({
+            "word": pa.concat_arrays([g.column("word").combine_chunks(),
+                                      pa.array([""], pa.string())]),
+            "c": pa.concat_arrays([g.column("c_sum").combine_chunks(),
+                                   pa.array([0], pa.int64())])})
+
+    return bucketed_group_agg(documents.select_columns(["text"]),
+                              wc_batch, "word", wc_fin,
+                              num_buckets=num_buckets)
+
+
+def bpe_pair_counts(documents: rd.Dataset, k: int = 30,
+                    num_buckets: int = 1024) -> rd.Dataset:
+    """(l, r, cnt): the round-1 BPE statistics — corpus-weighted counts of
+    adjacent CHARACTER pairs inside whitespace words, top-k by count (ties
+    -> lexicographically smallest (l, r)). This is bpe_train's first
+    pair-count exchange exposed as a standalone op with an exact SQL twin
+    (the full iterative training is hash-checked via bpe_merges).
+
+    Per-batch Counter partials -> one pair-keyed bucketed exchange ->
+    tiny sorted top-k; only k rows leave the aggregate."""
+    from collections import Counter
+
+    def pair_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            for w in _tokens(s):
+                for a, b in zip(w, w[1:]):
+                    c[a + _BPE_SEP + b] += 1
+        return pa.table({
+            "pair": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("pair"), ""))
+        g = t.group_by("pair").aggregate([("n", "sum")])
+        return pa.table({
+            "pair": pa.concat_arrays([g.column("pair").combine_chunks(),
+                                      pa.array([""], pa.string())]),
+            "n": pa.concat_arrays([g.column("n_sum").combine_chunks(),
+                                   pa.array([0], pa.int64())])})
+
+    top = bucketed_group_agg(documents.select_columns(["text"]),
+                             pair_batch, "pair", fin,
+                             num_buckets=num_buckets) \
+        .filter(lambda r: r["pair"] != "") \
+        .sort(["n", "pair"], descending=[True, False]).limit(k)
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        pairs = t.column("pair").to_pylist()
+        return pa.table({
+            "l": pa.array([p.split(_BPE_SEP)[0] for p in pairs],
+                          pa.string()),
+            "r": pa.array([p.split(_BPE_SEP)[1] for p in pairs],
+                          pa.string()),
+            "cnt": t.column("n")})
+
+    return top.map_batches(split_pair, batch_format="pyarrow")
+
+
+def bpe_train(documents: rd.Dataset, n_merges: int = 6,
+              num_buckets: int = 1024) -> pa.Table:
+    """(rank, lft, rgt, cnt): byte-pair-encoding merge table learned over
+    the whitespace word vocabulary, Sennrich et al. 2016 semantics — each
+    round merges the globally most frequent adjacent symbol pair (count
+    weighted by word frequency, every adjacent position counts, ties ->
+    lexicographically smallest (l, r) pair), applied greedily
+    left-to-right non-overlapping to every word. The tokenizer-training
+    op a from-scratch LLM data pipeline needs.
+
+    Scale shape: the corpus is scanned ONCE (the word-count exchange);
+    the training state is the (syms, c) VOCABULARY-sized table, kept
+    distributed and materialized per round. Each round costs one
+    pair-keyed bucketed exchange of per-batch Counter partials whose
+    finalize emits ONE candidate row per bucket — the driver reduces
+    <= num_buckets register-sized rows to the global argmax and
+    broadcasts the merge back as two closure strings; the merge itself
+    is one vectorized pc.replace_substring pass. Nothing vocabulary- or
+    corpus-sized ever lands on the driver. The DuckDB twin unrolls the
+    rounds over the same double-sep string encoding (see _BPE_SEP), so
+    the full iterative training is hash-checked, not rows-only."""
+    from collections import Counter
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        words = t.column("word").to_pylist()
+        cs = t.column("c").to_pylist()
+        encs, outc = [], []
+        for w, c in zip(words, cs):
+            if not w:
+                continue
+            if min(w) <= _BPE_SEP:
+                raise ValueError(
+                    "bpe_train: token contains a control char <= 0x1f, "
+                    "which collides with the symbol separator encoding")
+            encs.append(_bpe_encode(w))
+            outc.append(c)
+        return pa.table({"syms": pa.array(encs, pa.string()),
+                         "c": pa.array(outc, pa.int64())})
+
+    vocab = _bpe_word_counts(documents, num_buckets) \
+        .map_batches(symbolize, batch_format="pyarrow").materialize()
+
+    def pair_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for enc, w in zip(t.column("syms").to_pylist(),
+                          t.column("c").to_pylist()):
+            syms = _bpe_syms(enc)
+            for a, b in zip(syms, syms[1:]):
+                c[a + _BPE_SEP + b] += w
+        return pa.table({
+            "pair": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
+
+    def bucket_best(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("pair"), ""))
+        g = t.group_by("pair").aggregate([("n", "sum")])
+        pairs = g.column("pair").to_pylist()
+        ns = g.column("n_sum").to_pylist()
+        best = min(zip(pairs, ns), key=lambda x: (-x[1], x[0]),
+                   default=("", 0))
+        return pa.table({"pair": pa.array([best[0]], pa.string()),
+                         "n": pa.array([best[1]], pa.int64())})
+
+    ranks, ls, rs, cnts = [], [], [], []
+    for rank in range(n_merges):
+        cand = bucketed_group_agg(vocab, pair_batch, "pair", bucket_best,
+                                  num_buckets=num_buckets).take_all()
+        cand = [c for c in cand if c["pair"]]
+        if not cand:
+            break
+        best = min(cand, key=lambda c: (-c["n"], c["pair"]))
+        lft, rgt = best["pair"].split(_BPE_SEP)
+        ranks.append(rank)
+        ls.append(lft)
+        rs.append(rgt)
+        cnts.append(best["n"])
+        pat = _BPE_SEP + lft + _BPE_SEP + _BPE_SEP + rgt + _BPE_SEP
+        rep = _BPE_SEP + lft + rgt + _BPE_SEP
+
+        def apply_merge(t: pa.Table, pat: str = pat,
+                        rep: str = rep) -> pa.Table:
+            return pa.table({
+                "syms": pc.replace_substring(t.column("syms"), pattern=pat,
+                                             replacement=rep),
+                "c": t.column("c")})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({"rank": pa.array(ranks, pa.int64()),
+                     "lft": pa.array(ls, pa.string()),
+                     "rgt": pa.array(rs, pa.string()),
+                     "cnt": pa.array(cnts, pa.int64())})

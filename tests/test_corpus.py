@@ -516,3 +516,99 @@ def test_hll_group_estimates_accuracy_and_invariance(ray_session):
     g2 = hll_group_estimates(rd.from_arrow(t).repartition(11)).to_pandas() \
         .set_index("event_type")
     assert got.equals(g2)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+def _brute_bpe(texts, n_merges):
+    """Sennrich et al. 2016 reference: most frequent adjacent symbol pair,
+    ties -> lexicographically smallest (l, r); greedy left-to-right
+    non-overlapping merge."""
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, c in wc.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (lft, rgt), cnt = min(pairs.items(), key=lambda x: (-x[1], x[0]))
+        merges.append((rank, lft, rgt, cnt))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lft
+                        and syms[i + 1] == rgt):
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _text_ds(texts, parts=1):
+    import pyarrow as pa
+
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})) \
+        .repartition(parts)
+
+
+def test_bpe_train_matches_brute_force():
+    from raykg.ops.corpus import bpe_train
+    texts = ["low low low lower lowest", "new newer newest low",
+             "wide wider widest new new", "low lower newest wide"]
+    got = bpe_train(_text_ds(texts, parts=3), n_merges=6)
+    rows = list(zip(got.column("rank").to_pylist(),
+                    got.column("lft").to_pylist(),
+                    got.column("rgt").to_pylist(),
+                    got.column("cnt").to_pylist()))
+    assert rows == _brute_bpe(texts, 6)
+
+
+def test_bpe_train_overlapping_runs():
+    # "aaaa" stresses greedy non-overlapping: merge (a,a) twice gives
+    # [aa, aa], then (aa, aa) -> [aaaa]
+    from raykg.ops.corpus import bpe_train
+    texts = ["aaaa aaaa aaa ab", "aaaa aaa ab ab"]
+    got = bpe_train(_text_ds(texts, parts=2), n_merges=4)
+    rows = list(zip(got.column("rank").to_pylist(),
+                    got.column("lft").to_pylist(),
+                    got.column("rgt").to_pylist(),
+                    got.column("cnt").to_pylist()))
+    assert rows == _brute_bpe(texts, 4)
+    assert rows[0][1:3] == ("a", "a")
+
+
+def test_bpe_pair_counts_tiny():
+    from collections import Counter
+
+    from raykg.ops.corpus import bpe_pair_counts
+    texts = ["abc abc ab", "bcd ab abc"]
+    want = Counter()
+    for t in texts:
+        for w in t.split():
+            for a, b in zip(w, w[1:]):
+                want[(a, b)] += 1
+    got = bpe_pair_counts(_text_ds(texts, parts=2), k=10).to_pandas()
+    got_d = {(r["l"], r["r"]): r["cnt"] for _, r in got.iterrows()}
+    assert got_d == dict(want)
+    # descending count, ties by (l, r)
+    keys = [(-r["cnt"], r["l"], r["r"]) for _, r in got.iterrows()]
+    assert keys == sorted(keys)
+
+
+def test_bpe_rejects_control_chars():
+    import pytest
+
+    from raykg.ops.corpus import bpe_train
+    with pytest.raises(Exception, match="control char"):
+        bpe_train(_text_ds(["ok ok", "bad\x01token ok"]), n_merges=1)
