@@ -787,6 +787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
+        # Johnson-Lindenstrauss sha-sign random projection (dim reduction)
+        "random_projection": lambda sf: ann.random_projection(_emb(sf)),
         # corpus-wide similarity graph: exact baseline + LSH-bucketed
         # scale path (bucket family shared with ann_lsh, SQL-exact)
         "knn_graph_exact": lambda sf: ann.knn_graph_exact(_emb(sf), k=5),
@@ -1971,6 +1973,21 @@ def oracle_sql() -> dict[str, str]:
                                         / (mx - mn))::BIGINT), '_')
                    END AS codes
             FROM m""",
+        "random_projection": """
+            WITH comp AS (
+              SELECT vec_id, i, embedding[i + 1]::DOUBLE AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(0, len(embedding)))
+                            AS i) t),
+            terms AS (
+              SELECT vec_id, j,
+                     x * (CASE WHEN ('0x' || substr(sha256('proj|42|'
+                              || i::VARCHAR || '|' || j::VARCHAR), 1, 8))
+                              ::UBIGINT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END) AS term
+              FROM comp, (SELECT unnest(range(0, 8)) AS j))
+            SELECT vec_id, j, round(sum(term), 4) AS p
+            FROM terms GROUP BY 1, 2""",
         "top_ngrams": f"""
             SELECT gram, count(*)::BIGINT AS n
             FROM (SELECT unnest({_grams_sql(2)}) AS gram FROM documents)

@@ -546,3 +546,49 @@ def prototypicality(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
     return embeddings.select_columns(
         ["vec_id", "label", "embedding"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def random_projection(embeddings: rd.Dataset, k: int = 8,
+                      seed: int = 42) -> rd.Dataset:
+    """(vec_id, j, p): Johnson-Lindenstrauss random projection of each
+    embedding onto ``k`` sha-derived sign vectors — the dimensionality
+    reduction in front of LSH bucketing / cheap prefilters. Component j of
+    the projection is Σ_i v_i * s(i, j) with s(i, j) = +1 when
+    sha('proj|seed|i|j') is even else -1, so the projection matrix is a
+    pure hash function — never stored, never shipped, identical on every
+    worker and in the DuckDB twin. Stateless map_batches; the sign matrix
+    is rebuilt once per actor from the first batch's dimensionality
+    (register-sized: dim x k). ``p`` is rounded to 4 dp after float64
+    accumulation (the repo's standard float-oracle contract)."""
+    from raykg.functions.hashing import sha_int
+
+    signs: dict[int, np.ndarray] = {}
+
+    def sign_matrix(dim: int) -> np.ndarray:
+        if dim not in signs:
+            m = np.empty((dim, k), np.float64)
+            for i in range(dim):
+                for j in range(k):
+                    m[i, j] = 1.0 if sha_int(f"proj|{seed}|{i}|{j}") % 2 \
+                        == 0 else -1.0
+            signs[dim] = m
+        return signs[dim]
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("vec_id"), pa.int64())
+        vecs = t.column("embedding").to_pylist()
+        out_id, out_j, out_p = [], [], []
+        for vid, vec in zip(ids.to_pylist(), vecs):
+            v = np.asarray(vec, dtype=np.float64)
+            if v.size == 0:
+                continue
+            p = v @ sign_matrix(len(v))
+            out_id.extend([vid] * k)
+            out_j.extend(range(k))
+            out_p.extend(round_half_away(p, 4).tolist())
+        return pa.table({"vec_id": pa.array(out_id, pa.int64()),
+                         "j": pa.array(out_j, pa.int64()),
+                         "p": pa.array(out_p, pa.float64())})
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        batch, batch_format="pyarrow")

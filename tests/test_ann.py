@@ -138,3 +138,30 @@ def test_knn_graph_recall_and_invariance(ray_session):
     b = knn_graph(_emb().repartition(7), k=5, bits=2).to_pandas() \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_random_projection_matches_brute_force():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from raykg.functions.hashing import round_half_away, sha_int
+    from raykg.ops.ann import random_projection
+
+    vecs = [[1.0, -2.0, 0.5], [0.0, 0.0, 0.0], [3.25, 1.5, -0.75]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    got = random_projection(ds, k=4).to_pandas() \
+        .sort_values(["vec_id", "j"]).reset_index(drop=True)
+    S = np.array([[1.0 if sha_int(f"proj|42|{i}|{j}") % 2 == 0 else -1.0
+                   for j in range(4)] for i in range(3)])
+    want = np.asarray(vecs, np.float32).astype(np.float64) @ S
+    for _, r in got.iterrows():
+        assert r["p"] == float(
+            round_half_away(want[int(r["vec_id"]), int(r["j"])], 4))
+    assert len(got) == 12
+    # same input resharded -> identical projections
+    again = random_projection(ds.repartition(3), k=4).to_pandas() \
+        .sort_values(["vec_id", "j"]).reset_index(drop=True)
+    assert again.equals(got)
