@@ -107,6 +107,10 @@ def run_flagship(num_cpus: int, n_docs: int) -> dict:
     from raykg.pipelines.kg import build_kg
 
     _init_ray(num_cpus)
+    # measure the pipeline, not Ray's worker cold-start: without this the
+    # headline absorbs ~4s of process spawn + raykg import, the same term
+    # run_queries already excludes
+    _warm_workers(num_cpus)
     t0 = time.perf_counter()
     cfg, docs = _flagship_inputs(num_cpus, n_docs)
     result = build_kg(docs, cfg)
