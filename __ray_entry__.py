@@ -641,6 +641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_recent_clicks": relational.range_join_recent_clicks,
         "props_k_stats": relational.props_k_stats,
         "value_quantiles": relational.value_quantiles_by_type,
+        # mergeable equi-width histogram sketch quantiles (the scale path
+        # for per-key quantiles: register-sized partials, no per-key sort)
+        "histogram_quantiles": relational.histogram_quantiles,
         # window-function analogs: LAG / ROW_NUMBER as bucketed
         # sorted-segment passes
         "event_lag_stats": relational.event_lag_stats,
@@ -1612,6 +1615,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, 0.95,
                    round(quantile_cont(value, 0.95), 4) FROM events
             GROUP BY 1""",
+        "histogram_quantiles": """
+            WITH b AS (
+                SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, bin, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ), qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+            hit AS (
+                SELECT event_type, q, bin, c, cum - c AS cum_before,
+                       n * q AS target,
+                       row_number() OVER (PARTITION BY event_type, q
+                                          ORDER BY bin) AS rn
+                FROM cum CROSS JOIN qs
+                WHERE CAST(cum AS DOUBLE) >= n * q
+            )
+            SELECT event_type, q,
+                   round(bin * 8.0 + 8.0 * (target - cum_before) / c,
+                         4) AS value_est
+            FROM hit WHERE rn = 1""",
         "doc_length_histogram": f"""
             SELECT (len({_TOKS}) // 16)::BIGINT AS bin,
                    count(*)::BIGINT AS n_docs

@@ -616,6 +616,60 @@ def value_quantiles_by_type(sf_dir: str,
                                                batch_format="pyarrow")
 
 
+def histogram_quantiles(sf_dir: str, bin_width: float = 8.0,
+                        qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Approximate per-key quantiles from a MERGEABLE equi-width histogram
+    sketch: (event_type, q, value_est) with value_est = linear interpolation
+    inside the first bin whose cumulative count reaches q*n, rounded to 4.
+
+    This is the scale path the exact ``value_quantiles_by_type`` docstring
+    reserves for high-cardinality keys / giant groups: each batch emits
+    (event_type, bin, count) partials — register-sized (types x occupied
+    bins), independent of row count — which SUM-merge associatively, so no
+    group ever has to fit one worker and there is no per-key sort. Accuracy
+    is bounded by ``bin_width``; the estimator's arithmetic (floor-binning,
+    cum >= q*n hit rule, within-bin interpolation) is replicated term-for-
+    term in the DuckDB twin, so the approximation itself is hash-checked."""
+    import numpy as np
+
+    w = float(bin_width)
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(vals / w).astype(np.int64)
+        raw = pa.table({
+            "event_type": t.column("event_type"),
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(np.ones(len(bins), np.int64), pa.int64())})
+        return _sum_combine(["event_type", "bin"], ["n"])(raw)
+
+    reg = small_key_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        _sum_combine(["event_type", "bin"], ["n"]))
+    reg = reg.sort_by([("event_type", "ascending"), ("bin", "ascending")])
+
+    ets = reg.column("event_type").to_pylist()
+    bins = reg.column("bin").to_numpy(zero_copy_only=False)
+    cnts = reg.column("n").to_numpy(zero_copy_only=False)
+    out_et, out_q, out_v = [], [], []
+    for et in sorted(set(ets)):
+        m = np.array([e == et for e in ets])
+        b, c = bins[m], cnts[m]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for q in qs:
+            target = q * n          # same DOUBLE product as the SQL's n * q
+            i = int(np.searchsorted(cum, target, side="left"))
+            cum_before = int(cum[i]) - int(c[i])
+            est = float(b[i]) * w + w * (target - cum_before) / float(c[i])
+            out_et.append(et)
+            out_q.append(float(q))
+            out_v.append(round_half_away(est, 4))
+    return pa.table({"event_type": pa.array(out_et, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value_est": pa.array(out_v, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # KG-from-relational: URI minting + FK edges (M6-M8 analogs, SQL-checkable)
 # ---------------------------------------------------------------------------
