@@ -855,6 +855,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # common-neighbor / Adamic-Adar link-prediction scores
         "graph_link_pred":
             lambda sf: graph.link_prediction_scores(graph.synth_graph_edges()),
+        # GraphSAGE-style 1-hop neighbor feature aggregation: graph joined
+        # to the embeddings table (scaled-int exact means, dim-exploded)
+        "graph_neighbor_means":
+            lambda sf: graph.neighbor_embedding_mean(
+                graph.synth_graph_edges(), _emb(sf)),
     }
 
 
@@ -1182,6 +1187,23 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": _lpa_sql(4),
         "graph_walks": _walks_sql(4, 2),
         "graph_link_pred": _link_pred_sql(2),
+        # scaled-int exact neighbor means: float32 -> double is exact, and
+        # floor(v * 1e6) / integer SUM / one final division are the same
+        # IEEE ops the engine performs (ops/graph.py EMB_SCALE contract)
+        "graph_neighbor_means": _graph_sql() + """,
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            ev AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                               * 1000000.0) AS BIGINT) AS q
+                   FROM embeddings),
+            agg AS (SELECT g.src AS node, ev.dim,
+                           sum(ev.q) AS s, count(*) AS c
+                    FROM g, nv, ev WHERE ev.vec_id = g.dst % nv.n
+                    GROUP BY 1, 2)
+            SELECT node, dim::BIGINT AS dim,
+                   round(CAST(s AS DOUBLE) / (c * 1000000.0), 6) AS nbr_mean
+            FROM agg""",
         "graph_negatives": _graph_sql() + """,
             nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),

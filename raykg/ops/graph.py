@@ -1650,3 +1650,186 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
         return t.filter(pc.greater_equal(t.column("u"), 0))
 
     return scored.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style 1-hop neighbor feature aggregation (graph × embeddings)
+# ---------------------------------------------------------------------------
+
+EMB_SCALE = 1_000_000.0  # float32 component -> exact int64: floor(v * 1e6)
+
+
+def neighbor_embedding_mean(edges: rd.Dataset, embeddings: rd.Dataset,
+                            num_buckets: int = 256) -> rd.Dataset:
+    """Per-dimension mean of each node's out-neighbors' embedding vectors
+    -> (node, dim, nbr_mean): the 1-hop feature-aggregation step of
+    GraphSAGE-style node enrichment (Hamilton et al. 2017), i.e. the
+    "attach neighborhood features to KG nodes" pass that follows graph
+    construction (reference scope analog: src2/main/scala/Clustering.scala
+    builds the neighborhood; this consumes it).
+
+    Neighbors map onto the embedding table by ``dst % n_vecs`` so the
+    synthetic graph's node space composes with any embedding-table size.
+
+    Determinism contract: each float32 component is scaled to an exact
+    int64 — ``floor(v * 1e6)`` computed in float64, where float32→float64
+    is exact and DuckDB performs the identical IEEE multiply+floor — so the
+    neighbor sums are order-free integer arithmetic and the single division
+    at finalize is replicated term-for-term by the SQL twin.
+
+    Scale shape: two bucketed exchanges, both edge-bounded and neither
+    broadcast. Exchange 1 (key = embedding id) ships (key, src) per edge
+    plus each embedding's scaled vector once; a per-bucket sorted
+    ``searchsorted`` attach emits (src, qvec) per edge. Exchange 2
+    (key = src) is fed by a per-batch combiner that pre-sums vectors per
+    distinct src, so it carries (distinct srcs per batch) x (d+1) ints.
+    Nothing vector- or edge-sized ever lands on the driver.
+    """
+    n_vecs = embeddings.count()
+    list_t = pa.list_(pa.int64())
+
+    def edge_key_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        n = len(src)
+        return pa.table({
+            "key": pa.array(dst % np.int64(n_vecs), pa.int64()),
+            "src": pa.array(src, pa.int64()),
+            "q": pa.array([[]] * n, list_t),
+            "is_state": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def emb_key_rows(t: pa.Table) -> pa.Table:
+        vid = _np(t.column("vec_id"))
+        emb = t.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        # float32 -> float64 is exact; multiply+floor match DuckDB's
+        # CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)
+        q = np.floor(flat.astype(np.float64) * EMB_SCALE).astype(np.int64)
+        n = len(vid)
+        dim = q.size // n if n else 0
+        offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int64)
+        return pa.table({
+            "key": pa.array(vid, pa.int64()),
+            "src": pa.array(np.full(n, _SENT, np.int64), pa.int64()),
+            "q": pa.ListArray.from_arrays(pa.array(offs, pa.int64()),
+                                          pa.array(q, pa.int64())),
+            "is_state": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        key, src = _np(t.column("key")), _np(t.column("src"))
+        st = _np(t.column("is_state"))
+        q = t.column("q").combine_chunks()
+        is_s = st == 1
+        skey = key[is_s]
+        n_state = int(is_s.sum())
+        flat = np.asarray(q.flatten().to_numpy(zero_copy_only=False),
+                          np.int64)
+        dim = flat.size // n_state if n_state else 0
+        # q.flatten() drops empty edge lists, so flat is state-only and
+        # row-ordered like the table; select the state rows' matrix
+        mat = flat.reshape(n_state, dim) if n_state else \
+            np.empty((0, 0), np.int64)
+        order = np.argsort(skey, kind="stable")
+        skey, mat = skey[order], mat[order] if n_state else mat
+        ekey, esrc = key[~is_s], src[~is_s]
+        real = esrc >= 0
+        ekey, esrc = ekey[real], esrc[real]
+        if n_state and len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            idx[idx >= n_state] = n_state - 1
+            hit = skey[idx] == ekey
+            out_src = esrc[hit]
+            out_mat = mat[idx[hit]]
+        else:
+            out_src = np.empty(0, np.int64)
+            out_mat = np.empty((0, dim), np.int64)
+        m = len(out_src)
+        offs = np.arange(0, (m + 1) * dim, max(dim, 1), dtype=np.int64) \
+            if dim else np.zeros(m + 1, np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([out_src, [_SENT]]), pa.int64()),
+            "q": pa.concat_arrays([
+                pa.ListArray.from_arrays(pa.array(offs, pa.int64()),
+                                         pa.array(out_mat.ravel(),
+                                                  pa.int64())),
+                pa.array([[]], list_t)]),
+            "cnt": pa.array(np.concatenate(
+                [np.ones(m, np.int64), [0]]), pa.int64())})
+
+    attached = bucketed_group_agg(
+        edges.map_batches(edge_key_rows, batch_format="pyarrow")
+        .union(embeddings.map_batches(emb_key_rows,
+                                      batch_format="pyarrow")),
+        lambda t: t, "key", attach, num_buckets=num_buckets)
+
+    def _seg_sum(src: np.ndarray, mat: np.ndarray, cnt: np.ndarray):
+        order = np.argsort(src, kind="stable")
+        src, mat, cnt = src[order], mat[order], cnt[order]
+        seg = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        s = np.add.reduceat(mat, seg, axis=0)
+        c = np.add.reduceat(cnt, seg)
+        return src[seg], s, c
+
+    def _rows(src, mat, cnt, dim):
+        m = len(src)
+        offs = np.arange(0, (m + 1) * dim, max(dim, 1), dtype=np.int64) \
+            if dim else np.zeros(m + 1, np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([src, [_SENT]]), pa.int64()),
+            "q": pa.concat_arrays([
+                pa.ListArray.from_arrays(pa.array(offs, pa.int64()),
+                                         pa.array(mat.ravel(), pa.int64())),
+                pa.array([[]], list_t)]),
+            "cnt": pa.array(np.concatenate([cnt, [0]]), pa.int64())})
+
+    def _unpack(t: pa.Table):
+        src, cnt = _np(t.column("src")), _np(t.column("cnt"))
+        q = t.column("q").combine_chunks()
+        real = src >= 0
+        n_real = int(real.sum())
+        flat = np.asarray(q.flatten().to_numpy(zero_copy_only=False),
+                          np.int64)
+        dim = flat.size // n_real if n_real else 0
+        # sentinel rows carry empty lists, so flatten() yields exactly the
+        # real rows' values in row order
+        mat = flat.reshape(n_real, dim) if n_real else \
+            np.empty((0, 0), np.int64)
+        return src[real], mat, cnt[real], dim
+
+    def combine(t: pa.Table) -> pa.Table:
+        src, mat, cnt, dim = _unpack(t)
+        if not len(src):
+            return _rows(np.empty(0, np.int64),
+                         np.empty((0, 0), np.int64),
+                         np.empty(0, np.int64), 0)
+        usrc, s, c = _seg_sum(src, mat, cnt)
+        return _rows(usrc, s, c, dim)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        src, mat, cnt, dim = _unpack(t)
+        if not len(src):
+            return pa.table({
+                "node": pa.array([_SENT], pa.int64()),
+                "dim": pa.array([_SENT], pa.int64()),
+                "nbr_mean": pa.array([0.0], pa.float64())})
+        usrc, s, c = _seg_sum(src, mat, cnt)
+        mean = round_half_away(
+            s.astype(np.float64) / (c[:, None].astype(np.float64)
+                                    * EMB_SCALE), 6)
+        m = len(usrc)
+        return pa.table({
+            "node": pa.array(np.concatenate(
+                [np.repeat(usrc, dim), [_SENT]]), pa.int64()),
+            "dim": pa.array(np.concatenate(
+                [np.tile(np.arange(dim, dtype=np.int64), m), [_SENT]]),
+                pa.int64()),
+            "nbr_mean": pa.array(np.concatenate([mean.ravel(), [0.0]]),
+                                 pa.float64())})
+
+    agg = bucketed_group_agg(attached, combine, "src", finalize,
+                             num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("node"), 0))
+
+    return agg.map_batches(fin, batch_format="pyarrow")

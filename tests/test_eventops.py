@@ -229,3 +229,31 @@ def test_funnel_stages_crafted(ray_session, tmp_path):
     got = {r["user_id"]: r["stage"]
            for r in funnel_stages(str(tmp_path), num_buckets=8).take_all()}
     assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+
+
+def test_histogram_quantiles_matches_duckdb(ray_session, tmp_path):
+    # varied values spanning several 8-wide bins, incl. negatives (floor
+    # binning), an exact bin-boundary value (16.0) and a hot bin — the
+    # estimator (cum >= q*n hit + within-bin interpolation) must match the
+    # SQL twin term-for-term
+    import __ray_entry__ as e
+
+    vals = [-3.5, 0.0, 1.0, 1.0, 2.5, 7.999, 8.0, 9.0, 16.0, 40.25,
+            41.0, 41.5, 42.0, 100.0]
+    rows = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([T0] * len(vals), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(
+            ["a" if i % 3 else "b" for i in range(len(vals))]),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals))})
+    pq.write_table(rows, str(tmp_path / "events.parquet"))
+    got = relational.histogram_quantiles(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.sql(e.oracle_sql()["histogram_quantiles"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+    # within-data-range sanity: every estimate sits inside [min, max] bins
+    assert got["value_est"].between(-8.0, 104.0).all()

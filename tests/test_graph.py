@@ -440,3 +440,48 @@ def test_link_prediction_partition_invariance():
                                          min_cn=1), ["u", "v"])
     assert len(a) > 0
     assert a.equals(b)
+
+
+def _emb_ds(vecs):
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32())})
+    return rd.from_arrow(t)
+
+
+def test_neighbor_embedding_mean_tiny():
+    # node 0 -> {1, 2}: mean of vecs 1 and 2; node 3 maps to vec 3 % 3 = 0.
+    # multi-edges count twice (mean weights repeat neighbors), matching
+    # the SQL twin's plain inner-join + AVG-over-rows semantics
+    edges = _edges([(0, 1), (0, 2), (1, 2), (1, 2), (2, 3)])
+    vecs = [[1.0, -2.0], [3.0, 0.5], [5.0, 0.25]]
+    out = _df(graph.neighbor_embedding_mean(edges, _emb_ds(vecs)),
+              ["node", "dim"])
+    got = {(n, d): v for n, d, v in
+           zip(out["node"], out["dim"], out["nbr_mean"])}
+    assert got[(0, 0)] == pytest.approx((3.0 + 5.0) / 2)
+    assert got[(0, 1)] == pytest.approx((0.5 + 0.25) / 2)
+    # node 1: vec 2 twice -> exactly vec 2
+    assert got[(1, 0)] == pytest.approx(5.0)
+    assert got[(1, 1)] == pytest.approx(0.25)
+    # node 2 -> dst 3 -> vec_id 3 % 3 = 0
+    assert got[(2, 0)] == pytest.approx(1.0)
+    assert got[(2, 1)] == pytest.approx(-2.0)
+    assert set(out["node"]) == {0, 1, 2}
+
+
+def test_neighbor_embedding_mean_partition_invariance(ray_session):
+    pairs = [(i, (i * 7 + 3) % 20) for i in range(20) for _ in range(2)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    vecs = [[float(i), float(-i), 0.5 * i] for i in range(7)]
+    base = None
+    for blocks in (1, 5):
+        e = _edges(pairs).repartition(blocks)
+        out = _df(graph.neighbor_embedding_mean(e, _emb_ds(vecs),
+                                                num_buckets=8),
+                  ["node", "dim"])
+        if base is None:
+            base = out
+        else:
+            assert base.equals(out)
