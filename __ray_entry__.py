@@ -860,6 +860,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighbor_means":
             lambda sf: graph.neighbor_embedding_mean(
                 graph.synth_graph_edges(), _emb(sf)),
+        # entity co-mention edge weights from the flagship triple stream
+        # (KG enrichment; exact twin derives pairs from the same one-
+        # statement flagship SQL)
+        "kg_co_mentions":
+            lambda sf: graph.co_mention_edges(
+                _flagship_exact_result().triples),
     }
 
 
@@ -1204,6 +1210,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, dim::BIGINT AS dim,
                    round(CAST(s AS DOUBLE) / (c * 1000000.0), 6) AS nbr_mean
             FROM agg""",
+        "kg_co_mentions": "WITH t AS ("
+            + flagship_exact_sql(what="triples") + """),
+            ents AS (
+              SELECT DISTINCT doc_id, obj AS uri FROM t
+              UNION SELECT DISTINCT doc_id, subj FROM t
+                    WHERE subj NOT LIKE 'sdpg.gr/Document/%'),
+            p AS (SELECT a.doc_id, a.uri AS ent_a, b.uri AS ent_b
+                  FROM ents a JOIN ents b
+                    ON a.doc_id = b.doc_id AND a.uri < b.uri)
+            SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
+            FROM p GROUP BY 1, 2""",
         "graph_negatives": _graph_sql() + """,
             nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),

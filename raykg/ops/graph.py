@@ -1833,3 +1833,96 @@ def neighbor_embedding_mean(edges: rd.Dataset, embeddings: rd.Dataset,
         return t.filter(pc.greater_equal(t.column("node"), 0))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# entity co-mention edge weights (KG enrichment over the triple stream)
+# ---------------------------------------------------------------------------
+
+def co_mention_edges(triples: rd.Dataset, num_buckets: int = 256,
+                     max_doc_entities: int = 256) -> rd.Dataset:
+    """Weighted co-mention edges from the flagship triple stream: for every
+    unordered pair of canonical entities observed in the same document,
+    the number of documents that co-mention them -> (ent_a, ent_b, n_docs)
+    with ent_a < ent_b. This is the classic KG-enrichment edge family the
+    reference's clustering stage implies (co-occurring labels; reference
+    analog src2/main/scala/Clustering.scala's pattern co-grouping) built
+    instead from linker output.
+
+    Entity endpoints = every canonical ``obj`` URI plus every non-document
+    ``subj`` URI (doc-subject rows contribute their object only).
+
+    Scale shape: two bucketed exchanges. Exchange 1 keys by doc_id; its
+    per-batch combiner already reduces to DISTINCT (doc_id, uri) rows, so
+    the exchange carries at most (docs x distinct entities per doc), and
+    the per-bucket finalize explodes pairs with a per-document loop that is
+    bounded by entities-per-doc (spans-per-doc bounded, never corpus-sized;
+    ``max_doc_entities`` guards degenerate documents with a logged cap, the
+    same discipline as dedup._cap_block). Exchange 2 counts per packed
+    string pair key with a per-batch pre-sum. Nothing lands on the driver.
+    """
+    from itertools import combinations
+
+    def ent_rows(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id")
+        subj, obj = t.column("subj"), t.column("obj")
+        base = pa.table({"doc_id": doc, "uri": obj})
+        is_ent_subj = pc.invert(pc.starts_with(subj, "sdpg.gr/Document/"))
+        subj_rows = pa.table({"doc_id": doc.filter(is_ent_subj),
+                              "uri": subj.filter(is_ent_subj)})
+        both = pa.concat_tables([base, subj_rows])
+        return both.group_by(["doc_id", "uri"]).aggregate([])
+
+    def pair_fin(t: pa.Table) -> pa.Table:
+        t = t.group_by(["doc_id", "uri"]).aggregate([])
+        t = t.sort_by([("doc_id", "ascending"), ("uri", "ascending")])
+        doc = t.column("doc_id").to_pylist()
+        uri = t.column("uri").to_pylist()
+        keys: list[str] = []
+        n = len(doc)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and doc[j] == doc[i]:
+                j += 1
+            ents = uri[i:j]
+            if len(ents) > max_doc_entities:
+                import logging
+                logging.getLogger("raykg").warning(
+                    "co_mention_edges: doc %s has %d entities; capping at "
+                    "%d", doc[i], len(ents), max_doc_entities)
+                ents = ents[:max_doc_entities]
+            for a, b in combinations(ents, 2):
+                keys.append(a + "\x1f" + b)
+            i = j
+        return pa.table({
+            "pk": pa.array(keys + [""], pa.string()),
+            "n": pa.array([1] * len(keys) + [0], pa.int64())})
+
+    pairs = bucketed_group_agg(
+        triples.map_batches(ent_rows, batch_format="pyarrow"),
+        lambda t: t, "doc_id", pair_fin, num_buckets=num_buckets)
+
+    def count_comb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("pk"), ""))
+        return t.group_by("pk").aggregate([("n", "sum")]) \
+            .rename_columns(["pk", "n"])
+
+    def count_fin(t: pa.Table) -> pa.Table:
+        t = t.group_by("pk").aggregate([("n", "sum")])
+        pk = t.column("pk").to_pylist()
+        n = _np(t.column("n_sum"))
+        a = [s.split("\x1f", 1)[0] for s in pk]
+        b = [s.split("\x1f", 1)[1] for s in pk]
+        return pa.table({
+            "ent_a": pa.array(a + [""], pa.string()),
+            "ent_b": pa.array(b + [""], pa.string()),
+            "n_docs": pa.array(np.concatenate([n, [0]]), pa.int64())})
+
+    counted = bucketed_group_agg(pairs, count_comb, "pk", count_fin,
+                                 num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("ent_a"), ""))
+
+    return counted.map_batches(fin, batch_format="pyarrow")

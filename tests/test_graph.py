@@ -485,3 +485,48 @@ def test_neighbor_embedding_mean_partition_invariance(ray_session):
             base = out
         else:
             assert base.equals(out)
+
+
+def _triples(rows):
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+        "doc_id": pa.array([r[3] for r in rows], pa.string()),
+        "span_offset": pa.array([0] * len(rows), pa.int32())})
+    return rd.from_arrow(t)
+
+
+def test_co_mention_edges_crafted(ray_session):
+    D = "sdpg.gr/Document/x"
+    a, b, c = "sdpg.gr/Person/a", "sdpg.gr/Person/b", "sdpg.gr/Place/c"
+    rows = [
+        # doc 1: a mentioned twice (dedup within doc), b once, and a
+        # relation a->c puts both endpoints in the doc's entity set
+        (D, "mentions", a, "d1"), (D, "mentions", a, "d1"),
+        (D, "mentions", b, "d1"), (a, "born_in", c, "d1"),
+        # doc 2: a and b again -> (a, b) count rises to 2
+        (D, "mentions", a, "d2"), (D, "depicts", b, "d2"),
+        # doc 3: c alone -> no pairs
+        (D, "mentions", c, "d3"),
+    ]
+    out = _df(graph.co_mention_edges(_triples(rows), num_buckets=8),
+              ["ent_a", "ent_b"])
+    got = {(r.ent_a, r.ent_b): int(r.n_docs) for r in out.itertuples()}
+    assert got == {(a, b): 2, (a, c): 1, (b, c): 1}
+
+
+def test_co_mention_edges_partition_invariance(ray_session):
+    D = "sdpg.gr/Document/x"
+    ents = [f"sdpg.gr/Person/e{i}" for i in range(6)]
+    rows = [(D, "mentions", ents[(i * 5 + j) % 6], f"d{i}")
+            for i in range(12) for j in range(3)]
+    base = None
+    for blocks in (1, 7):
+        ds = _triples(rows).repartition(blocks)
+        out = _df(graph.co_mention_edges(ds, num_buckets=8),
+                  ["ent_a", "ent_b"])
+        if base is None:
+            base = out
+        else:
+            assert base.equals(out)
