@@ -618,6 +618,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "span_idx", "media_ref", "kind",
                              "width", "height"])
 
+    def kg_incremental_append(sf_dir):
+        import dataclasses
+        import tempfile
+
+        from raykg.pipelines.kg import ingest_increment
+
+        cfg_full = _flagship_exact_cfg()
+        cfg_old = dataclasses.replace(cfg_full, n_docs=300)
+        root = tempfile.mkdtemp(prefix="raykg_incr_")
+
+        def rng(c):
+            return lambda lo, hi: synth.sha_documents_dataset_range(
+                lo, hi, c)
+
+        ingest_increment(cfg_old, root, docs_for_range=rng(cfg_old),
+                         link_only=True)
+        return ingest_increment(cfg_full, root,
+                                docs_for_range=rng(cfg_full)).triples
+
     def kg_flagship_fuzzy_exact(sf_dir):
         return _flagship_fuzzy_result().triples
 
@@ -866,6 +885,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_mentions":
             lambda sf: graph.co_mention_edges(
                 _flagship_exact_result().triples),
+        # incremental crawl append: 300 docs ingested + committed, then a
+        # 100-doc delta linked WITHOUT re-linking the first 300; the result
+        # must hash-match the same one-statement batch oracle
+        "kg_incremental_append": kg_incremental_append,
     }
 
 
@@ -2332,6 +2355,9 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) <= 5""",
         "kg_flagship_exact": flagship_exact_sql(what="triples"),
+        # the incremental append must land on EXACTLY the batch result —
+        # same oracle statement, different (delta-linked) execution
+        "kg_incremental_append": flagship_exact_sql(what="triples"),
         "kg_flagship_exact_edges": flagship_exact_sql(what="edges"),
         "kg_flagship_exact_nodes": flagship_exact_sql(what="nodes"),
         "kg_flagship_exact_node_types": flagship_exact_sql(what="node_types"),

@@ -351,6 +351,99 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                       triples_snapshot=snapshot)
 
 
+def ingest_increment(cfg: KGConfig, checkpoint_dir: str,
+                     docs_for_range=None, n_shards: int = 4,
+                     link_only: bool = False,
+                     canon_broadcast_limit: int = 2_000_000) -> KGResult | None:
+    """Incremental crawl ingestion (delta append): extend a checkpointed KG
+    build to ``cfg.n_docs`` documents WITHOUT re-linking the already-ingested
+    corpus. The dominant extract+link phase runs only over the NEW doc range
+    (committed as additional lineage partitions under
+    ``<checkpoint_dir>/linked``); canonicalization, rewrite and
+    materialization then re-run over the UNION of all committed shards —
+    they must, because an append can change canonical entity choices
+    retroactively (a new observation can add a smaller-URI member to an
+    existing norm-name group), so correct incremental maintenance re-derives
+    the canon map rather than patching it. Bit-equality of the appended
+    result with a from-scratch batch build is asserted in tests and by the
+    ``kg_incremental_append`` driver oracle.
+
+    Reference analog: the reference re-serializes its whole pattern map
+    after every ingested file (src2/main/scala/Main.scala:69,178-202) to get
+    incremental restartability; here the unit of increment is a document
+    range and only the linking of NEW ranges is ever paid.
+
+    ``docs_for_range(lo, hi)`` supplies the corpus slice (defaults to the
+    tape corpus ``synth.documents_dataset_range``). ``link_only`` commits
+    the link shards and returns None (the bootstrap half of an append
+    sequence, where materializing the intermediate graph would be wasted).
+
+    Each committed shard's fingerprint carries (lo, hi) and a config hash
+    that EXCLUDES ``n_docs`` — linking a doc is a pure function of
+    (seed, index), never of corpus size — so chained appends validate all
+    prior shards regardless of the corpus size they were committed under.
+    Shards must tile [0, covered) contiguously in part order; gaps, overlaps
+    or a foreign config hash fail loudly.
+    """
+    import dataclasses
+    import json as _json
+
+    from raykg.functions.hashing import sha_hex
+    from raykg.state.checkpoint import LineageCheckpoint, shard_bounds
+
+    if docs_for_range is None:
+        def docs_for_range(lo, hi):
+            return synth.documents_dataset_range(lo, hi, cfg)
+
+    d = dataclasses.asdict(cfg)
+    d.pop("n_docs")
+    # num_entities is DERIVED from n_docs when n_entities == 0, and doc
+    # generation depends on it — hash the derived value so an append whose
+    # corpus-size change shifts the vocabulary fails loudly instead of
+    # silently linking a different corpus
+    d["num_entities"] = cfg.num_entities
+    link_cfg = sha_hex(_json.dumps(d, sort_keys=True))[:12]
+
+    ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
+    parts = ckpt.committed_parts()
+    covered = 0
+    for part in sorted(parts):
+        fp = parts[part].get("fingerprint") or {}
+        if fp.get("link_cfg") != link_cfg:
+            raise ValueError(
+                f"ingest shard {part} at {checkpoint_dir} was committed "
+                f"under config {fp.get('link_cfg')!r}, this run is "
+                f"{link_cfg!r}; the checkpoint belongs to a different "
+                "corpus — delete it or restore the original config")
+        if fp.get("lo") != covered:
+            raise ValueError(
+                f"ingest shards at {checkpoint_dir} do not tile the doc "
+                f"range: part {part} starts at {fp.get('lo')}, expected "
+                f"{covered}")
+        covered = fp["hi"]
+    if covered > cfg.n_docs:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} already covers {covered} docs "
+            f"> cfg.n_docs={cfg.n_docs}; appends only grow the corpus")
+
+    next_part = len(parts)
+    delta = cfg.n_docs - covered
+    if delta > 0:
+        for i, (lo, hi) in enumerate(shard_bounds(delta, n_shards)):
+            lo, hi = lo + covered, hi + covered
+            ckpt.run_partition(
+                next_part + i,
+                lambda lo=lo, hi=hi: linked_triples(docs_for_range(lo, hi),
+                                                    cfg),
+                counters={"n_docs": hi - lo},
+                fingerprint={"lo": lo, "hi": hi, "link_cfg": link_cfg})
+    if link_only:
+        return None
+    return _finish_kg(ckpt.dataset(), docs_for_range(0, cfg.n_docs), cfg,
+                      checkpoint_dir=None,
+                      canon_broadcast_limit=canon_broadcast_limit)
+
+
 def _fresh_dir(path: str) -> str:
     """Wipe a checkpoint subdirectory before writing: ``write_parquet``
     APPENDS part files to an existing directory, so re-running the same

@@ -343,6 +343,22 @@ def sha_documents_dataset(cfg: KGConfig,
         batch_format="numpy", batch_size=cfg.batch_size)
 
 
+def sha_documents_dataset_range(lo: int, hi: int, cfg: KGConfig,
+                                override_num_blocks: int | None = None):
+    """SQL-exact corpus slice for doc indices [lo, hi) — one resumable
+    ingest shard (row-identical to the corresponding slice of
+    ``sha_documents_dataset``; every row is a pure function of
+    (seed, index))."""
+    import ray.data as rd
+
+    n = hi - lo
+    n_blocks = override_num_blocks or max(1, n // 2000)
+    ds = rd.range(n, override_num_blocks=n_blocks)
+    return ds.map_batches(
+        lambda b: sha_doc_rows(b["id"] + lo, cfg),
+        batch_format="numpy", batch_size=cfg.batch_size)
+
+
 # ---------------------------------------------------------------------------
 # Property-graph node / relationship tables (F2/F3) with F4 noise
 # ---------------------------------------------------------------------------

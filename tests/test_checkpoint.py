@@ -123,3 +123,93 @@ def test_skip_is_free(ray_session, tmp_path):
     for part in range(2):
         assert ckpt.run_partition(part, boom(part)) == "skipped"
     assert calls == []
+
+
+def _canon_df(ds, cols):
+    df = ds.to_pandas()[cols]
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+_TC = ["subj", "pred", "obj", "doc_id", "span_offset"]
+
+
+def test_ingest_increment_equals_batch(ray_session, tmp_path):
+    """Delta append (40 -> 80 docs, only the new range linked) must be
+    bit-equal to a from-scratch batch build — including retroactive
+    canonical-entity changes, which this config provably exercises (a doc
+    < 40's triples differ between the 40- and 80-doc builds)."""
+    import dataclasses
+
+    from raykg.pipelines.kg import ingest_increment
+
+    cfg80 = KGConfig(n_docs=80, n_entities=300, typo_rate=0.0,
+                     batch_size=512, link_concurrency=2)
+    cfg40 = dataclasses.replace(cfg80, n_docs=40)
+    root = str(tmp_path / "incr")
+
+    def rng(c):
+        return lambda lo, hi: synth.sha_documents_dataset_range(lo, hi, c)
+
+    r40 = ingest_increment(cfg40, root, docs_for_range=rng(cfg40),
+                           n_shards=2)
+    ckpt = LineageCheckpoint(f"{root}/linked")
+    assert len(ckpt.committed_parts()) == 2
+
+    r80 = ingest_increment(cfg80, root, docs_for_range=rng(cfg80),
+                           n_shards=2)
+    # only the delta was linked: 2 more shards, tiling [40, 80)
+    parts = ckpt.committed_parts()
+    assert len(parts) == 4
+    assert [parts[p]["fingerprint"]["lo"] for p in sorted(parts)] == \
+        [0, 20, 40, 60]
+
+    batch = build_kg(synth.sha_documents_dataset(cfg80), cfg80)
+    assert _canon_df(r80.triples, _TC).equals(_canon_df(batch.triples, _TC))
+    ec = sorted(batch.edges.schema().names)
+    assert _canon_df(r80.edges, ec).equals(_canon_df(batch.edges, ec))
+    nc = ["uri", "label"]
+    assert _canon_df(r80.nodes.select_columns(nc), nc).equals(
+        _canon_df(batch.nodes.select_columns(nc), nc))
+
+    # the retro-canonicalization path was actually exercised: some doc<40
+    # triple changed its canonical endpoint after the append
+    t40 = _canon_df(r40.triples, _TC)
+    t80_old = _canon_df(r80.triples, _TC)
+    t80_old = t80_old[t80_old.doc_id.isin(set(t40.doc_id))] \
+        .reset_index(drop=True)
+    assert not t40.equals(t80_old)
+
+    # idempotent re-append: no new shards, equal output
+    r80b = ingest_increment(cfg80, root, docs_for_range=rng(cfg80))
+    assert len(ckpt.committed_parts()) == 4
+    assert _canon_df(r80b.triples, _TC).equals(
+        _canon_df(batch.triples, _TC))
+
+
+def test_ingest_increment_guards(ray_session, tmp_path):
+    """Shrinking the corpus, or appending with a different (possibly
+    n_docs-derived) entity vocabulary, must fail loudly."""
+    import dataclasses
+
+    from raykg.pipelines.kg import ingest_increment
+
+    cfg = KGConfig(n_docs=40, n_entities=300, typo_rate=0.0,
+                   batch_size=512, link_concurrency=2)
+    root = str(tmp_path / "incr_g")
+
+    def rng(c):
+        return lambda lo, hi: synth.sha_documents_dataset_range(lo, hi, c)
+
+    assert ingest_increment(cfg, root, docs_for_range=rng(cfg), n_shards=2,
+                            link_only=True) is None
+
+    small = dataclasses.replace(cfg, n_docs=20)
+    with pytest.raises(ValueError, match="appends only grow"):
+        ingest_increment(small, root, docs_for_range=rng(small))
+
+    # derived vocabulary (n_entities=0 -> max(64, n_docs // 8)) is hashed:
+    # a config whose derived count differs is a different corpus
+    other = dataclasses.replace(cfg, n_entities=301, n_docs=80)
+    with pytest.raises(ValueError, match="different\n?.*corpus|different "
+                       "corpus"):
+        ingest_increment(other, root, docs_for_range=rng(other))
