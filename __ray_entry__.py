@@ -850,6 +850,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
+        # unnormalized integer HITS (hubs/authorities) — bit-exact vs the
+        # unrolled-round twin, like graph_pagerank
+        "graph_hits":
+            lambda sf: graph.hits(graph.synth_graph_edges(), iters=3),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1026,6 +1030,29 @@ def _graph_sql(p_intra: float | None = None) -> str:
     ),
     g AS (SELECT DISTINCT src::BIGINT AS src, dst FROM raw WHERE src <> dst)
     """
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled integer HITS rounds (exact unnormalized semantics of
+    raykg.ops.graph.hits: a = Σ h over in-edges, then h = Σ a over
+    out-edges, all-nodes carrier keeps scoreless nodes at 0)."""
+    sql = _graph_sql() + """,
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+    h0 AS (SELECT node, 1::BIGINT AS v FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (SELECT n.node, COALESCE(sum(s.v), 0)::BIGINT AS v
+             FROM nodes n LEFT JOIN g ON g.dst = n.node
+             LEFT JOIN {prev_h} s ON s.node = g.src GROUP BY n.node),
+    h{i} AS (SELECT n.node, COALESCE(sum(s.v), 0)::BIGINT AS v
+             FROM nodes n LEFT JOIN g ON g.src = n.node
+             LEFT JOIN a{i} s ON s.node = g.dst GROUP BY n.node)"""
+        prev_h = f"h{i}"
+    return sql + f"""
+    SELECT h.node, h.v AS hub_int, a.v AS auth_int
+    FROM h{iters} h JOIN a{iters} a USING (node)"""
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -1212,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
+        "graph_hits": _hits_sql(3),
         "graph_kcore": _kcore_sql(4, 8),
         "graph_communities": _lpa_sql(4),
         "graph_walks": _walks_sql(4, 2),

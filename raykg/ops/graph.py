@@ -1926,3 +1926,142 @@ def co_mention_edges(triples: rd.Dataset, num_buckets: int = 256,
         return t.filter(pc.not_equal(t.column("ent_a"), ""))
 
     return counted.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs / authorities (unnormalized integer-exact fixed rounds)
+# ---------------------------------------------------------------------------
+
+_HITS_MAX = np.int64(1) << np.int64(60)
+
+
+def hits(edges: rd.Dataset, iters: int = 3,
+         num_buckets: int = 256) -> rd.Dataset:
+    """(node, hub_int, auth_int) after ``iters`` synchronous HITS rounds
+    (Kleinberg 1999) WITHOUT normalization: h_0 = a_0 = 1 for every
+    endpoint node; each round a(v) = Σ h(u) over in-edges (u, v), then
+    h(u) = Σ a(v) over out-edges (u, v). Multi-edges count once per
+    occurrence. Dropping the per-round norm keeps every value an exact
+    int64 — the ranking is identical to normalized HITS after the same
+    rounds, and the DuckDB twin reproduces each unrolled round bit-for-bit
+    (the same determinism contract as :func:`pagerank`). Values grow by a
+    ≤ max_in·max_out factor per round; a loud overflow guard trips at 2^60.
+
+    Fully distributed: per half-round one endpoint-keyed exchange attaches
+    the current score to each edge (sorted searchsorted against the
+    bucket's state slice) and one node-keyed exchange sums contributions,
+    with an all-nodes carrier so scoreless nodes keep an explicit 0 row.
+    State lives as a Dataset materialized per half-round; the driver never
+    holds a node-sized structure."""
+    edges = edges.materialize()
+    nodes = degree_stats(edges, num_buckets=num_buckets,
+                         _keep_sentinel=True).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "val": pa.array(np.where(_np(t.column("node")) >= 0, 1, 0),
+                            pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def _edge_rows(from_col: str, to_col: str):
+        def rows(t: pa.Table) -> pa.Table:
+            f, o = _np(t.column(from_col)), _np(t.column(to_col))
+            _check_ids(f, o)
+            return pa.table({"key": f, "other": o,
+                             "val": np.zeros(len(f), np.int64)})
+        return rows
+
+    def _state_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"),
+                         "other": pa.array([_SENT] * t.num_rows, pa.int64()),
+                         "val": t.column("val")})
+
+    def _attach(t: pa.Table) -> pa.Table:
+        key, other = _np(t.column("key")), _np(t.column("other"))
+        val = _np(t.column("val"))
+        is_state = other == _SENT
+        skey, sval = key[is_state], val[is_state]
+        order = np.argsort(skey, kind="stable")
+        skey, sval = skey[order], sval[order]
+        ekey, eoth = key[~is_state], other[~is_state]
+        real = ekey >= 0
+        ekey, eoth = ekey[real], eoth[real]
+        if len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            if idx.max() >= len(skey) or \
+                    not np.array_equal(skey[idx], ekey):
+                raise AssertionError(
+                    "hits: edge endpoint missing from state (degree_stats "
+                    "must cover all endpoints)")
+            out_n, out_v = eoth, sval[idx]
+        else:
+            out_n = np.empty(0, np.int64)
+            out_v = np.empty(0, np.int64)
+        return pa.table({"node": np.concatenate([out_n, [_SENT]]),
+                         "val": np.concatenate([out_v, [0]])})
+
+    def _carrier(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "val": pa.array([0] * t.num_rows, pa.int64())})
+
+    def _sum_state(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("val", "sum")])
+        g = g.filter(pc.greater_equal(g.column("node"), 0))
+        v = _np(g.column("val_sum"))
+        if len(v) and np.abs(v).max() >= _HITS_MAX:
+            raise ValueError(
+                "hits: unnormalized score exceeds 2^60 — reduce iters "
+                "(each round multiplies by up to max_in*max_out)")
+        return pa.table({
+            "node": np.concatenate([_np(g.column("node")), [_SENT]]),
+            "val": np.concatenate([v, [0]])})
+
+    def _half_round(state: rd.Dataset, from_col: str,
+                    to_col: str) -> rd.Dataset:
+        contrib = bucketed_group_agg(
+            edges.map_batches(_edge_rows(from_col, to_col),
+                              batch_format="pyarrow")
+            .union(state.map_batches(_state_rows, batch_format="pyarrow")),
+            lambda t: t, "key", _attach, num_buckets=num_buckets)
+        return bucketed_group_agg(
+            contrib.union(nodes.map_batches(_carrier,
+                                            batch_format="pyarrow")),
+            lambda t: t, "node", _sum_state,
+            num_buckets=num_buckets).materialize()
+
+    h, a = nodes, nodes
+    for _ in range(iters):
+        a = _half_round(h, "src", "dst")
+        h = _half_round(a, "dst", "src")
+
+    def _h_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "hub": t.column("val"),
+                         "auth": pa.array([0] * t.num_rows, pa.int64()),
+                         "is_h": pa.array([1] * t.num_rows, pa.int8())})
+
+    def _a_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "hub": pa.array([0] * t.num_rows, pa.int64()),
+                         "auth": t.column("val"),
+                         "is_h": pa.array([0] * t.num_rows, pa.int8())})
+
+    def _zip(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("hub", "sum"), ("auth", "sum")])
+        g = g.filter(pc.greater_equal(g.column("node"), 0))
+        return pa.table({
+            "node": pa.concat_arrays([g.column("node").combine_chunks(),
+                                      pa.array([_SENT], pa.int64())]),
+            "hub_int": pa.concat_arrays([g.column("hub_sum")
+                                         .combine_chunks(),
+                                         pa.array([0], pa.int64())]),
+            "auth_int": pa.concat_arrays([g.column("auth_sum")
+                                          .combine_chunks(),
+                                          pa.array([0], pa.int64())])})
+
+    joined = bucketed_group_agg(
+        h.map_batches(_h_rows, batch_format="pyarrow")
+        .union(a.map_batches(_a_rows, batch_format="pyarrow")),
+        lambda t: t, "node", _zip, num_buckets=num_buckets)
+
+    return joined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

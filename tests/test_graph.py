@@ -530,3 +530,43 @@ def test_co_mention_edges_partition_invariance(ray_session):
             base = out
         else:
             assert base.equals(out)
+
+
+def _brute_hits(pairs, iters):
+    nodes = sorted({x for p in pairs for x in p})
+    h = {n: 1 for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for u, v in pairs:
+            a[v] += h[u]
+        h = {n: 0 for n in nodes}
+        for u, v in pairs:
+            h[u] += a[v]
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_bruteforce(ray_session):
+    # multi-edge 3->2 counts twice; 4's self-loop keeps it self-reinforcing;
+    # 1 has in- and out-edges (both scores nonzero)
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 2), (4, 4)]
+    got = _df(graph.hits(_edges(pairs), iters=2, num_buckets=8), "node")
+    eng = {int(r.node): (int(r.hub_int), int(r.auth_int))
+           for r in got.itertuples()}
+    assert eng == _brute_hits(pairs, 2)
+
+
+def test_hits_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.hits(edges, iters=2), "node")
+    b = _df(graph.hits(edges.repartition(11), iters=2, num_buckets=17),
+            "node")
+    assert a.equals(b)
+
+
+def test_hits_overflow_guard(ray_session):
+    # a dense bipartite 30x30 graph multiplies scores by ~900 per round:
+    # 900^7 > 2^60 -> the loud guard must trip before int64 wraps
+    pairs = [(i, 100 + j) for i in range(30) for j in range(30)]
+    with pytest.raises(Exception, match="2\\^60"):
+        graph.hits(_edges(pairs), iters=7, num_buckets=8).materialize()
