@@ -663,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable equi-width histogram sketch quantiles (the scale path
         # for per-key quantiles: register-sized partials, no per-key sort)
         "histogram_quantiles": relational.histogram_quantiles,
+        # per-user sliding-window burst / rate-limit screen (bot traffic)
+        "burst_stats": relational.burst_stats,
         # window-function analogs: LAG / ROW_NUMBER as bucketed
         # sorted-segment passes
         "event_lag_stats": relational.event_lag_stats,
@@ -1705,6 +1707,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, 0.95,
                    round(quantile_cont(value, 0.95), 4) FROM events
             GROUP BY 1""",
+        "burst_stats": """
+            WITH w AS (
+                SELECT user_id,
+                       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                                 AND CURRENT ROW) AS burst
+                FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(burst)::BIGINT AS max_burst,
+                   (max(burst) >= 3)::BIGINT AS is_burst
+            FROM w GROUP BY user_id""",
         "histogram_quantiles": """
             WITH b AS (
                 SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,

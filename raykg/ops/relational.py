@@ -1370,3 +1370,69 @@ def funnel_stages(sf_dir: str,
         .groupby("bucket").map_groups(
             lambda t: funnel_per_bucket(t.drop_columns(["bucket"]), stages),
             batch_format="pyarrow")
+
+
+def burst_stats(sf_dir: str, window_minutes: int = 10,
+                threshold: int = 3, num_buckets: int = 256) -> rd.Dataset:
+    """Per-user burst / rate-limit detection over the event stream: the
+    maximum number of events any sliding ``window_minutes`` window ending
+    at one of the user's events contains -> (user_id, n_events, max_burst,
+    is_burst) with is_burst = max_burst >= threshold. This is the
+    abuse/bot-traffic screen a web-scale ingest runs before trusting a
+    source's documents.
+
+    Same scale shape as :func:`sessionize` (its docstring has the
+    numbers): ONE user-bucketed exchange, sort by (user, ts int64), then a
+    per-USER-segment pass (bounded by users per bucket, never events; each
+    iteration is two vectorized ``searchsorted`` calls over the whole
+    segment — the same loop class as kg_edges' per-distinct-key finalize)
+    counting same-user events in [t - W, t] (both ends inclusive,
+    equal-timestamp peers included), exactly DuckDB's value-based ``RANGE
+    BETWEEN INTERVAL W PRECEDING AND CURRENT ROW`` frame. Integer counts
+    -> bit-exact twin."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        unit = t.schema.field("ts").type.unit
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "max_burst": pa.array([], pa.int64()),
+                             "is_burst": pa.array([], pa.int64())})
+        w = np.int64(window_minutes) * 60 * per_s
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate((starts[1:], [len(uid)]))
+        max_burst = np.empty(len(starts), np.int64)
+        for k in range(len(starts)):      # per USER segment, not per event
+            s, e = starts[k], ends[k]
+            seg = ts[s:e]
+            cnt = (np.searchsorted(seg, seg, side="right")
+                   - np.searchsorted(seg, seg - w, side="left"))
+            max_burst[k] = cnt.max()
+        n_events = ends - starts
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "max_burst": pa.array(max_burst, pa.int64()),
+            "is_burst": pa.array((max_burst >= threshold).astype(np.int64),
+                                 pa.int64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")

@@ -257,3 +257,39 @@ def test_histogram_quantiles_matches_duckdb(ray_session, tmp_path):
     assert _norm(got) == _norm(want)
     # within-data-range sanity: every estimate sits inside [min, max] bins
     assert got["value_est"].between(-8.0, 104.0).all()
+
+
+def test_burst_stats_matches_duckdb(ray_session, tmp_path):
+    # crafted bursts: user 1 fires 4 events inside 10 min (incl. two at the
+    # SAME timestamp — RANGE peers count together) and one far later;
+    # user 2's events straddle the exact 10-min boundary (inclusive);
+    # user 3 has a single event
+    import __ray_entry__ as e
+
+    def ev(eid, minutes, user):
+        return (eid, T0 + dt.timedelta(minutes=minutes), user, "click",
+                1.0, "{}")
+
+    rows = [ev(0, 0, 1), ev(1, 5, 1), ev(2, 5, 1), ev(3, 9, 1),
+            ev(4, 120, 1),
+            ev(5, 0, 2), ev(6, 10, 2), ev(7, 30, 2),
+            ev(8, 7, 3)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows])})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = relational.burst_stats(str(tmp_path)).to_pandas()
+    by_u = {int(r.user_id): (int(r.n_events), int(r.max_burst),
+                             int(r.is_burst)) for r in got.itertuples()}
+    # user 1: window ending at minute 9 holds events 0,1,2,3 -> burst 4
+    # user 2: minute-10 window [0, 10] holds both boundary events -> 2
+    assert by_u == {1: (5, 4, 1), 2: (3, 2, 0), 3: (1, 1, 0)}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(e.oracle_sql()["burst_stats"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
