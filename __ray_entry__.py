@@ -895,6 +895,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 100-doc delta linked WITHOUT re-linking the first 300; the result
         # must hash-match the same one-statement batch oracle
         "kg_incremental_append": kg_incremental_append,
+        # caption<->text agreement per entity over the interleaved corpus
+        "kg_cross_modal":
+            lambda sf: graph.cross_modal_alignment(
+                _flagship_exact_result().triples),
     }
 
 
@@ -1274,6 +1278,22 @@ def oracle_sql() -> dict[str, str]:
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
+        "kg_cross_modal": "WITH t AS ("
+            + flagship_exact_sql(what="triples") + """),
+            side AS (
+              SELECT doc_id, uri,
+                     max(CASE WHEN pred = 'depicts' THEN 1 ELSE 0 END)
+                         AS dep,
+                     max(CASE WHEN pred <> 'depicts' THEN 1 ELSE 0 END)
+                         AS txt
+              FROM (SELECT doc_id, pred, obj AS uri FROM t
+                    UNION ALL SELECT doc_id, pred, subj FROM t
+                              WHERE subj NOT LIKE 'sdpg.gr/Document/%')
+              GROUP BY 1, 2)
+            SELECT uri, sum(dep)::BIGINT AS n_depicted,
+                   sum(txt)::BIGINT AS n_texted,
+                   sum(dep * txt)::BIGINT AS n_both
+            FROM side GROUP BY uri""",
         "graph_negatives": _graph_sql() + """,
             nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),

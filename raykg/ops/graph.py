@@ -2065,3 +2065,85 @@ def hits(edges: rd.Dataset, iters: int = 3,
     return joined.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+def cross_modal_alignment(triples: rd.Dataset,
+                          num_buckets: int = 256) -> rd.Dataset:
+    """Cross-modal consistency over the interleaved corpus: per canonical
+    entity, in how many documents it appears on the media side (a
+    ``depicts`` triple from an image/audio caption span), on the text side
+    (a mention or relation endpoint from a text span), and on BOTH ->
+    (uri, n_depicted, n_texted, n_both). n_both is the caption<->text
+    agreement signal a multimodal training-data pipeline uses to rank
+    image-text pairs (an entity depicted but never discussed — or vice
+    versa — is weak supervision).
+
+    Scale shape mirrors :func:`co_mention_edges`: exchange 1 keys by
+    doc_id with a per-batch DISTINCT-max combiner (rows bounded by docs x
+    distinct entities per doc), exchange 2 keys by entity URI with a
+    per-batch pre-sum. No pair explosion at all here, nothing driver-side.
+    """
+    one = pa.array([1], pa.int64())
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        doc, subj = t.column("doc_id"), t.column("subj")
+        pred, obj = t.column("pred"), t.column("obj")
+        is_dep = pc.equal(pred, "depicts")
+        obj_rows = pa.table({
+            "doc_id": doc, "uri": obj,
+            "dep": pc.cast(is_dep, pa.int64()),
+            "txt": pc.cast(pc.invert(is_dep), pa.int64())})
+        is_ent_subj = pc.invert(pc.starts_with(subj, "sdpg.gr/Document/"))
+        n_s = int(pc.sum(pc.cast(is_ent_subj, pa.int64())).as_py() or 0)
+        subj_rows = pa.table({
+            "doc_id": doc.filter(is_ent_subj),
+            "uri": subj.filter(is_ent_subj),
+            "dep": pa.array(np.zeros(n_s, np.int64), pa.int64()),
+            "txt": pa.array(np.ones(n_s, np.int64), pa.int64())})
+        both = pa.concat_tables([obj_rows, subj_rows])
+        return both.group_by(["doc_id", "uri"]).aggregate(
+            [("dep", "max"), ("txt", "max")]).rename_columns(
+            ["doc_id", "uri", "dep", "txt"])
+
+    def doc_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id", "uri"]).aggregate(
+            [("dep", "max"), ("txt", "max")])
+        dep = _np(g.column("dep_max"))
+        txt = _np(g.column("txt_max"))
+        return pa.table({
+            "uri": pa.concat_arrays([g.column("uri").combine_chunks(),
+                                     pa.array([""], pa.string())]),
+            "dep": pa.array(np.concatenate([dep, [0]]), pa.int64()),
+            "txt": pa.array(np.concatenate([txt, [0]]), pa.int64()),
+            "both": pa.array(np.concatenate([dep * txt, [0]]), pa.int64())})
+
+    per_doc = bucketed_group_agg(
+        triples.map_batches(side_rows, batch_format="pyarrow"),
+        lambda t: t, "doc_id", doc_fin, num_buckets=num_buckets)
+
+    def sum_comb(t: pa.Table) -> pa.Table:
+        # the "" sentinel rides the exchange (dep/txt/both are all 0 on it)
+        # so no combine output is ever zero-row; dropped after finalize
+        return t.group_by("uri").aggregate(
+            [("dep", "sum"), ("txt", "sum"), ("both", "sum")]) \
+            .rename_columns(["uri", "dep", "txt", "both"])
+
+    def sum_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("uri").aggregate(
+            [("dep", "sum"), ("txt", "sum"), ("both", "sum")])
+        return pa.table({
+            "uri": pa.concat_arrays([g.column("uri").combine_chunks(),
+                                     pa.array([""], pa.string())]),
+            "n_depicted": pa.concat_arrays(
+                [g.column("dep_sum").combine_chunks(), one]),
+            "n_texted": pa.concat_arrays(
+                [g.column("txt_sum").combine_chunks(), one]),
+            "n_both": pa.concat_arrays(
+                [g.column("both_sum").combine_chunks(), one])})
+
+    counted = bucketed_group_agg(per_doc, sum_comb, "uri", sum_fin,
+                                 num_buckets=num_buckets)
+
+    return counted.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("uri"), "")),
+        batch_format="pyarrow")

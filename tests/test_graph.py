@@ -570,3 +570,40 @@ def test_hits_overflow_guard(ray_session):
     pairs = [(i, 100 + j) for i in range(30) for j in range(30)]
     with pytest.raises(Exception, match="2\\^60"):
         graph.hits(_edges(pairs), iters=7, num_buckets=8).materialize()
+
+
+def test_cross_modal_alignment_crafted(ray_session):
+    D = "sdpg.gr/Document/x"
+    a, b = "sdpg.gr/Person/a", "sdpg.gr/Person/b"
+    rows = [
+        # d1: a depicted AND mentioned (aligned); b text-only
+        (D, "depicts", a, "d1"), (D, "mentions", a, "d1"),
+        (D, "mentions", b, "d1"),
+        # d2: a depicted only; b is a relation SUBJECT (text side) whose
+        # object a counts as text too -> a: dep+txt aligned again
+        (D, "depicts", a, "d2"), (b, "knows", a, "d2"),
+        # d3: b depicted only
+        (D, "depicts", b, "d3"),
+    ]
+    out = _df(graph.cross_modal_alignment(_triples(rows), num_buckets=8),
+              "uri")
+    got = {r.uri: (int(r.n_depicted), int(r.n_texted), int(r.n_both))
+           for r in out.itertuples()}
+    assert got == {a: (2, 2, 2), b: (1, 2, 0)}
+
+
+def test_cross_modal_alignment_partition_invariance(ray_session):
+    D = "sdpg.gr/Document/x"
+    ents = [f"sdpg.gr/Person/e{i}" for i in range(5)]
+    rows = []
+    for i in range(15):
+        rows.append((D, "depicts", ents[i % 5], f"d{i}"))
+        rows.append((D, "mentions", ents[(i + 1) % 5], f"d{i}"))
+    base = None
+    for blocks in (1, 6):
+        out = _df(graph.cross_modal_alignment(
+            _triples(rows).repartition(blocks), num_buckets=8), "uri")
+        if base is None:
+            base = out
+        else:
+            assert base.equals(out)
