@@ -856,6 +856,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unrolled-round twin, like graph_pagerank
         "graph_hits":
             lambda sf: graph.hits(graph.synth_graph_edges(), iters=3),
+        # personalized PageRank: restart mass pinned to node 0 (random
+        # walk with restart; ranks measure proximity to the seed)
+        "graph_ppr":
+            lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3,
+                                      teleport_to=0),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1061,21 +1066,30 @@ def _hits_sql(iters: int) -> str:
     FROM h{iters} h JOIN a{iters} a USING (node)"""
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_sql(iters: int, teleport_to: int | None = None) -> str:
     """Unrolled integer-PageRank CTE chain (exact floor-division
-    semantics of raykg.ops.graph.pagerank)."""
+    semantics of raykg.ops.graph.pagerank). With ``teleport_to`` the
+    restart mass lands only on that node (personalized PageRank)."""
     from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
 
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    if teleport_to is None:
+        start = f"{PR_SCALE}::BIGINT"
+        restart = f"{base}"
+    else:
+        start = (f"(CASE WHEN node = {teleport_to} THEN {PR_SCALE} "
+                 "ELSE 0 END)::BIGINT")
+        restart = (f"(CASE WHEN n.node = {teleport_to} THEN {base} "
+                   "ELSE 0 END)")
     sql = _graph_sql() + f""",
     nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
     deg AS (SELECT src, count(*) AS d FROM g GROUP BY src),
-    pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""
+    pr0 AS (SELECT node, {start} AS r FROM nodes)"""
     for it in range(iters):
         sql += f""",
     pr{it + 1} AS (
-      SELECT n.node, ({base} + coalesce(s.c, 0))::BIGINT AS r
+      SELECT n.node, ({restart} + coalesce(s.c, 0))::BIGINT AS r
       FROM nodes n LEFT JOIN
         (SELECT e.dst AS node,
                 sum(((p.r * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) // d.d) AS c
@@ -1246,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corners GROUP BY n""",
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
+        "graph_ppr": _pagerank_sql(3, teleport_to=0),
         "graph_kcore": _kcore_sql(4, 8),
         "graph_communities": _lpa_sql(4),
         "graph_walks": _walks_sql(4, 2),

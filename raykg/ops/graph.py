@@ -305,7 +305,8 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
 
 
 def pagerank(edges: rd.Dataset, iters: int = 3,
-             num_buckets: int = 256) -> rd.Dataset:
+             num_buckets: int = 256,
+             teleport_to: int | None = None) -> rd.Dataset:
     """(node, rank_int) after `iters` synchronous iterations of
     integer-scaled PageRank: ranks start at PR_SCALE; each round every
     node with out-edges sends floor(floor(rank*85/100) / out_deg) to each
@@ -313,6 +314,10 @@ def pagerank(edges: rd.Dataset, iters: int = 3,
     All arithmetic is int64 floor division -> bit-identical to the DuckDB
     oracle (the floor semantics ARE the contract; dangling mass is
     dropped, as in the original sum formulation of PageRank).
+
+    ``teleport_to``: personalized PageRank — the start mass and per-round
+    restart land ONLY on that node (random walk with restart to a seed;
+    the ranking is proximity to the seed instead of global centrality).
 
     Fully distributed fixpoint loop: per iteration one src-keyed exchange
     (rank lookup via np.searchsorted against the <=bucket-sized state
@@ -322,13 +327,23 @@ def pagerank(edges: rd.Dataset, iters: int = 3,
     never holds a node-sized structure."""
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
 
+    def _start(node: np.ndarray) -> np.ndarray:
+        if teleport_to is None:
+            return np.where(node >= 0, PR_SCALE, 0).astype(np.int64)
+        return np.where(node == teleport_to, PR_SCALE, 0).astype(np.int64)
+
+    def _restart(node: np.ndarray) -> np.ndarray:
+        if teleport_to is None:
+            return np.full(len(node), base, np.int64)
+        return np.where(node == teleport_to, base, 0).astype(np.int64)
+
     edges = edges.materialize()
     state = degree_stats(edges, num_buckets=num_buckets,
                          _keep_sentinel=True).map_batches(
         lambda t: pa.table({
             "node": t.column("node"),
             "out_deg": t.column("out_deg"),
-            "rank_int": pa.array([PR_SCALE] * t.num_rows, pa.int64()),
+            "rank_int": pa.array(_start(_np(t.column("node"))), pa.int64()),
         }), batch_format="pyarrow").materialize()
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -386,6 +401,7 @@ def pagerank(edges: rd.Dataset, iters: int = 3,
             g = t.group_by("node").aggregate([("contrib", "sum"),
                                               ("out_deg", "max")])
             g = g.filter(pc.greater_equal(g.column("node"), 0))
+            gnode = _np(g.column("node"))
             # out_deg max: carrier row holds the true value, contrib rows -1.
             # One sentinel per block keeps the state union-safe next round.
             return pa.table({
@@ -395,9 +411,9 @@ def pagerank(edges: rd.Dataset, iters: int = 3,
                 "out_deg": pa.concat_arrays(
                     [g.column("out_deg_max").combine_chunks(),
                      pa.array([0], pa.int64())]),
-                "rank_int": pa.concat_arrays(
-                    [pc.add(g.column("contrib_sum"), base).combine_chunks(),
-                     pa.array([0], pa.int64())]),
+                "rank_int": pa.array(np.concatenate(
+                    [_np(g.column("contrib_sum")) + _restart(gnode), [0]]),
+                    pa.int64()),
             })
 
         state = bucketed_group_agg(

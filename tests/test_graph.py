@@ -607,3 +607,30 @@ def test_cross_modal_alignment_partition_invariance(ray_session):
             base = out
         else:
             assert base.equals(out)
+
+
+def test_personalized_pagerank_two_node_cycle():
+    # 0 <-> 1, teleport to 0: r0 starts at SCALE, r1 at 0; closed form by
+    # hand for 2 rounds of the integer recurrence
+    base = 150_000
+    r0, r1 = 1_000_000, 0
+    for _ in range(2):
+        s0 = (r0 * 85) // 100
+        s1 = (r1 * 85) // 100
+        r0, r1 = base + s1, s0
+    got = _df(graph.pagerank(_edges([(0, 1), (1, 0)]), iters=2,
+                             teleport_to=0), "node")
+    assert dict(zip(got["node"], got["rank_int"])) == {0: r0, 1: r1}
+
+
+def test_personalized_pagerank_localizes_mass(ray_session):
+    # with p_intra=1.0 communities are disconnected: a walk restarting at
+    # node 0 must put zero mass outside node 0's 40-node community
+    edges = graph.synth_graph_edges(400, p_intra=1.0)
+    got = _df(graph.pagerank(edges, iters=3, teleport_to=0), "node")
+    inside = got[got["node"] < 40]
+    outside = got[got["node"] >= 40]
+    assert int(inside["rank_int"].sum()) > 0
+    assert int(outside["rank_int"].sum()) == 0
+    # and the seed holds the largest rank
+    assert int(got.loc[got["rank_int"].idxmax(), "node"]) == 0
