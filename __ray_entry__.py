@@ -861,6 +861,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ppr":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3,
                                       teleport_to=0),
+        # out-in degree assortativity: do hub-authored links point at
+        # hubs? six exact int64 registers + one float expression
+        "graph_assortativity":
+            lambda sf: graph.degree_assortativity(graph.synth_graph_edges()),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1261,6 +1265,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),
+        "graph_assortativity": _graph_sql() + """,
+            od AS (SELECT src AS node, count(*) AS d FROM g GROUP BY 1),
+            idg AS (SELECT dst AS node, count(*) AS d FROM g GROUP BY 1),
+            xy AS (SELECT od.d AS x, idg.d AS y
+                   FROM g JOIN od ON od.node = g.src
+                          JOIN idg ON idg.node = g.dst),
+            reg AS (SELECT count(*)::BIGINT AS n_edges,
+                           sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                           sum(x*y)::BIGINT AS sum_xy,
+                           sum(x*x)::BIGINT AS sum_x2,
+                           sum(y*y)::BIGINT AS sum_y2
+                    FROM xy)
+            SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+                   round(CAST(n_edges * sum_xy - sum_x * sum_y AS DOUBLE)
+                     / (sqrt(CAST(n_edges * sum_x2 - sum_x * sum_x
+                                  AS DOUBLE))
+                        * sqrt(CAST(n_edges * sum_y2 - sum_y * sum_y
+                                    AS DOUBLE))), 6) AS r
+            FROM reg""",
         "graph_kcore": _kcore_sql(4, 8),
         "graph_communities": _lpa_sql(4),
         "graph_walks": _walks_sql(4, 2),

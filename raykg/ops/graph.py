@@ -2163,3 +2163,161 @@ def cross_modal_alignment(triples: rd.Dataset,
     return counted.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("uri"), "")),
         batch_format="pyarrow")
+
+
+def degree_assortativity(edges: rd.Dataset,
+                         num_buckets: int = 256) -> rd.Dataset:
+    """One-row (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2, r):
+    Pearson correlation over directed edges (u, v) between x = out_deg(u)
+    and y = in_deg(v) (out-in degree assortativity, Newman 2002) — do
+    hub-authored links point at hubs? A single float expression over six
+    exact int64 registers, so the DuckDB twin reproduces r bit-for-bit.
+
+    Scale shape: degree_stats (one node-keyed exchange), then TWO
+    endpoint-keyed attach exchanges put (x, y) on every edge, a per-batch
+    combiner reduces each batch to ONE register row, and the six registers
+    SUM-merge associatively — the final exchange is register-sized
+    regardless of edge count. The r expression runs once on the merged
+    row."""
+    edges = edges.materialize()
+    deg = degree_stats(edges, num_buckets=num_buckets,
+                       _keep_sentinel=True).materialize()
+
+    def _attach_deg(edge_key: str, deg_col: str, out_col: str,
+                    carry: list[str]):
+        """Return a Dataset of edges with ``out_col`` = deg_col of the
+        node in ``edge_key`` (sorted searchsorted per bucket)."""
+        def edge_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column(edge_key)}
+            for c in carry:
+                cols[c] = t.column(c)
+            cols["degval"] = pa.array(
+                np.full(t.num_rows, -1, np.int64), pa.int64())
+            cols["is_state"] = pa.array(
+                np.zeros(t.num_rows, np.int8), pa.int8())
+            return pa.table(cols)
+
+        def state_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column("node")}
+            for c in carry:
+                cols[c] = pa.array(np.full(t.num_rows, _SENT, np.int64),
+                                   pa.int64())
+            cols["degval"] = t.column(deg_col)
+            cols["is_state"] = pa.array(np.ones(t.num_rows, np.int8),
+                                        pa.int8())
+            return pa.table(cols)
+
+        def attach(t: pa.Table) -> pa.Table:
+            key, st = _np(t.column("key")), _np(t.column("is_state"))
+            dv = _np(t.column("degval"))
+            is_s = st == 1
+            skey, sval = key[is_s], dv[is_s]
+            order = np.argsort(skey, kind="stable")
+            skey, sval = skey[order], sval[order]
+            ekey = key[~is_s]
+            real = ekey >= 0
+            out = {}
+            for c in carry:
+                out[c] = _np(t.column(c))[~is_s][real]
+            ekey = ekey[real]
+            if len(ekey):
+                idx = np.searchsorted(skey, ekey)
+                if idx.max() >= len(skey) or \
+                        not np.array_equal(skey[idx], ekey):
+                    raise AssertionError(
+                        "degree_assortativity: endpoint missing from "
+                        "degree state")
+                vals = sval[idx]
+            else:
+                vals = np.empty(0, np.int64)
+            cols = {c: np.concatenate([v, [_SENT]])
+                    for c, v in out.items()}
+            cols[out_col] = np.concatenate([vals, [_SENT]])
+            cols["mark"] = np.concatenate(
+                [np.zeros(len(ekey), np.int8), [1]]).astype(np.int8)
+            return pa.table(cols)
+
+        return bucketed_group_agg(
+            edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+            .union(deg.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "key", attach, num_buckets=num_buckets)
+
+    # pass 1: x = out_deg(src), carrying dst; pass 2: y = in_deg(dst)
+    edges_ds = edges
+    withx = _attach_deg("src", "out_deg", "x", ["dst"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("mark"), 0))
+        .drop_columns(["mark"]), batch_format="pyarrow")
+
+    def edge2_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("dst"), "x": t.column("x"),
+                         "degval": pa.array(
+                             np.full(t.num_rows, -1, np.int64), pa.int64()),
+                         "is_state": pa.array(
+                             np.zeros(t.num_rows, np.int8), pa.int8())})
+
+    def state2_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"),
+                         "x": pa.array(np.full(t.num_rows, _SENT, np.int64),
+                                       pa.int64()),
+                         "degval": t.column("in_deg"),
+                         "is_state": pa.array(np.ones(t.num_rows, np.int8),
+                                              pa.int8())})
+
+    def attach2(t: pa.Table) -> pa.Table:
+        key, st = _np(t.column("key")), _np(t.column("is_state"))
+        dv, x = _np(t.column("degval")), _np(t.column("x"))
+        is_s = st == 1
+        skey, sval = key[is_s], dv[is_s]
+        order = np.argsort(skey, kind="stable")
+        skey, sval = skey[order], sval[order]
+        ekey, ex = key[~is_s], x[~is_s]
+        real = (ekey >= 0) & (ex >= 0)
+        ekey, ex = ekey[real], ex[real]
+        if len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            if idx.max() >= len(skey) or \
+                    not np.array_equal(skey[idx], ekey):
+                raise AssertionError(
+                    "degree_assortativity: endpoint missing from degree "
+                    "state")
+            ey = sval[idx]
+        else:
+            ey = np.empty(0, np.int64)
+        # reduce this bucket to ONE register row right here
+        return pa.table({
+            "n": pa.array([len(ekey)], pa.int64()),
+            "sx": pa.array([int(ex.sum())], pa.int64()),
+            "sy": pa.array([int(ey.sum())], pa.int64()),
+            "sxy": pa.array([int((ex * ey).sum())], pa.int64()),
+            "sx2": pa.array([int((ex * ex).sum())], pa.int64()),
+            "sy2": pa.array([int((ey * ey).sum())], pa.int64())})
+
+    regs = bucketed_group_agg(
+        withx.map_batches(edge2_rows, batch_format="pyarrow")
+        .union(deg.map_batches(state2_rows, batch_format="pyarrow")),
+        lambda t: t, "key", attach2, num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(t.column("n")).as_py() or 0)
+        sx = int(pc.sum(t.column("sx")).as_py() or 0)
+        sy = int(pc.sum(t.column("sy")).as_py() or 0)
+        sxy = int(pc.sum(t.column("sxy")).as_py() or 0)
+        sx2 = int(pc.sum(t.column("sx2")).as_py() or 0)
+        sy2 = int(pc.sum(t.column("sy2")).as_py() or 0)
+        # same DOUBLE expression as the SQL twin, term for term
+        num = float(n * sxy - sx * sy)
+        den = float(np.sqrt(float(n * sx2 - sx * sx))
+                    * np.sqrt(float(n * sy2 - sy * sy)))
+        r = round_half_away(num / den, 6) if den != 0.0 else 0.0
+        return pa.table({
+            "n_edges": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "sum_x2": pa.array([sx2], pa.int64()),
+            "sum_y2": pa.array([sy2], pa.int64()),
+            "r": pa.array([r], pa.float64())})
+
+    # registers merge associatively; the scalar step sees 6 ints per bucket
+    return regs.repartition(1).map_batches(fin, batch_format="pyarrow",
+                                           batch_size=None)

@@ -634,3 +634,41 @@ def test_personalized_pagerank_localizes_mass(ray_session):
     assert int(outside["rank_int"].sum()) == 0
     # and the seed holds the largest rank
     assert int(got.loc[got["rank_int"].idxmax(), "node"]) == 0
+
+
+def test_degree_assortativity_matches_corrcoef(ray_session):
+    edges = graph.synth_graph_edges(400)
+    out = graph.degree_assortativity(edges).to_pandas()
+    assert len(out) == 1
+    pdf = edges.to_pandas()
+    od = pdf.groupby("src").size()
+    idg = pdf.groupby("dst").size()
+    x = od.loc[pdf["src"]].values.astype(float)
+    y = idg.loc[pdf["dst"]].values.astype(float)
+    assert out.r[0] == pytest.approx(np.corrcoef(x, y)[0, 1], abs=5e-7)
+    assert int(out.n_edges[0]) == len(pdf)
+    assert int(out.sum_x[0]) == int(x.sum())
+
+
+def test_degree_assortativity_perfect_line(ray_session):
+    # x == y on every edge of a 3-cycle (all degrees 1) -> zero variance
+    # denominator -> r = 0.0 by the guard, registers still exact
+    out = graph.degree_assortativity(
+        _edges([(0, 1), (1, 2), (2, 0)]), num_buckets=8).to_pandas()
+    assert int(out.n_edges[0]) == 3 and int(out.sum_xy[0]) == 3
+    assert out.r[0] == 0.0
+    # degree variety across edges: registers count multi-edges per
+    # occurrence (x = out_deg(src) repeats for each of src's edges)
+    pairs = [(0, 9), (0, 8), (1, 9), (5, 9), (6, 7)]
+    out2 = graph.degree_assortativity(_edges(pairs),
+                                      num_buckets=8).to_pandas()
+    assert int(out2.n_edges[0]) == 5
+    assert int(out2.sum_x[0]) == 2 + 2 + 1 + 1 + 1   # out_deg(0) twice
+
+
+def test_degree_assortativity_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = graph.degree_assortativity(edges).to_pandas()
+    b = graph.degree_assortativity(edges.repartition(11),
+                                   num_buckets=17).to_pandas()
+    assert a.equals(b)
