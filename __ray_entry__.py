@@ -665,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles": relational.histogram_quantiles,
         # per-user sliding-window burst / rate-limit screen (bot traffic)
         "burst_stats": relational.burst_stats,
+        # per-user streaming EWMA state (alpha=1/2: exact halving, pinned
+        # op order -> bit-exact vs a recursive-CTE replay)
+        "ewma_by_user": relational.ewma_by_user,
         # window-function analogs: LAG / ROW_NUMBER as bucketed
         # sorted-segment passes
         "event_lag_stats": relational.event_lag_stats,
@@ -1776,6 +1779,21 @@ def oracle_sql() -> dict[str, str]:
                    max(burst)::BIGINT AS max_burst,
                    (max(burst) >= 3)::BIGINT AS is_burst
             FROM w GROUP BY user_id""",
+        "ewma_by_user": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            rec(user_id, rn, s, n) AS (
+                SELECT user_id, rn, value, n FROM ev WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn, (e.value + r.s) / 2.0, e.n
+                FROM rec r JOIN ev e
+                  ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT user_id, n::BIGINT AS n_events, round(s, 6) AS ewma
+            FROM rec WHERE rn = n""",
         "histogram_quantiles": """
             WITH b AS (
                 SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,

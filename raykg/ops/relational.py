@@ -1436,3 +1436,61 @@ def burst_stats(sf_dir: str, window_minutes: int = 10,
         .groupby("bucket").map_groups(
             lambda t: per_bucket(t.drop_columns(["bucket"])),
             batch_format="pyarrow")
+
+
+def ewma_by_user(sf_dir: str, num_buckets: int = 256) -> rd.Dataset:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 1/2: s_0 = v_0, s_i = (v_i + s_{i-1}) / 2 in (ts, event_id)
+    order) -> (user_id, n_events, ewma). The streaming-state aggregate a
+    feature pipeline keeps per key; halving is an exact IEEE exponent
+    decrement and the addition order is pinned by the sort, so the DuckDB
+    recursive-CTE twin replays the identical op sequence bit-for-bit.
+
+    Scale shape: ONE user-bucketed exchange, then per bucket a sort by
+    (user, ts, event_id) and a rank-synchronous update loop — iteration r
+    updates ALL users that have an r-th event in one vectorized step, so
+    the Python loop is bounded by max events per user (the recurrence's
+    critical path, irreducible), never by user or event count."""
+    import numpy as np
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "ewma": pa.array([], pa.float64())})
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = pc.cast(t.column("event_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, val = uid[order], val[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        n_events = np.diff(np.concatenate((starts, [len(uid)])))
+        s = val[starts].copy()
+        max_n = int(n_events.max())
+        for r in range(1, max_n):       # critical path of the recurrence
+            has = np.flatnonzero(n_events > r)
+            idx = starts[has] + r
+            s[has] = (val[idx] + s[has]) / 2.0
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "ewma": pa.array(round_half_away(s, 6), pa.float64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")

@@ -293,3 +293,33 @@ def test_burst_stats_matches_duckdb(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["burst_stats"]).df()
     con.close()
     assert _norm(got) == _norm(want)
+
+
+def test_ewma_by_user_matches_duckdb_and_hand(ray_session, tmp_path):
+    # user 1: values 1, 2, 4 -> s = 1, 1.5, 2.75; ties at minute 5 pin the
+    # (ts, event_id) order (event 1 before event 2)
+    import __ray_entry__ as e
+
+    rows = [
+        (0, T0, 1, "a", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "a", 2.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=5), 1, "a", 4.0, "{}"),
+        (3, T0, 2, "a", 7.5, "{}"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows])})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = relational.ewma_by_user(str(tmp_path)).to_pandas()
+    by_u = {int(r.user_id): (int(r.n_events), float(r.ewma))
+            for r in got.itertuples()}
+    assert by_u == {1: (3, ((1.0 + 2.0) / 2 + 4.0) / 2), 2: (1, 7.5)}
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(e.oracle_sql()["ewma_by_user"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
