@@ -868,6 +868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hubs? six exact int64 registers + one float expression
         "graph_assortativity":
             lambda sf: graph.degree_assortativity(graph.synth_graph_edges()),
+        # link symmetry over the distinct directed edge set
+        "graph_reciprocity":
+            lambda sf: graph.reciprocity(graph.synth_graph_edges()),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1268,6 +1271,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),
+        "graph_reciprocity": _graph_sql() + """,
+            d AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+            reg AS (SELECT count(*)::BIGINT AS n_edges,
+                           sum(CASE WHEN EXISTS
+                                 (SELECT 1 FROM d r
+                                  WHERE r.src = d.dst AND r.dst = d.src)
+                               THEN 1 ELSE 0 END)::BIGINT AS n_reciprocal
+                    FROM d)
+            SELECT n_edges, n_reciprocal,
+                   round(CAST(n_reciprocal AS DOUBLE) / n_edges, 6)
+                       AS reciprocity
+            FROM reg""",
         "graph_assortativity": _graph_sql() + """,
             od AS (SELECT src AS node, count(*) AS d FROM g GROUP BY 1),
             idg AS (SELECT dst AS node, count(*) AS d FROM g GROUP BY 1),

@@ -2321,3 +2321,63 @@ def degree_assortativity(edges: rd.Dataset,
     # registers merge associatively; the scalar step sees 6 ints per bucket
     return regs.repartition(1).map_batches(fin, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def reciprocity(edges: rd.Dataset, num_buckets: int = 256) -> rd.Dataset:
+    """One-row (n_edges, n_reciprocal, reciprocity): over the DISTINCT
+    directed edge set (self-loops dropped), how many edges have their
+    reverse present — the link-symmetry diagnostic (citation graphs ~0,
+    social graphs high). reciprocity = round(n_reciprocal / n_edges, 6).
+
+    Scale shape: one exchange on the packed UNORDERED pair key (the
+    kg_edges int64 trick, ids < 2^31 enforced by _check_ids' packing
+    guard in triangle_counts — here enforced directly); the per-bucket
+    finalize counts, per distinct unordered pair, how many distinct
+    directions exist (1 or 2), emitting three int64 registers per bucket
+    that SUM-merge. Multi-edges collapse first inside a per-batch
+    combiner, so the exchange is bounded by distinct edges per batch."""
+    def comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError("reciprocity: node ids must be < 2^31 "
+                             "(packed-pair key)")
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        pk = a * _SHIFT + b
+        rev = (src > dst).astype(np.int64)   # direction bit
+        key = pk * 2 + rev                   # distinct directed edge id
+        key = np.unique(key)
+        return pa.table({"pk": pa.array(key // 2, pa.int64()),
+                         "dirbit": pa.array(key % 2, pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        dirbit = _np(t.column("dirbit"))
+        key = pk * 2 + dirbit
+        key = np.unique(key)                 # distinct directed edges
+        upk = key // 2
+        pstart = np.flatnonzero(np.concatenate(
+            ([True], upk[1:] != upk[:-1]))) if len(upk) else \
+            np.empty(0, np.int64)
+        ndirs = np.diff(np.concatenate([pstart, [len(upk)]])) \
+            if len(upk) else np.empty(0, np.int64)
+        n_edges = int(ndirs.sum())
+        n_recip = int((ndirs * (ndirs == 2)).sum())
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_reciprocal": pa.array([n_recip], pa.int64())})
+
+    regs = bucketed_group_agg(edges, comb, "pk", fin,
+                              num_buckets=num_buckets)
+
+    def total(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(t.column("n_edges")).as_py() or 0)
+        r = int(pc.sum(t.column("n_reciprocal")).as_py() or 0)
+        ratio = round_half_away(r / n, 6) if n else 0.0
+        return pa.table({"n_edges": pa.array([n], pa.int64()),
+                         "n_reciprocal": pa.array([r], pa.int64()),
+                         "reciprocity": pa.array([ratio], pa.float64())})
+
+    return regs.repartition(1).map_batches(total, batch_format="pyarrow",
+                                           batch_size=None)

@@ -672,3 +672,19 @@ def test_degree_assortativity_partition_invariance(ray_session):
     b = graph.degree_assortativity(edges.repartition(11),
                                    num_buckets=17).to_pandas()
     assert a.equals(b)
+
+
+def test_reciprocity_crafted(ray_session):
+    # 0<->1 reciprocal; 1->2 one-way; self-loop and multi-edge collapse
+    pairs = [(0, 1), (1, 0), (1, 2), (1, 2), (3, 3)]
+    out = graph.reciprocity(_edges(pairs), num_buckets=8).to_pandas()
+    assert out.to_dict("records") == [
+        {"n_edges": 3, "n_reciprocal": 2, "reciprocity": 0.666667}]
+
+
+def test_reciprocity_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = graph.reciprocity(edges).to_pandas()
+    b = graph.reciprocity(edges.repartition(13),
+                          num_buckets=7).to_pandas()
+    assert a.equals(b)
