@@ -871,6 +871,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link symmetry over the distinct directed edge set
         "graph_reciprocity":
             lambda sf: graph.reciprocity(graph.synth_graph_edges()),
+        # cost-bounded weighted shortest paths (min-plus Bellman-Ford to
+        # fixpoint; sha-derived integer weights; budget 48)
+        "graph_sssp":
+            lambda sf: graph.sssp_weighted(graph.synth_graph_edges(),
+                                           source=0, max_dist=48),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1271,6 +1276,24 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),
+        # accumulated distance strictly increases per hop and is bounded
+        # by the budget, so the recursive walk terminates; min(d) over it
+        # equals the engine's budget-truncated fixpoint (every prefix of
+        # an optimal path is <= its total)
+        "graph_sssp": "WITH RECURSIVE " + _graph_sql()
+        .replace("WITH lim", "lim", 1) + """,
+            gw AS (SELECT src, dst,
+                          1 + (('0x' || substr(sha256('gw|42|'
+                               || src::VARCHAR || '|' || dst::VARCHAR),
+                               1, 8))::UBIGINT % 9)::BIGINT AS wt
+                   FROM g),
+            walk(node, d) AS (
+                SELECT 0::BIGINT, 0::BIGINT
+                UNION
+                SELECT gw.dst, w.d + gw.wt FROM walk w
+                JOIN gw ON gw.src = w.node
+                WHERE w.d + gw.wt <= 48)
+            SELECT node, min(d)::BIGINT AS dist FROM walk GROUP BY node""",
         "graph_reciprocity": _graph_sql() + """,
             d AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
             reg AS (SELECT count(*)::BIGINT AS n_edges,

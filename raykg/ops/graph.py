@@ -2381,3 +2381,121 @@ def reciprocity(edges: rd.Dataset, num_buckets: int = 256) -> rd.Dataset:
 
     return regs.repartition(1).map_batches(total, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def edge_weights(t: pa.Table, seed: int = 42, mod: int = 9) -> np.ndarray:
+    """Deterministic per-edge weight 1 + sha('gw|seed|src|dst') % mod —
+    the same sha-threshold idiom as synth_graph_edges, so DuckDB
+    regenerates every weight exactly."""
+    src, dst = _np(t.column("src")), _np(t.column("dst"))
+    return np.fromiter(
+        (1 + sha_int(f"gw|{seed}|{s}|{d}") % mod
+         for s, d in zip(src.tolist(), dst.tolist())),
+        dtype=np.int64, count=len(src))
+
+
+def sssp_weighted(edges: rd.Dataset, source: int = 0, max_dist: int = 48,
+                  num_buckets: int = 256, seed: int = 42,
+                  weight_mod: int = 9) -> rd.Dataset:
+    """(node, dist) = cost-bounded single-source shortest paths over
+    DIRECTED edges with deterministic integer weights (1..weight_mod via
+    :func:`edge_weights`): synchronous min-plus Bellman-Ford run to
+    fixpoint, keeping only nodes whose shortest distance is <= max_dist.
+    The budget makes the semantics finitely SQL-expressible (every prefix
+    of an optimal path is <= its total, so truncating offers above the
+    budget loses exactly the nodes outside it) — the DuckDB twin is a
+    recursive walk whose accumulated distance strictly increases per hop
+    and is bounded by the same budget, hence terminates.
+
+    Same distributed frontier shape as :func:`bfs_depths` (two bucketed
+    exchanges per round, membership-masked attach, distributed changed
+    count); weights >= 1 bound the rounds by max_dist. All-integer ->
+    bit-exact twin."""
+    edges = edges.materialize()
+
+    state = rd.from_arrow(pa.table({
+        "node": pa.array([source, _SENT], pa.int64()),
+        "dist": pa.array([0, 0], pa.int64())}))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        w = edge_weights(t, seed=seed, mod=weight_mod)
+        return pa.table({"node": np.concatenate([src, [_SENT]]),
+                         "dst": np.concatenate([dst, [_SENT]]),
+                         "dist": np.concatenate([w, [0]])})
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "dst": pa.array([_SENT] * n, pa.int64()),
+                         "dist": t.column("dist")})
+
+    def attach(t: pa.Table) -> pa.Table:
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        dv = _np(t.column("dist"))
+        real = node >= 0
+        node, dst, dv = node[real], dst[real], dv[real]
+        is_state = dst == _SENT
+        snode, sdist = node[is_state], dv[is_state]
+        order = np.argsort(snode, kind="stable")
+        snode, sdist = snode[order], sdist[order]
+        enode, edst, ew = node[~is_state], dst[~is_state], dv[~is_state]
+        if len(snode) and len(enode):
+            idx = np.searchsorted(snode, enode)
+            idx[idx >= len(snode)] = len(snode) - 1
+            hit = snode[idx] == enode
+            off_node = edst[hit]
+            off_d = sdist[idx[hit]] + ew[hit]
+            inside = off_d <= max_dist        # the budget, both sides
+            off_node, off_d = off_node[inside], off_d[inside]
+        else:
+            off_node = np.empty(0, np.int64)
+            off_d = np.empty(0, np.int64)
+        return pa.table({
+            "node": np.concatenate([off_node, [_SENT]]),
+            "d": np.concatenate([off_d, [0]]),
+            "is_old": np.zeros(len(off_node) + 1, np.int8)})
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"), "d": t.column("dist"),
+                         "is_old": pa.array([1] * n, pa.int8())})
+
+    INF = np.int64(1) << np.int64(62)
+
+    def fold(t: pa.Table) -> pa.Table:
+        node, d = _np(t.column("node")), _np(t.column("d"))
+        old_f = _np(t.column("is_old"))
+        order = np.argsort(node, kind="stable")
+        node, d, old_f = node[order], d[order], old_f[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))
+        new = np.minimum.reduceat(d, start)
+        old = np.minimum.reduceat(np.where(old_f == 1, d, INF), start)
+        uniq = node[start]
+        changed = ((new < old) & (uniq >= 0)).astype(np.int64)
+        return pa.table({"node": uniq, "dist": new, "changed": changed})
+
+    converged = False
+    for _ in range(max_dist + 1):   # weights >= 1 bound the rounds
+        offers = bucketed_group_agg(
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(state.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "node", attach, num_buckets=num_buckets)
+        state = bucketed_group_agg(
+            offers.union(state.map_batches(old_rows,
+                                           batch_format="pyarrow")),
+            lambda t: t, "node", fold, num_buckets=num_buckets) \
+            .materialize()
+        if not state.sum("changed"):
+            converged = True
+            break
+    if not converged:
+        import logging
+        logging.getLogger("raykg").warning(
+            "sssp_weighted: no fixpoint after %d rounds", max_dist + 1)
+
+    return state.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
+        .select(["node", "dist"]), batch_format="pyarrow")

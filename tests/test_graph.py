@@ -688,3 +688,58 @@ def test_reciprocity_partition_invariance(ray_session):
     b = graph.reciprocity(edges.repartition(13),
                           num_buckets=7).to_pandas()
     assert a.equals(b)
+
+
+def _dijkstra(pairs, weights, source, budget):
+    import heapq
+
+    adj = {}
+    for (a, b), w in zip(pairs, weights):
+        adj.setdefault(a, []).append((b, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return {n: d for n, d in dist.items() if d <= budget}
+
+
+def test_sssp_weighted_matches_dijkstra(ray_session):
+    from raykg.functions.hashing import sha_int
+
+    edges = graph.synth_graph_edges(400)
+    pdf = edges.to_pandas()
+    pairs = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    ws = [1 + sha_int(f"gw|42|{a}|{b}") % 9 for a, b in pairs]
+    got = _df(graph.sssp_weighted(edges, source=0, max_dist=30), "node")
+    assert dict(zip(got["node"], got["dist"])) == \
+        _dijkstra(pairs, ws, 0, 30)
+
+
+def test_sssp_weighted_budget_and_cheap_detour(ray_session):
+    # direct 0->2 has a sha weight; so does the 0->1->2 detour — whichever
+    # is cheaper must win, and a node beyond the budget must vanish
+    from raykg.functions.hashing import sha_int
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    ws = {p: 1 + sha_int(f"gw|42|{p[0]}|{p[1]}") % 9 for p in pairs}
+    best2 = min(ws[(0, 2)], ws[(0, 1)] + ws[(1, 2)])
+    got = _df(graph.sssp_weighted(_edges(pairs), source=0,
+                                  max_dist=best2, num_buckets=8), "node")
+    d = dict(zip(got["node"], got["dist"]))
+    assert d[2] == best2
+    assert 3 not in d                     # budget excludes the tail
+
+
+def test_sssp_weighted_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.sssp_weighted(edges, source=0, max_dist=30), "node")
+    b = _df(graph.sssp_weighted(edges.repartition(11), source=0,
+                                max_dist=30, num_buckets=17), "node")
+    assert a.equals(b)
