@@ -876,6 +876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp":
             lambda sf: graph.sssp_weighted(graph.synth_graph_edges(),
                                            source=0, max_dist=48),
+        # Watts-Strogatz local clustering coefficient per node
+        "graph_clustering":
+            lambda sf: graph.clustering_coefficient(
+                graph.synth_graph_edges()),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1273,6 +1277,27 @@ def oracle_sql() -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
+        "graph_clustering": _graph_sql() + """,
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM g WHERE src <> dst),
+            deg AS (SELECT n AS node, count(*)::BIGINT AS deg FROM
+                    (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            tcnt AS (SELECT n AS node, count(*)::BIGINT AS n_triangles
+                     FROM corners GROUP BY n)
+            SELECT d.node, d.deg,
+                   COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   CASE WHEN d.deg >= 2 THEN
+                        round(2.0 * COALESCE(t.n_triangles, 0)
+                              / (d.deg * (d.deg - 1)), 6)
+                        ELSE 0.0 END AS coeff
+            FROM deg d LEFT JOIN tcnt t USING (node)""",
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),

@@ -2499,3 +2499,88 @@ def sssp_weighted(edges: rd.Dataset, source: int = 0, max_dist: int = 48,
     return state.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
         .select(["node", "dist"]), batch_format="pyarrow")
+
+
+def clustering_coefficient(edges: rd.Dataset,
+                           num_buckets: int = 256) -> rd.Dataset:
+    """(node, deg, n_triangles, coeff) over the UNDIRECTED simple graph:
+    local clustering coefficient C(v) = 2T(v) / (deg(v) * (deg(v) - 1))
+    (Watts-Strogatz 1998), 0 for deg < 2 — how clique-like each node's
+    neighborhood is. Composes two already-exact primitives: triangle
+    counts from :func:`triangle_counts` and the undirected simple degree,
+    joined by one node-keyed tag exchange; the single float division is
+    replicated term-for-term by the twin.
+
+    Scale shape: the triangle plan's bounds (sqrt(m) orientation) carry
+    over; the degree pass is one distinct-pair exchange + one endpoint
+    count; the join ships (node, deg) + (node, T) rows only."""
+    edges = edges.materialize()
+    tri = triangle_counts(edges, num_buckets=num_buckets)
+
+    # undirected simple degree: distinct canonical pairs, then endpoints
+    def pair_comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError("clustering_coefficient: node ids must be "
+                             "< 2^31 (packed-pair key)")
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": pa.array(pk, pa.int64())})
+
+    def pair_fin(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        return pa.table({"node": np.concatenate(
+            [pk // _SHIFT, pk % _SHIFT, [_SENT]]).astype(np.int64)})
+
+    endpoints = bucketed_group_agg(edges, pair_comb, "pk", pair_fin,
+                                   num_buckets=num_buckets)
+
+    def deg_comb(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        node = node[node >= 0]
+        un, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(np.concatenate([un, [_SENT]]),
+                                          pa.int64()),
+                         "deg": pa.array(np.concatenate([cnt, [0]]),
+                                         pa.int64()),
+                         "tri": pa.array(np.zeros(len(un) + 1, np.int64),
+                                         pa.int64())})
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "deg": pa.array([0] * t.num_rows, pa.int64()),
+                         "tri": t.column("n_triangles")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("deg", "sum"), ("tri", "sum")])
+        g = g.filter(pc.greater_equal(g.column("node"), 0))
+        node = _np(g.column("node"))
+        deg = _np(g.column("deg_sum"))
+        tri_n = _np(g.column("tri_sum"))
+        # a node can only appear via the degree pass (deg >= 1 always);
+        # same single-expression arithmetic as the SQL twin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff = np.where(
+                deg >= 2,
+                round_half_away((2.0 * tri_n)
+                                / (deg * (deg - 1)).astype(np.float64), 6),
+                0.0)
+        return pa.table({
+            "node": pa.array(np.concatenate([node, [_SENT]]), pa.int64()),
+            "deg": pa.array(np.concatenate([deg, [0]]), pa.int64()),
+            "n_triangles": pa.array(np.concatenate([tri_n, [0]]),
+                                    pa.int64()),
+            "coeff": pa.array(np.concatenate([coeff, [0.0]]),
+                              pa.float64())})
+
+    joined = bucketed_group_agg(
+        endpoints.map_batches(deg_comb, batch_format="pyarrow")
+        .union(tri.map_batches(tri_rows, batch_format="pyarrow")),
+        lambda t: t, "node", fin, num_buckets=num_buckets)
+
+    return joined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

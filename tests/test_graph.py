@@ -743,3 +743,23 @@ def test_sssp_weighted_partition_invariance(ray_session):
     b = _df(graph.sssp_weighted(edges.repartition(11), source=0,
                                 max_dist=30, num_buckets=17), "node")
     assert a.equals(b)
+
+
+def test_clustering_coefficient_crafted(ray_session):
+    # triangle 0-1-2 plus pendant 2-3: C(0)=C(1)=1 (deg 2, one triangle),
+    # C(2)=2*1/(3*2)=1/3, C(3)=0 (deg 1); duplicate/reverse edges collapse
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 1), (2, 1), (2, 3)]
+    out = _df(graph.clustering_coefficient(_edges(pairs), num_buckets=8),
+              "node")
+    got = {int(r.node): (int(r.deg), int(r.n_triangles), float(r.coeff))
+           for r in out.itertuples()}
+    assert got == {0: (2, 1, 1.0), 1: (2, 1, 1.0),
+                   2: (3, 1, 0.333333), 3: (1, 0, 0.0)}
+
+
+def test_clustering_coefficient_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.clustering_coefficient(edges), "node")
+    b = _df(graph.clustering_coefficient(edges.repartition(13),
+                                         num_buckets=7), "node")
+    assert a.equals(b)
