@@ -38,7 +38,11 @@ def run_job(args) -> dict:
         discover_node_types,
         merge_pattern_snapshot,
     )
-    from raykg.pipelines.kg import build_kg, build_kg_resumable
+    from raykg.pipelines.kg import (
+        build_kg,
+        build_kg_resumable,
+        ingest_increment,
+    )
     from raykg.sources.io import read_table, write_table
 
     cfg = KGConfig(n_docs=args.synth_docs,
@@ -60,9 +64,17 @@ def run_job(args) -> dict:
             raise SystemExit(
                 f"--link-mode={args.link_mode} is not supported with the "
                 "synth+checkpoint resume path; use --input")
-        result = build_kg_resumable(
-            cfg, args.checkpoint, n_shards=args.shards,
-            canon_broadcast_limit=args.canon_broadcast_limit)
+        if getattr(args, "incremental", False):
+            # delta append: grow the checkpointed corpus to --synth-docs;
+            # only the new doc range runs extract+link (pipelines/kg.py
+            # ingest_increment), re-canonicalizing over the shard union
+            result = ingest_increment(
+                cfg, args.checkpoint, n_shards=args.shards,
+                canon_broadcast_limit=args.canon_broadcast_limit)
+        else:
+            result = build_kg_resumable(
+                cfg, args.checkpoint, n_shards=args.shards,
+                canon_broadcast_limit=args.canon_broadcast_limit)
     else:
         docs = synth.documents_dataset(cfg)
         result = build_kg(docs, cfg, **kw)
@@ -109,6 +121,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None,
                    help="lineage checkpoint dir (enables resume)")
+    p.add_argument("--incremental", action="store_true",
+                   help="with --checkpoint: delta-append the synth corpus "
+                        "up to --synth-docs, linking only the NEW doc "
+                        "range (earlier shards are reused, the canonical "
+                        "map is re-derived over the union)")
     p.add_argument("--synth-docs", type=int, default=10000)
     p.add_argument("--entities", type=int, default=0)
     p.add_argument("--shards", type=int, default=16)

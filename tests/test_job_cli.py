@@ -35,3 +35,25 @@ def test_job_cli_writes_outputs_and_resumes(tmp_path):
                "--checkpoint", ckpt, "--num-cpus", "4", "--shards", "4"])
     for k in ("n_triples", "n_nodes", "n_edges", "n_node_types"):
         assert m2[k] == m1[k], k
+
+
+def test_job_cli_incremental_append(tmp_path):
+    out = str(tmp_path / "out_i")
+    ckpt = str(tmp_path / "ckpt_i")
+    base = ["--output", out, "--checkpoint", ckpt, "--incremental",
+            "--num-cpus", "4", "--shards", "2", "--entities", "300"]
+    m1 = _run(["--synth-docs", "400", *base])
+    parts1 = os.listdir(os.path.join(ckpt, "linked", "_lineage"))
+    m2 = _run(["--synth-docs", "800", *base])
+    parts2 = os.listdir(os.path.join(ckpt, "linked", "_lineage"))
+    # the append added delta shards without touching the old ones
+    assert len(parts1) == 2 and len(parts2) == 4
+    assert set(parts1) <= set(parts2)
+    assert m2["n_triples"] > m1["n_triples"] > 0
+    # equal to a fresh batch run over the full corpus
+    out2 = str(tmp_path / "out_b")
+    mb = _run(["--synth-docs", "800", "--entities", "300",
+               "--output", out2, "--num-cpus", "4"])
+    assert m2["n_triples"] == mb["n_triples"]
+    assert m2["n_edges"] == mb["n_edges"]
+    assert m2["n_nodes"] == mb["n_nodes"]
