@@ -880,6 +880,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering":
             lambda sf: graph.clustering_coefficient(
                 graph.synth_graph_edges()),
+        # strongly connected component of node 0 (forward ∩ backward
+        # reachability — the Fleischer et al. pivot step)
+        "graph_scc":
+            lambda sf: graph.scc_of(graph.synth_graph_edges(), source=0),
         "graph_kcore":
             lambda sf: graph.kcore(graph.synth_graph_edges(), k=4,
                                    max_rounds=8),
@@ -1298,6 +1302,15 @@ def oracle_sql() -> dict[str, str]:
                               / (d.deg * (d.deg - 1)), 6)
                         ELSE 0.0 END AS coeff
             FROM deg d LEFT JOIN tcnt t USING (node)""",
+        # both walks recurse on distinct node sets (UNION), so they
+        # terminate without a depth bound
+        "graph_scc": "WITH RECURSIVE " + _graph_sql()
+        .replace("WITH lim", "lim", 1) + """,
+            fwd(node) AS (SELECT 0::BIGINT UNION
+                          SELECT g.dst FROM fwd f JOIN g ON g.src = f.node),
+            bwd(node) AS (SELECT 0::BIGINT UNION
+                          SELECT g.src FROM bwd b JOIN g ON g.dst = b.node)
+            SELECT node FROM fwd INTERSECT SELECT node FROM bwd""",
         "graph_pagerank": _pagerank_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),

@@ -2584,3 +2584,47 @@ def clustering_coefficient(edges: rd.Dataset,
     return joined.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+def scc_of(edges: rd.Dataset, source: int = 0,
+           num_buckets: int = 256) -> rd.Dataset:
+    """(node,) members of the strongly connected component containing
+    ``source``: forward reachability ∩ backward reachability (one
+    :func:`bfs_depths` pass per orientation — the forward-backward SCC
+    step of Fleischer et al. 2000), intersected by one node-keyed tag
+    exchange. The pivot SCC is the SQL-expressible unit of SCC
+    decomposition (full decomposition recurses on data-dependent pivots,
+    which no finite unrolling can express); the DuckDB twin runs the two
+    recursive walks and intersects."""
+    fwd = bfs_depths(edges, source=source, num_buckets=num_buckets)
+    rev_edges = edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src")}),
+        batch_format="pyarrow")
+    bwd = bfs_depths(rev_edges, source=source, num_buckets=num_buckets)
+
+    def tag(which: int):
+        def rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "node": t.column("node"),
+                "f": pa.array([1 - which] * n, pa.int64()),
+                "b": pa.array([which] * n, pa.int64())})
+        return rows
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("f", "max"), ("b", "max")])
+        both = pc.and_(pc.equal(g.column("f_max"), 1),
+                       pc.equal(g.column("b_max"), 1))
+        return pa.table({"node": pa.concat_arrays(
+            [g.filter(both).column("node").combine_chunks(),
+             pa.array([_SENT], pa.int64())])})
+
+    members = bucketed_group_agg(
+        fwd.map_batches(tag(0), batch_format="pyarrow")
+        .union(bwd.map_batches(tag(1), batch_format="pyarrow")),
+        lambda t: t, "node", fin, num_buckets=num_buckets)
+
+    return members.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

@@ -763,3 +763,23 @@ def test_clustering_coefficient_partition_invariance(ray_session):
     b = _df(graph.clustering_coefficient(edges.repartition(13),
                                          num_buckets=7), "node")
     assert a.equals(b)
+
+
+def test_scc_of_crafted(ray_session):
+    # cycle 0->1->2->0 is one SCC; 3 is reachable from 0 but cannot return;
+    # 4->0 reaches 0 but is unreachable from it
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (4, 0)]
+    out = _df(graph.scc_of(_edges(pairs), source=0, num_buckets=8), "node")
+    assert out["node"].tolist() == [0, 1, 2]
+    # a source with no cycle: SCC is just itself
+    out = _df(graph.scc_of(_edges([(0, 1), (1, 2)]), source=0,
+                           num_buckets=8), "node")
+    assert out["node"].tolist() == [0]
+
+
+def test_scc_of_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.scc_of(edges, source=0), "node")
+    b = _df(graph.scc_of(edges.repartition(11), source=0,
+                         num_buckets=17), "node")
+    assert a.equals(b)
