@@ -927,6 +927,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cross_modal":
             lambda sf: graph.cross_modal_alignment(
                 _flagship_exact_result().triples),
+        # PMI significance weighting of the co-mention edges
+        "kg_co_mention_pmi":
+            lambda sf: graph.co_mention_pmi(
+                _flagship_exact_result().triples),
     }
 
 
@@ -1395,6 +1399,25 @@ def oracle_sql() -> dict[str, str]:
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
+        "kg_co_mention_pmi": "WITH t AS ("
+            + flagship_exact_sql(what="triples") + """),
+            ents AS (
+              SELECT DISTINCT doc_id, obj AS uri FROM t
+              UNION SELECT DISTINCT doc_id, subj FROM t
+                    WHERE subj NOT LIKE 'sdpg.gr/Document/%'),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM ents),
+            ec AS (SELECT uri, count(*)::BIGINT AS c FROM ents GROUP BY 1),
+            p AS (SELECT a.doc_id, a.uri AS ent_a, b.uri AS ent_b
+                  FROM ents a JOIN ents b
+                    ON a.doc_id = b.doc_id AND a.uri < b.uri),
+            pc2 AS (SELECT ent_a, ent_b, count(*)::BIGINT AS n_both
+                    FROM p GROUP BY 1, 2)
+            SELECT ent_a, ent_b, n_both,
+                   round(log2((CAST(n_both AS DOUBLE) * nd.n)
+                              / (ca.c * cb.c)), 6) AS pmi
+            FROM pc2, nd
+            JOIN ec ca ON ca.uri = pc2.ent_a
+            JOIN ec cb ON cb.uri = pc2.ent_b""",
         "kg_cross_modal": "WITH t AS ("
             + flagship_exact_sql(what="triples") + """),
             side AS (

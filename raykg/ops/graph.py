@@ -1855,6 +1855,22 @@ def neighbor_embedding_mean(edges: rd.Dataset, embeddings: rd.Dataset,
 # entity co-mention edge weights (KG enrichment over the triple stream)
 # ---------------------------------------------------------------------------
 
+def _doc_entity_rows(t: pa.Table) -> pa.Table:
+    """DISTINCT (doc_id, uri) entity observations in a triples batch:
+    every canonical ``obj`` URI plus every non-document ``subj`` URI
+    (doc-subject rows contribute their object only). Shared by
+    co_mention_edges / co_mention_pmi / cross_modal_alignment-adjacent
+    consumers."""
+    doc = t.column("doc_id")
+    subj, obj = t.column("subj"), t.column("obj")
+    base = pa.table({"doc_id": doc, "uri": obj})
+    is_ent_subj = pc.invert(pc.starts_with(subj, "sdpg.gr/Document/"))
+    subj_rows = pa.table({"doc_id": doc.filter(is_ent_subj),
+                          "uri": subj.filter(is_ent_subj)})
+    both = pa.concat_tables([base, subj_rows])
+    return both.group_by(["doc_id", "uri"]).aggregate([])
+
+
 def co_mention_edges(triples: rd.Dataset, num_buckets: int = 256,
                      max_doc_entities: int = 256) -> rd.Dataset:
     """Weighted co-mention edges from the flagship triple stream: for every
@@ -1879,15 +1895,7 @@ def co_mention_edges(triples: rd.Dataset, num_buckets: int = 256,
     """
     from itertools import combinations
 
-    def ent_rows(t: pa.Table) -> pa.Table:
-        doc = t.column("doc_id")
-        subj, obj = t.column("subj"), t.column("obj")
-        base = pa.table({"doc_id": doc, "uri": obj})
-        is_ent_subj = pc.invert(pc.starts_with(subj, "sdpg.gr/Document/"))
-        subj_rows = pa.table({"doc_id": doc.filter(is_ent_subj),
-                              "uri": subj.filter(is_ent_subj)})
-        both = pa.concat_tables([base, subj_rows])
-        return both.group_by(["doc_id", "uri"]).aggregate([])
+    ent_rows = _doc_entity_rows
 
     def pair_fin(t: pa.Table) -> pa.Table:
         t = t.group_by(["doc_id", "uri"]).aggregate([])
@@ -2628,3 +2636,140 @@ def scc_of(edges: rd.Dataset, source: int = 0,
     return members.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+def co_mention_pmi(triples: rd.Dataset,
+                   num_buckets: int = 256) -> rd.Dataset:
+    """(ent_a, ent_b, n_both, pmi): pointwise mutual information of each
+    co-mentioned entity pair — pmi = log2(n_both * N / (n_a * n_b)) with
+    N = distinct documents, n_x = documents observing entity x. The edge
+    SIGNIFICANCE weighting a KG keeps alongside raw co-mention counts
+    (chance co-occurrence of two ubiquitous entities scores near/below 0,
+    genuinely associated pairs score high). All counts are exact int64;
+    the one log2+division is replicated term-for-term by the twin (the
+    same determinism contract as text.cooccurrence_pmi).
+
+    Scale shape: reuses :func:`co_mention_edges` for the pair counts; the
+    per-entity doc counts are one uri-keyed exchange over the DISTINCT
+    (doc, uri) stream; N is a distributed distinct-count (never a driver
+    list — only the single scalar comes back); the two attach exchanges
+    ship (pair, count) + (uri, count) rows only."""
+    triples = triples.materialize()
+    pairs = co_mention_edges(triples, num_buckets=num_buckets)
+
+    ents = triples.map_batches(_doc_entity_rows, batch_format="pyarrow")
+
+    # N: distributed distinct-doc count — one doc-keyed exchange, per-
+    # bucket distinct, then a scalar sum of per-bucket counts
+    def nd_fin(t: pa.Table) -> pa.Table:
+        n = len(np.unique(_np_str(t.column("doc_id"))))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_docs = int(bucketed_group_agg(
+        ents.map_batches(
+            lambda t: t.select(["doc_id"]),
+            batch_format="pyarrow"),
+        lambda t: t, "doc_id", nd_fin,
+        num_buckets=num_buckets).sum("n") or 0)
+
+    # per-entity doc counts over the distinct (doc, uri) stream
+    def ec_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id", "uri"]).aggregate([]) \
+            .group_by("uri").aggregate([("doc_id", "count")])
+        return pa.table({
+            "uri": pa.concat_arrays([g.column("uri").combine_chunks(),
+                                     pa.array([""], pa.string())]),
+            "c": pa.array(np.concatenate(
+                [_np(g.column("doc_id_count")), [0]]), pa.int64())})
+
+    ec = bucketed_group_agg(ents, lambda t: t, "uri", ec_fin,
+                            num_buckets=num_buckets)
+
+    def _attach_count(pair_ds: rd.Dataset, key_col: str, out_col: str):
+        def pair_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column(key_col)}
+            for c in pair_ds.schema().names:
+                cols[c] = t.column(c)
+            cols["c"] = pa.array(np.full(t.num_rows, -1, np.int64),
+                                 pa.int64())
+            return pa.table(cols)
+
+        def state_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column("uri")}
+            for c in pair_ds.schema().names:
+                typ = pair_ds.schema().base_schema.field(c).type
+                if pa.types.is_string(typ):
+                    cols[c] = pa.array([""] * t.num_rows, pa.string())
+                else:
+                    cols[c] = pa.array(np.zeros(t.num_rows, np.int64),
+                                       pa.int64())
+            cols["c"] = t.column("c")
+            return pa.table(cols)
+
+        carry = pair_ds.schema().names
+
+        def attach(t: pa.Table) -> pa.Table:
+            key = _np_str(t.column("key"))
+            cv = _np(t.column("c"))
+            is_state = cv >= 0
+            skey, sval = key[is_state], cv[is_state]
+            order = np.argsort(skey, kind="stable")
+            skey, sval = skey[order], sval[order]
+            epick = ~is_state
+            ekey = key[epick]
+            out = {c: t.column(c).filter(pa.array(epick)) for c in carry}
+            if len(ekey) and len(skey):
+                idx = np.searchsorted(skey, ekey)
+                idx[idx >= len(skey)] = len(skey) - 1
+                hit = skey[idx] == ekey
+                if not hit.all():
+                    raise AssertionError(
+                        "co_mention_pmi: pair entity missing from the "
+                        "doc-count state (both derive from the same "
+                        "triple stream)")
+                vals = sval[idx]
+            elif len(ekey):
+                raise AssertionError(
+                    "co_mention_pmi: empty doc-count state for a bucket "
+                    "with pair rows")
+            else:
+                vals = np.zeros(0, np.int64)
+            cols = {c: pa.concat_arrays(
+                [out[c].combine_chunks(),
+                 pa.array([""], pa.string()) if pa.types.is_string(
+                     out[c].type) else pa.array([0], pa.int64())])
+                for c in carry}
+            cols[out_col] = pa.array(np.concatenate([vals, [0]]),
+                                     pa.int64())
+            return pa.table(cols)
+
+        return bucketed_group_agg(
+            pair_ds.map_batches(pair_rows, batch_format="pyarrow")
+            .union(ec.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "key", attach,
+            num_buckets=num_buckets).map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("ent_a"), "")),
+            batch_format="pyarrow")
+
+    with_a = _attach_count(pairs, "ent_a", "n_a")
+    with_b = _attach_count(with_a, "ent_b", "n_b")
+
+    nd_f = float(n_docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        nb = _np(t.column("n_docs")).astype(np.float64)
+        na = _np(t.column("n_a"))
+        nbb = _np(t.column("n_b"))
+        pmi = round_half_away(
+            np.log2((nb * nd_f) / (na * nbb).astype(np.float64)), 6)
+        return pa.table({
+            "ent_a": t.column("ent_a"), "ent_b": t.column("ent_b"),
+            "n_both": t.column("n_docs"),
+            "pmi": pa.array(pmi, pa.float64())})
+
+    return with_b.map_batches(score, batch_format="pyarrow")
+
+
+def _np_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(a.to_pylist(), dtype=object)

@@ -783,3 +783,37 @@ def test_scc_of_partition_invariance(ray_session):
     b = _df(graph.scc_of(edges.repartition(11), source=0,
                          num_buckets=17), "node")
     assert a.equals(b)
+
+
+def test_co_mention_pmi_crafted(ray_session):
+    import math
+
+    D = "sdpg.gr/Document/x"
+    a, b, c = "sdpg.gr/Person/a", "sdpg.gr/Person/b", "sdpg.gr/Place/c"
+    # 4 docs: (a,b) together twice, a alone once, c alone once
+    rows = [(D, "mentions", a, "d1"), (D, "mentions", b, "d1"),
+            (D, "mentions", a, "d2"), (D, "mentions", b, "d2"),
+            (D, "mentions", a, "d3"),
+            (D, "mentions", c, "d4")]
+    out = graph.co_mention_pmi(_triples(rows), num_buckets=8).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # n_both=2, N=4, n_a=3, n_b=2 -> pmi = log2(2*4/(3*2))
+    assert (r.ent_a, r.ent_b, int(r.n_both)) == (a, b, 2)
+    assert r.pmi == pytest.approx(math.log2(8 / 6), abs=1e-6)
+
+
+def test_co_mention_pmi_partition_invariance(ray_session):
+    D = "sdpg.gr/Document/x"
+    ents = [f"sdpg.gr/Person/e{i}" for i in range(6)]
+    rows = [(D, "mentions", ents[(i * 5 + j) % 6], f"d{i}")
+            for i in range(12) for j in range(3)]
+    base = None
+    for blocks in (1, 7):
+        out = graph.co_mention_pmi(_triples(rows).repartition(blocks),
+                                   num_buckets=8).to_pandas() \
+            .sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+        if base is None:
+            base = out
+        else:
+            assert base.equals(out)
