@@ -931,6 +931,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_mention_pmi":
             lambda sf: graph.co_mention_pmi(
                 _flagship_exact_result().triples),
+        # entity importance over the constructed KG: co-mention graph ->
+        # dense ids -> integer PageRank -> URIs, one exact composition
+        "kg_entity_pagerank":
+            lambda sf: graph.entity_pagerank(
+                _flagship_exact_result().triples, iters=3),
     }
 
 
@@ -1108,7 +1113,53 @@ def _pagerank_sql(iters: int, teleport_to: int | None = None) -> str:
                  "ELSE 0 END)::BIGINT")
         restart = (f"(CASE WHEN n.node = {teleport_to} THEN {base} "
                    "ELSE 0 END)")
-    sql = _graph_sql() + f""",
+    return (_graph_sql()
+            + _pagerank_rounds_sql(iters, start, restart)
+            + f"\n    SELECT node, r AS rank_int FROM pr{iters}")
+
+
+def _entity_pagerank_sql(iters: int) -> str:
+    """Twin of graph.entity_pagerank: the flagship triple oracle -> the
+    co-mention edge set -> dense ids via the (sha-bucket, uri) ordering
+    contract of corpus.dense_string_ids -> the shared unrolled integer
+    PageRank rounds -> ranks joined back to URIs."""
+    from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    return "WITH t AS (" + flagship_exact_sql(what="triples") + f"""),
+    ents AS (
+      SELECT DISTINCT doc_id, obj AS uri FROM t
+      UNION SELECT DISTINCT doc_id, subj FROM t
+            WHERE subj NOT LIKE 'sdpg.gr/Document/%'),
+    ids AS (SELECT uri,
+                   row_number() OVER (ORDER BY
+                     ('0x' || substr(sha256(uri), 1, 8))::UBIGINT % 256,
+                     uri) - 1 AS id
+            FROM (SELECT DISTINCT uri FROM ents)),
+    p AS (SELECT a.uri AS ent_a, b.uri AS ent_b
+          FROM ents a JOIN ents b
+            ON a.doc_id = b.doc_id AND a.uri < b.uri),
+    pd AS (SELECT DISTINCT ent_a, ent_b FROM p),
+    g AS (SELECT ia.id AS src, ib.id AS dst
+          FROM pd JOIN ids ia ON ia.uri = pd.ent_a
+                  JOIN ids ib ON ib.uri = pd.ent_b
+          UNION ALL
+          SELECT ib.id, ia.id
+          FROM pd JOIN ids ia ON ia.uri = pd.ent_a
+                  JOIN ids ib ON ib.uri = pd.ent_b)""" \
+        + _pagerank_rounds_sql(iters, f"{PR_SCALE}::BIGINT", f"{base}") \
+        + f"""
+    SELECT ids.uri, pr{iters}.r AS rank_int
+    FROM pr{iters} JOIN ids ON ids.id = pr{iters}.node"""
+
+
+def _pagerank_rounds_sql(iters: int, start: str, restart: str) -> str:
+    """The unrolled-round CTE chain of the integer PageRank twin,
+    parameterized over whatever edge CTE ``g`` the prefix defined (shared
+    by graph_pagerank / graph_ppr / kg_entity_pagerank)."""
+    from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM
+
+    sql = f""",
     nodes AS (SELECT DISTINCT node FROM
               (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
     deg AS (SELECT src, count(*) AS d FROM g GROUP BY src),
@@ -1123,7 +1174,7 @@ def _pagerank_sql(iters: int, teleport_to: int | None = None) -> str:
          FROM g e JOIN pr{it} p ON p.node = e.src
          JOIN deg d ON d.src = e.src
          GROUP BY e.dst) s USING (node))"""
-    return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
+    return sql
 
 
 def _lpa_sql(rounds: int) -> str:
@@ -1399,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
+        "kg_entity_pagerank": _entity_pagerank_sql(3),
         "kg_co_mention_pmi": "WITH t AS ("
             + flagship_exact_sql(what="triples") + """),
             ents AS (

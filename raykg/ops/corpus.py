@@ -1513,3 +1513,58 @@ def bpe_train(documents: rd.Dataset, n_merges: int = 6,
                      "lft": pa.array(ls, pa.string()),
                      "rgt": pa.array(rs, pa.string()),
                      "cnt": pa.array(cnts, pa.int64())})
+
+
+def dense_string_ids(ds: rd.Dataset, col: str,
+                     num_buckets: int = 256) -> rd.Dataset:
+    """(col, id): dense consecutive ids 0..V-1 over the distinct values of
+    a string column — :func:`vocab_ids`' distributed zipWithIndex
+    generalized to any key column (e.g. entity URIs before an integer
+    graph algorithm). Same ordering contract: id = rank in (bucket, value)
+    order with bucket = first-8-sha-hex(value) % num_buckets, so DuckDB's
+    ``row_number() OVER (ORDER BY bucket, value) - 1`` reproduces every id
+    bit-for-bit. Same scale shape too: per-batch distinct thins the one
+    value-keyed exchange; only the ``num_buckets`` bucket counts visit the
+    driver to become exclusive offsets."""
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        vals = sorted(set(t.column(col).to_pylist()))
+        bucket = [int(sha_hex(v)[:8], 16) % num_buckets for v in vals]
+        # sentinel bucket -1 keeps zero-row blocks typed; dropped below
+        return pa.table({
+            "bucket": pa.array(bucket + [-1], pa.int32()),
+            col: pa.array(vals + [""], pa.string())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("bucket"), 0))
+        if not t.num_rows:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "pos": pa.array([], pa.int64()),
+                             col: pa.array([], pa.string())})
+        b = t.column("bucket")[0].as_py()
+        vals = sorted(set(t.column(col).to_pylist()))
+        return pa.table({
+            "bucket": pa.array([b] * len(vals), pa.int32()),
+            "pos": pa.array(range(len(vals)), pa.int64()),
+            col: pa.array(vals, pa.string())})
+
+    positioned = ds.select_columns([col]) \
+        .map_batches(val_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    counts = {int(r["bucket"]): int(r["count()"])
+              for r in positioned.groupby("bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def assign(t: pa.Table) -> pa.Table:
+        bs = t.column("bucket").to_pylist()
+        pos = t.column("pos").to_pylist()
+        ids = [offsets[b] + p for b, p in zip(bs, pos)]
+        return pa.table({col: t.column(col),
+                         "id": pa.array(ids, pa.int64())})
+
+    return positioned.map_batches(assign, batch_format="pyarrow")

@@ -2773,3 +2773,157 @@ def co_mention_pmi(triples: rd.Dataset,
 def _np_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return np.asarray(a.to_pylist(), dtype=object)
+
+
+def entity_pagerank(triples: rd.Dataset, iters: int = 3,
+                    num_buckets: int = 256) -> rd.Dataset:
+    """(uri, rank_int): integer-exact PageRank of canonical entities over
+    the UNDIRECTED co-mention graph — the "which entities matter" ranking
+    a downstream consumer asks of the constructed KG. End-to-end
+    composition of three exact primitives, each already oracle-checked:
+    :func:`co_mention_edges` (the graph), ``corpus.dense_string_ids``
+    (URI -> dense int id, distributed zipWithIndex with a SQL-replicable
+    (sha-bucket, value) ordering contract), and :func:`pagerank` (both
+    directions of every pair emitted, so the walk is symmetric).
+
+    Scale shape: everything rides the primitives' exchanges; the only
+    additions are three attach exchanges (two string-keyed to put ids on
+    the pair endpoints, one int-keyed to map ranks back to URIs) — each
+    ships (pairs + vocabulary) rows, nothing driver-side beyond
+    dense_string_ids' num_buckets offset counts."""
+    from raykg.ops.corpus import dense_string_ids
+
+    triples = triples.materialize()
+    ids = dense_string_ids(
+        triples.map_batches(_doc_entity_rows, batch_format="pyarrow"),
+        "uri", num_buckets=num_buckets).materialize()
+    pairs = co_mention_edges(triples, num_buckets=num_buckets)
+
+    def attach_str(ds: rd.Dataset, key_col: str,
+                   carry: dict, out_col: str) -> rd.Dataset:
+        """Attach the dense id of the ``key_col`` string to each row;
+        ``carry`` maps column -> 'str' | 'int' (sentinel typing)."""
+        def data_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column(key_col)}
+            for c in carry:
+                cols[c] = t.column(c)
+            cols["idv"] = pa.array(np.full(t.num_rows, -1, np.int64),
+                                   pa.int64())
+            return pa.table(cols)
+
+        def id_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t.column("uri")}
+            for c, k in carry.items():
+                cols[c] = pa.array([""] * t.num_rows, pa.string()) \
+                    if k == "str" else \
+                    pa.array(np.full(t.num_rows, -1, np.int64), pa.int64())
+            cols["idv"] = t.column("id")
+            return pa.table(cols)
+
+        def attach(t: pa.Table) -> pa.Table:
+            key = _np_str(t.column("key"))
+            idv = _np(t.column("idv"))
+            is_state = idv >= 0
+            skey, sval = key[is_state], idv[is_state]
+            order = np.argsort(skey, kind="stable")
+            skey, sval = skey[order], sval[order]
+            epick = ~is_state
+            ekey = key[epick]
+            if len(ekey):
+                idx = np.searchsorted(skey, ekey)
+                idx[idx >= len(skey)] = max(len(skey) - 1, 0)
+                if not len(skey) or not (skey[idx] == ekey).all():
+                    raise AssertionError(
+                        "entity_pagerank: pair entity missing from the "
+                        "id table (both derive from the same stream)")
+                vals = sval[idx]
+            else:
+                vals = np.zeros(0, np.int64)
+            cols = {}
+            for c, k in carry.items():
+                arr = t.column(c).filter(pa.array(epick)).combine_chunks()
+                sent = pa.array([""], pa.string()) if k == "str" \
+                    else pa.array([_SENT], pa.int64())
+                cols[c] = pa.concat_arrays([arr, sent])
+            cols[out_col] = pa.array(np.concatenate([vals, [_SENT]]),
+                                     pa.int64())
+            return pa.table(cols)
+
+        return bucketed_group_agg(
+            ds.map_batches(data_rows, batch_format="pyarrow")
+            .union(ids.map_batches(id_rows, batch_format="pyarrow")),
+            lambda t: t, "key", attach, num_buckets=num_buckets) \
+            .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column(out_col), 0)),
+            batch_format="pyarrow")
+
+    with_a = attach_str(pairs.map_batches(
+        lambda t: t.select(["ent_a", "ent_b"]), batch_format="pyarrow"),
+        "ent_a", {"ent_b": "str"}, "src_id")
+    with_b = attach_str(with_a, "ent_b", {"src_id": "int"}, "dst_id")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s, d = _np(t.column("src_id")), _np(t.column("dst_id"))
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    pr = pagerank(with_b.map_batches(both_dirs, batch_format="pyarrow"),
+                  iters=iters, num_buckets=num_buckets)
+
+    # map ranks back to URIs: one int-keyed attach against the id table
+    def rank_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"),
+                         "uri": pa.array([""] * t.num_rows, pa.string()),
+                         "val": t.column("rank_int"),
+                         "is_id": pa.array(np.zeros(t.num_rows, np.int8),
+                                           pa.int8())})
+
+    def uri_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("id"),
+                         "uri": t.column("uri"),
+                         "val": pa.array(np.zeros(t.num_rows, np.int64),
+                                         pa.int64()),
+                         "is_id": pa.array(np.ones(t.num_rows, np.int8),
+                                           pa.int8())})
+
+    def back(t: pa.Table) -> pa.Table:
+        key, st = _np(t.column("key")), _np(t.column("is_id"))
+        val = _np(t.column("val"))
+        uri = t.column("uri")
+        is_s = st == 1
+        skey = key[is_s]
+        suri = uri.filter(pa.array(is_s)).combine_chunks()
+        order = np.argsort(skey, kind="stable")
+        skey = skey[order]
+        suri = suri.take(pa.array(order))
+        ekey, eval_ = key[~is_s], val[~is_s]
+        real = ekey >= 0
+        ekey, eval_ = ekey[real], eval_[real]
+        if len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            idx[idx >= len(skey)] = max(len(skey) - 1, 0)
+            if not len(skey) or not (skey[idx] == ekey).all():
+                raise AssertionError(
+                    "entity_pagerank: ranked id missing from the id table")
+            out_uri = suri.take(pa.array(idx))
+            out_val = eval_
+        else:
+            out_uri = pa.array([], pa.string())
+            out_val = np.zeros(0, np.int64)
+        return pa.table({
+            "uri": pa.concat_arrays([out_uri.combine_chunks()
+                                     if isinstance(out_uri,
+                                                   pa.ChunkedArray)
+                                     else out_uri,
+                                     pa.array([""], pa.string())]),
+            "rank_int": pa.array(np.concatenate([out_val, [0]]),
+                                 pa.int64())})
+
+    ranked = bucketed_group_agg(
+        pr.map_batches(rank_rows, batch_format="pyarrow")
+        .union(ids.map_batches(uri_rows, batch_format="pyarrow")),
+        lambda t: t, "key", back, num_buckets=num_buckets)
+
+    return ranked.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("uri"), "")),
+        batch_format="pyarrow")

@@ -817,3 +817,33 @@ def test_co_mention_pmi_partition_invariance(ray_session):
             base = out
         else:
             assert base.equals(out)
+
+
+def test_entity_pagerank_crafted(ray_session):
+    # hub entity a co-mentioned with b and c; b-c never together -> a must
+    # outrank b and c, and the undirected 2-cycle symmetry makes b == c
+    D = "sdpg.gr/Document/x"
+    a, b, c = "sdpg.gr/Person/a", "sdpg.gr/Person/b", "sdpg.gr/Place/c"
+    rows = [(D, "mentions", a, "d1"), (D, "mentions", b, "d1"),
+            (D, "mentions", a, "d2"), (D, "mentions", c, "d2")]
+    out = graph.entity_pagerank(_triples(rows), iters=3,
+                                num_buckets=8).to_pandas()
+    got = dict(zip(out.uri, out.rank_int))
+    assert set(got) == {a, b, c}
+    assert got[a] > got[b] == got[c]
+
+
+def test_entity_pagerank_partition_invariance(ray_session):
+    D = "sdpg.gr/Document/x"
+    ents = [f"sdpg.gr/Person/e{i}" for i in range(6)]
+    rows = [(D, "mentions", ents[(i * 5 + j) % 6], f"d{i}")
+            for i in range(12) for j in range(3)]
+    base = None
+    for blocks in (1, 7):
+        out = graph.entity_pagerank(_triples(rows).repartition(blocks),
+                                    iters=2, num_buckets=8).to_pandas() \
+            .sort_values("uri").reset_index(drop=True)
+        if base is None:
+            base = out
+        else:
+            assert base.equals(out)
