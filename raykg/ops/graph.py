@@ -2604,12 +2604,22 @@ def scc_of(edges: rd.Dataset, source: int = 0,
     decomposition (full decomposition recurses on data-dependent pivots,
     which no finite unrolling can express); the DuckDB twin runs the two
     recursive walks and intersects."""
-    fwd = bfs_depths(edges, source=source, num_buckets=num_buckets)
+    from concurrent.futures import ThreadPoolExecutor
+
     rev_edges = edges.map_batches(
         lambda t: pa.table({"src": t.column("dst"),
                             "dst": t.column("src")}),
         batch_format="pyarrow")
-    bwd = bfs_depths(rev_edges, source=source, num_buckets=num_buckets)
+    # the two frontier loops are independent and each is ROUND-dominated
+    # (sequential diameter-bound rounds of fixed Ray stage latency, not
+    # data volume) — drive them concurrently so the wall is one BFS, not
+    # two; each thread owns its own Dataset lineage end to end
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fwd = pool.submit(bfs_depths, edges, source=source,
+                            num_buckets=num_buckets)
+        f_bwd = pool.submit(bfs_depths, rev_edges, source=source,
+                            num_buckets=num_buckets)
+        fwd, bwd = f_fwd.result(), f_bwd.result()
 
     def tag(which: int):
         def rows(t: pa.Table) -> pa.Table:
