@@ -855,6 +855,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
+        # weight-proportional integer PageRank (sha edge weights)
+        "graph_pagerank_weighted":
+            lambda sf: graph.pagerank_weighted(graph.synth_graph_edges(),
+                                               iters=3),
         # unnormalized integer HITS (hubs/authorities) — bit-exact vs the
         # unrolled-round twin, like graph_pagerank
         "graph_hits":
@@ -1118,6 +1122,36 @@ def _pagerank_sql(iters: int, teleport_to: int | None = None) -> str:
             + f"\n    SELECT node, r AS rank_int FROM pr{iters}")
 
 
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Unrolled weighted-PageRank twin (exact floor semantics of
+    raykg.ops.graph.pagerank_weighted over the sha edge weights)."""
+    from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    sql = _graph_sql() + f""",
+    gw AS (SELECT src, dst,
+                  1 + (('0x' || substr(sha256('gw|42|' || src::VARCHAR
+                         || '|' || dst::VARCHAR), 1, 8))::UBIGINT
+                       % 9)::BIGINT AS wt
+           FROM g),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+    wdeg AS (SELECT src, sum(wt) AS W FROM gw GROUP BY src),
+    pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""
+    for it in range(iters):
+        sql += f""",
+    pr{it + 1} AS (
+      SELECT n.node, ({base} + coalesce(s.c, 0))::BIGINT AS r
+      FROM nodes n LEFT JOIN
+        (SELECT e.dst AS node,
+                sum((((p.r * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) * e.wt)
+                    // d.W) AS c
+         FROM gw e JOIN pr{it} p ON p.node = e.src
+         JOIN wdeg d ON d.src = e.src
+         GROUP BY e.dst) s USING (node))"""
+    return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
+
+
 def _entity_pagerank_sql(iters: int) -> str:
     """Twin of graph.entity_pagerank: the flagship triple oracle -> the
     co-mention edge set -> dense ids via the (sha-bucket, uri) ordering
@@ -1367,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
                           SELECT g.src FROM bwd b JOIN g ON g.dst = b.node)
             SELECT node FROM fwd INTERSECT SELECT node FROM bwd""",
         "graph_pagerank": _pagerank_sql(3),
+        "graph_pagerank_weighted": _pagerank_weighted_sql(3),
         "graph_hits": _hits_sql(3),
         "graph_ppr": _pagerank_sql(3, teleport_to=0),
         # accumulated distance strictly increases per hop and is bounded

@@ -2937,3 +2937,126 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3,
     return ranked.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("uri"), "")),
         batch_format="pyarrow")
+
+
+def pagerank_weighted(edges: rd.Dataset, iters: int = 3,
+                      num_buckets: int = 256, seed: int = 42,
+                      weight_mod: int = 9) -> rd.Dataset:
+    """(node, rank_int): integer PageRank over WEIGHTED directed edges —
+    each round node u splits floor(rank_u * 85/100) across its out-edges
+    proportionally to weight: contribution to v = floor(send * w_uv / W_u)
+    with W_u = u's total out-weight (weights 1..weight_mod from
+    :func:`edge_weights`, the walk a KG runs over weighted co-mention /
+    affinity edges). All arithmetic is int64 floor division, so the
+    unrolled-round DuckDB twin is bit-exact — the weighted sibling of
+    :func:`pagerank` with the identical two-exchange round shape (state
+    carries (W_u, rank) instead of (out_deg, rank))."""
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    edges = edges.materialize()
+
+    # initial state: every endpoint node, W_u = sum of out-weights (0 for
+    # pure sinks), rank = PR_SCALE — one node-keyed exchange
+    def w_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        w = edge_weights(t, seed=seed, mod=weight_mod)
+        return pa.table({
+            "node": np.concatenate([src, dst, [_SENT]]),
+            "wsum": np.concatenate([w, np.zeros(len(dst) + 1, np.int64)])})
+
+    def w_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("wsum", "sum")])
+        node = _np(g.column("node"))
+        keep = node >= 0
+        return pa.table({
+            "node": pa.array(np.concatenate([node[keep], [_SENT]]),
+                             pa.int64()),
+            "wsum": pa.array(np.concatenate(
+                [_np(g.column("wsum_sum"))[keep], [0]]), pa.int64()),
+            "rank_int": pa.array(np.concatenate(
+                [np.full(int(keep.sum()), PR_SCALE, np.int64), [0]]),
+                pa.int64())})
+
+    state = bucketed_group_agg(edges.map_batches(w_rows,
+                                                 batch_format="pyarrow"),
+                               lambda t: t, "node", w_fin,
+                               num_buckets=num_buckets).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        w = edge_weights(t, seed=seed, mod=weight_mod)
+        return pa.table({"node": src, "dst": dst, "wsum": w,
+                         "rank_int": np.zeros(len(src), np.int64)})
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "dst": pa.array([_SENT] * t.num_rows, pa.int64()),
+                         "wsum": t.column("wsum"),
+                         "rank_int": t.column("rank_int")})
+
+    def contribs(t: pa.Table) -> pa.Table:
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        ws, rk = _np(t.column("wsum")), _np(t.column("rank_int"))
+        is_state = dst == _SENT
+        snode, sw, srk = node[is_state], ws[is_state], rk[is_state]
+        order = np.argsort(snode, kind="stable")
+        snode, sw, srk = snode[order], sw[order], srk[order]
+        enode, edst, ew = node[~is_state], dst[~is_state], ws[~is_state]
+        real = enode >= 0
+        enode, edst, ew = enode[real], edst[real], ew[real]
+        if len(enode):
+            idx = np.searchsorted(snode, enode)
+            if idx.max() >= len(snode) or \
+                    not np.array_equal(snode[idx], enode):
+                raise AssertionError(
+                    "pagerank_weighted: edge src missing from state")
+            send = (srk[idx] * PR_DAMP_NUM) // PR_DAMP_DEN
+            c = (send * ew) // sw[idx]   # W_u >= 1 wherever a src exists
+        else:
+            edst = np.empty(0, np.int64)
+            c = np.empty(0, np.int64)
+        return pa.table({"node": np.concatenate([edst, [_SENT]]),
+                         "contrib": np.concatenate([c, [0]])})
+
+    for _ in range(iters):
+        contrib_ds = bucketed_group_agg(
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(state.map_batches(state_rows, batch_format="pyarrow")),
+            lambda t: t, "node", contribs, num_buckets=num_buckets)
+
+        def carrier(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "wsum": t.column("wsum"),
+                             "contrib": pa.array([0] * t.num_rows,
+                                                 pa.int64())})
+
+        def contrib_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "wsum": pa.array([-1] * t.num_rows,
+                                              pa.int64()),
+                             "contrib": t.column("contrib")})
+
+        def new_state(t: pa.Table) -> pa.Table:
+            g = t.group_by("node").aggregate([("contrib", "sum"),
+                                              ("wsum", "max")])
+            g = g.filter(pc.greater_equal(g.column("node"), 0))
+            return pa.table({
+                "node": pa.concat_arrays(
+                    [g.column("node").combine_chunks(),
+                     pa.array([_SENT], pa.int64())]),
+                "wsum": pa.concat_arrays(
+                    [g.column("wsum_max").combine_chunks(),
+                     pa.array([0], pa.int64())]),
+                "rank_int": pa.array(np.concatenate(
+                    [_np(g.column("contrib_sum")) + base, [0]]),
+                    pa.int64())})
+
+        state = bucketed_group_agg(
+            contrib_ds.map_batches(contrib_rows, batch_format="pyarrow")
+            .union(state.map_batches(carrier, batch_format="pyarrow")),
+            lambda t: t, "node", new_state,
+            num_buckets=num_buckets).materialize()
+
+    return state.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
+        .select(["node", "rank_int"]), batch_format="pyarrow")

@@ -847,3 +847,37 @@ def test_entity_pagerank_partition_invariance(ray_session):
             base = out
         else:
             assert base.equals(out)
+
+
+def test_pagerank_weighted_two_node_cycle(ray_session):
+    # 0 <-> 1 with single out-edges: weight cancels (w_e == W_u), so the
+    # weighted recurrence equals the unweighted closed form
+    r = 1_000_000
+    for _ in range(2):
+        r = 150_000 + (r * 85) // 100
+    got = _df(graph.pagerank_weighted(_edges([(0, 1), (1, 0)]), iters=2,
+                                      num_buckets=8), "node")
+    assert got["rank_int"].tolist() == [r, r]
+
+
+def test_pagerank_weighted_split_proportional(ray_session):
+    # node 0 -> {1, 2}: contributions split by the sha weights, floor-div
+    from raykg.functions.hashing import sha_int
+
+    w1 = 1 + sha_int("gw|42|0|1") % 9
+    w2 = 1 + sha_int("gw|42|0|2") % 9
+    send = (1_000_000 * 85) // 100
+    got = _df(graph.pagerank_weighted(_edges([(0, 1), (0, 2)]), iters=1,
+                                      num_buckets=8), "node")
+    d = dict(zip(got["node"], got["rank_int"]))
+    assert d[1] == 150_000 + (send * w1) // (w1 + w2)
+    assert d[2] == 150_000 + (send * w2) // (w1 + w2)
+    assert d[0] == 150_000
+
+
+def test_pagerank_weighted_partition_invariance(ray_session):
+    edges = graph.synth_graph_edges(400)
+    a = _df(graph.pagerank_weighted(edges, iters=2), "node")
+    b = _df(graph.pagerank_weighted(edges.repartition(11), iters=2,
+                                    num_buckets=17), "node")
+    assert a.equals(b)
