@@ -940,6 +940,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank":
             lambda sf: graph.entity_pagerank(
                 _flagship_exact_result().triples, iters=3),
+        # same walk with rank split by pair doc-count (edge weights)
+        "kg_entity_pagerank_weighted":
+            lambda sf: graph.entity_pagerank(
+                _flagship_exact_result().triples, iters=3, weighted=True),
     }
 
 
@@ -1152,15 +1156,16 @@ def _pagerank_weighted_sql(iters: int) -> str:
     return sql + f"\n    SELECT node, r AS rank_int FROM pr{iters}"
 
 
-def _entity_pagerank_sql(iters: int) -> str:
+def _entity_pagerank_sql(iters: int, weighted: bool = False) -> str:
     """Twin of graph.entity_pagerank: the flagship triple oracle -> the
     co-mention edge set -> dense ids via the (sha-bucket, uri) ordering
     contract of corpus.dense_string_ids -> the shared unrolled integer
-    PageRank rounds -> ranks joined back to URIs."""
+    PageRank rounds (weight-proportional when ``weighted``, edge weight
+    = pair doc count) -> ranks joined back to URIs."""
     from raykg.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
 
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    return "WITH t AS (" + flagship_exact_sql(what="triples") + f"""),
+    sql = "WITH t AS (" + flagship_exact_sql(what="triples") + f"""),
     ents AS (
       SELECT DISTINCT doc_id, obj AS uri FROM t
       UNION SELECT DISTINCT doc_id, subj FROM t
@@ -1170,19 +1175,38 @@ def _entity_pagerank_sql(iters: int) -> str:
                      ('0x' || substr(sha256(uri), 1, 8))::UBIGINT % 256,
                      uri) - 1 AS id
             FROM (SELECT DISTINCT uri FROM ents)),
-    p AS (SELECT a.uri AS ent_a, b.uri AS ent_b
+    p AS (SELECT a.doc_id, a.uri AS ent_a, b.uri AS ent_b
           FROM ents a JOIN ents b
             ON a.doc_id = b.doc_id AND a.uri < b.uri),
-    pd AS (SELECT DISTINCT ent_a, ent_b FROM p),
-    g AS (SELECT ia.id AS src, ib.id AS dst
+    pd AS (SELECT ent_a, ent_b, count(*)::BIGINT AS w FROM p GROUP BY 1, 2),
+    g AS (SELECT ia.id AS src, ib.id AS dst, pd.w AS wt
           FROM pd JOIN ids ia ON ia.uri = pd.ent_a
                   JOIN ids ib ON ib.uri = pd.ent_b
           UNION ALL
-          SELECT ib.id, ia.id
+          SELECT ib.id, ia.id, pd.w
           FROM pd JOIN ids ia ON ia.uri = pd.ent_a
-                  JOIN ids ib ON ib.uri = pd.ent_b)""" \
-        + _pagerank_rounds_sql(iters, f"{PR_SCALE}::BIGINT", f"{base}") \
-        + f"""
+                  JOIN ids ib ON ib.uri = pd.ent_b)"""
+    if weighted:
+        sql += f""",
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+    wdeg AS (SELECT src, sum(wt) AS W FROM g GROUP BY src),
+    pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""
+        for it in range(iters):
+            sql += f""",
+    pr{it + 1} AS (
+      SELECT n.node, ({base} + coalesce(s.c, 0))::BIGINT AS r
+      FROM nodes n LEFT JOIN
+        (SELECT e.dst AS node,
+                sum((((p.r * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) * e.wt)
+                    // d.W) AS c
+         FROM g e JOIN pr{it} p ON p.node = e.src
+         JOIN wdeg d ON d.src = e.src
+         GROUP BY e.dst) s USING (node))"""
+    else:
+        sql += _pagerank_rounds_sql(iters, f"{PR_SCALE}::BIGINT",
+                                    f"{base}")
+    return sql + f"""
     SELECT ids.uri, pr{iters}.r AS rank_int
     FROM pr{iters} JOIN ids ON ids.id = pr{iters}.node"""
 
@@ -1486,6 +1510,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
         "kg_entity_pagerank": _entity_pagerank_sql(3),
+        "kg_entity_pagerank_weighted": _entity_pagerank_sql(
+            3, weighted=True),
         "kg_co_mention_pmi": "WITH t AS ("
             + flagship_exact_sql(what="triples") + """),
             ents AS (

@@ -2786,7 +2786,8 @@ def _np_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def entity_pagerank(triples: rd.Dataset, iters: int = 3,
-                    num_buckets: int = 256) -> rd.Dataset:
+                    num_buckets: int = 256,
+                    weighted: bool = False) -> rd.Dataset:
     """(uri, rank_int): integer-exact PageRank of canonical entities over
     the UNDIRECTED co-mention graph — the "which entities matter" ranking
     a downstream consumer asks of the constructed KG. End-to-end
@@ -2800,7 +2801,12 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3,
     additions are three attach exchanges (two string-keyed to put ids on
     the pair endpoints, one int-keyed to map ranks back to URIs) — each
     ships (pairs + vocabulary) rows, nothing driver-side beyond
-    dense_string_ids' num_buckets offset counts."""
+    dense_string_ids' num_buckets offset counts.
+
+    ``weighted``: split each entity's rank across its co-mention
+    neighbors proportionally to the pair's document count (n_docs as the
+    integer edge weight, via :func:`pagerank_weighted`) instead of
+    uniformly."""
     from raykg.ops.corpus import dense_string_ids
 
     triples = triples.materialize()
@@ -2868,17 +2874,27 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3,
             batch_format="pyarrow")
 
     with_a = attach_str(pairs.map_batches(
-        lambda t: t.select(["ent_a", "ent_b"]), batch_format="pyarrow"),
-        "ent_a", {"ent_b": "str"}, "src_id")
-    with_b = attach_str(with_a, "ent_b", {"src_id": "int"}, "dst_id")
+        lambda t: pa.table({"ent_a": t.column("ent_a"),
+                            "ent_b": t.column("ent_b"),
+                            "w": t.column("n_docs")}),
+        batch_format="pyarrow"),
+        "ent_a", {"ent_b": "str", "w": "int"}, "src_id")
+    with_b = attach_str(with_a, "ent_b",
+                        {"w": "int", "src_id": "int"}, "dst_id")
 
     def both_dirs(t: pa.Table) -> pa.Table:
         s, d = _np(t.column("src_id")), _np(t.column("dst_id"))
+        w = _np(t.column("w"))
         return pa.table({"src": np.concatenate([s, d]),
-                         "dst": np.concatenate([d, s])})
+                         "dst": np.concatenate([d, s]),
+                         "w": np.concatenate([w, w])})
 
-    pr = pagerank(with_b.map_batches(both_dirs, batch_format="pyarrow"),
-                  iters=iters, num_buckets=num_buckets)
+    int_edges = with_b.map_batches(both_dirs, batch_format="pyarrow")
+    if weighted:
+        pr = pagerank_weighted(int_edges, iters=iters,
+                               num_buckets=num_buckets, weight_col="w")
+    else:
+        pr = pagerank(int_edges, iters=iters, num_buckets=num_buckets)
 
     # map ranks back to URIs: one int-keyed attach against the id table
     def rank_rows(t: pa.Table) -> pa.Table:
@@ -2941,25 +2957,35 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3,
 
 def pagerank_weighted(edges: rd.Dataset, iters: int = 3,
                       num_buckets: int = 256, seed: int = 42,
-                      weight_mod: int = 9) -> rd.Dataset:
+                      weight_mod: int = 9,
+                      weight_col: str | None = None) -> rd.Dataset:
     """(node, rank_int): integer PageRank over WEIGHTED directed edges —
     each round node u splits floor(rank_u * 85/100) across its out-edges
     proportionally to weight: contribution to v = floor(send * w_uv / W_u)
-    with W_u = u's total out-weight (weights 1..weight_mod from
-    :func:`edge_weights`, the walk a KG runs over weighted co-mention /
-    affinity edges). All arithmetic is int64 floor division, so the
+    with W_u = u's total out-weight (the walk a KG runs over weighted
+    co-mention / affinity edges). Weights come from ``weight_col`` when
+    given (must be positive int64), else the sha family of
+    :func:`edge_weights`. All arithmetic is int64 floor division, so the
     unrolled-round DuckDB twin is bit-exact — the weighted sibling of
     :func:`pagerank` with the identical two-exchange round shape (state
     carries (W_u, rank) instead of (out_deg, rank))."""
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     edges = edges.materialize()
 
+    def _w(t: pa.Table) -> np.ndarray:
+        if weight_col is not None:
+            w = _np(t.column(weight_col))
+            if len(w) and w.min() < 1:
+                raise ValueError("pagerank_weighted: weights must be >= 1")
+            return w
+        return edge_weights(t, seed=seed, mod=weight_mod)
+
     # initial state: every endpoint node, W_u = sum of out-weights (0 for
     # pure sinks), rank = PR_SCALE — one node-keyed exchange
     def w_rows(t: pa.Table) -> pa.Table:
         src, dst = _np(t.column("src")), _np(t.column("dst"))
         _check_ids(src, dst)
-        w = edge_weights(t, seed=seed, mod=weight_mod)
+        w = _w(t)
         return pa.table({
             "node": np.concatenate([src, dst, [_SENT]]),
             "wsum": np.concatenate([w, np.zeros(len(dst) + 1, np.int64)])})
@@ -2984,7 +3010,7 @@ def pagerank_weighted(edges: rd.Dataset, iters: int = 3,
 
     def edge_rows(t: pa.Table) -> pa.Table:
         src, dst = _np(t.column("src")), _np(t.column("dst"))
-        w = edge_weights(t, seed=seed, mod=weight_mod)
+        w = _w(t)
         return pa.table({"node": src, "dst": dst, "wsum": w,
                          "rank_int": np.zeros(len(src), np.int64)})
 

@@ -881,3 +881,22 @@ def test_pagerank_weighted_partition_invariance(ray_session):
     b = _df(graph.pagerank_weighted(edges.repartition(11), iters=2,
                                     num_buckets=17), "node")
     assert a.equals(b)
+
+
+def test_entity_pagerank_weighted_prefers_heavy_edge(ray_session):
+    # a co-mentioned with b in 3 docs, with c in 1 -> weighted walk sends
+    # 3x more of a's rank to b than to c; unweighted would tie them
+    D = "sdpg.gr/Document/x"
+    a, b, c = "sdpg.gr/Person/a", "sdpg.gr/Person/b", "sdpg.gr/Place/c"
+    rows = []
+    for i in range(3):
+        rows += [(D, "mentions", a, f"d{i}"), (D, "mentions", b, f"d{i}")]
+    rows += [(D, "mentions", a, "d9"), (D, "mentions", c, "d9")]
+    w = graph.entity_pagerank(_triples(rows), iters=3, weighted=True,
+                              num_buckets=8).to_pandas()
+    u = graph.entity_pagerank(_triples(rows), iters=3, weighted=False,
+                              num_buckets=8).to_pandas()
+    gw = dict(zip(w.uri, w.rank_int))
+    gu = dict(zip(u.uri, u.rank_int))
+    assert gw[b] > gw[c]
+    assert gu[b] == gu[c]
