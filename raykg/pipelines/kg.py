@@ -31,8 +31,9 @@ from raykg.config import KGConfig
 from raykg.functions.hashing import mint_uri
 from raykg.sources.io import read_table, write_table
 from raykg.stages.canonicalize import (
+    ESENT,
     canonical_groups,
-    observed_entities,
+    observed_entity_partials,
     rewrite_triples,
     rewrite_triples_joined,
 )
@@ -51,11 +52,14 @@ class KGResult:
                                  # driver there)
 
 
-def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
-    """documents -> extraction -> linking (lazy)."""
+def linked_triples(documents: rd.Dataset, cfg: KGConfig,
+                   catalog=None) -> rd.Dataset:
+    """documents -> extraction -> linking (lazy). ``catalog`` supplies the
+    alias dictionary and entity metadata (catalog.EntityCatalog; default =
+    the synthetic fixture vocabulary)."""
     extractions = documents.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
-    index_ref = build_index_ref(cfg)
+    index_ref = build_index_ref(cfg, catalog)
     # Pool floor == the target concurrency: Ray Data's actor-pool autoscaler
     # is too conservative to climb from a low floor within a short job
     # (measured 12.6s -> 8.9s at 200k docs just by lifting the floor from 12
@@ -80,21 +84,24 @@ def linked_triples(documents: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
         num_cpus=1)
 
 
-def entity_nodes(groups: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
-    """Canonical entities -> node rows with deterministic properties."""
+def entity_nodes(groups: rd.Dataset) -> rd.Dataset:
+    """Canonical entities -> node rows. Label and properties arrive as
+    columns of the canonical-groups table (catalog metadata riding the
+    dataflow — never synthesized per id), so this is pure vectorized column
+    selection: keep each group's canonical row, drop the per-bucket
+    sentinels."""
+    import pyarrow.compute as pc
 
     def mint(batch: pa.Table) -> pa.Table:
-        mask = [u == c for u, c in zip(batch.column("uri").to_pylist(),
-                                       batch.column("canon_uri").to_pylist())]
-        t = batch.filter(pa.array(mask))
-        ids = t.column("canon_ent").to_pylist()
-        idx = [int(e[1:]) for e in ids]
+        uri = batch.column("uri").combine_chunks()
+        keep = pc.and_(
+            pc.equal(uri, batch.column("canon_uri").combine_chunks()),
+            pc.not_equal(batch.column("entity_id").combine_chunks(), ESENT))
+        t = batch.filter(keep)
         return pa.table({
             "uri": t.column("canon_uri"),
-            "label": pa.array([synth.entity_label(i, cfg) for i in idx]),
-            "properties": pa.array(
-                [synth.entity_properties(i, cfg) for i in idx],
-                pa.map_(pa.string(), pa.string())),
+            "label": t.column("label"),
+            "properties": t.column("properties"),
         })
 
     return groups.map_batches(mint, batch_format="pyarrow")
@@ -149,24 +156,30 @@ def dedup_edges(triples: rd.Dataset) -> rd.Dataset:
 
 
 def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
-                    cfg: KGConfig) -> rd.Dataset:
+                    ent_uris: dict[str, str]) -> rd.Dataset:
     """Edge dedup in compact ID space — the scale path used by build_kg.
 
     The generic ``dedup_edges`` exchanges full URI strings (~160 B/key);
     here the combiner keys on (entity-id | pred | entity-id) (~25 B/key,
-    canonicalized through the broadcast ent->canon map), and URIs are minted
-    AFTER the aggregate, once per distinct subject/object (memoized per
-    bucket). Same output table, ~6x less shuffle volume and ~10^6 fewer
-    sha256 calls at 13M triples.
+    canonicalized through the broadcast ent->canon map), and URIs are
+    attached AFTER the aggregate from the broadcast ``ent_uris`` map
+    (entity_id -> uri, built from the canonical-groups table — i.e. catalog
+    metadata, never a per-id synth call), vectorized via index_in/take.
+    Document URIs are the only per-bucket minting (one sha256 per distinct
+    doc id). Same output table as ``dedup_edges``, ~6x less shuffle volume
+    and ~10^6 fewer sha256 calls at 13M triples.
     """
     import pyarrow.compute as pc
 
     from raykg.functions.shuffle import bucketed_group_agg
 
     SEP = "\x1f"
+    DSEP = "\x02"   # doc-subject internal separator: keys stay 3 SEP fields
     ent_keys = pa.array(list(ent_canon.keys()), pa.string())
     ent_vals = pa.array(list(ent_canon.values()), pa.string())
     ent_ref = ray.put((ent_keys, ent_vals))
+    uri_ref = ray.put((pa.array(list(ent_uris.keys()), pa.string()),
+                       pa.array(list(ent_uris.values()), pa.string())))
 
     def combiner(batch: pa.Table) -> pa.Table:
         keys, vals = ray.get(ent_ref)
@@ -179,7 +192,7 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
 
         subj_ent = batch.column("subj_ent").combine_chunks()
         doc_keys = pc.binary_join_element_wise(
-            pa.scalar("D"), batch.column("doc_id").combine_chunks(), SEP)
+            pa.scalar("D"), batch.column("doc_id").combine_chunks(), DSEP)
         subj_keys = pc.if_else(pc.equal(subj_ent, ""), doc_keys,
                                canon(subj_ent))
         t = pa.table({
@@ -193,33 +206,40 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
 
     def finalize(t: pa.Table) -> pa.Table:
         g = t.group_by("k").aggregate([("n", "sum")])
-        uri_cache: dict[str, str] = {}
+        uk, uv = ray.get(uri_ref)
+        parts = pc.split_pattern(g.column("k").combine_chunks(), SEP)
+        s = pc.list_element(parts, 0)
+        pred = pc.list_element(parts, 1)
+        o = pc.list_element(parts, 2)
 
-        def to_uri(key_parts: list[str]) -> str:
-            if key_parts[0] == "D":          # document subject: ["D", doc_id]
-                ident = key_parts[1]
-                hit = uri_cache.get("D" + ident)
-                if hit is None:
-                    hit = mint_uri("Document", ident)
-                    uri_cache["D" + ident] = hit
-                return hit
-            eid = key_parts[0]
-            hit = uri_cache.get(eid)
-            if hit is None:
-                hit = mint_uri(synth.entity_label(int(eid[1:]), cfg), eid)
-                uri_cache[eid] = hit
-            return hit
+        def ent_uri(col: pa.Array, allow_doc: bool) -> pa.Array:
+            mapped = uv.take(pc.index_in(col, value_set=uk))
+            if not allow_doc:
+                if mapped.null_count > 0:
+                    missing = col.filter(pc.is_null(mapped)).to_pylist()[:5]
+                    raise ValueError(
+                        f"canonical-groups table is missing URIs for entity "
+                        f"ids {missing}")
+                return mapped
+            return mapped
 
-        subj, pred, obj = [], [], []
-        for k in g.column("k").to_pylist():
-            parts = k.split(SEP)
-            obj.append(to_uri([parts[-1]]))
-            pred.append(parts[-2])
-            subj.append(to_uri(parts[:-2]))
+        is_doc = pc.starts_with(s, "D" + DSEP)
+        doc_ids = pc.utf8_slice_codeunits(s, 2)
+        uniq_docs = pc.unique(doc_ids.filter(is_doc))
+        minted = pa.array([mint_uri("Document", d)
+                           for d in uniq_docs.to_pylist()], pa.string())
+        doc_uri = minted.take(pc.index_in(doc_ids, value_set=uniq_docs)) \
+            if len(uniq_docs) else pa.nulls(len(s), pa.string())
+        subj = pc.if_else(is_doc, doc_uri, ent_uri(s, allow_doc=True))
+        if subj.null_count > 0:
+            missing = s.filter(pc.is_null(subj)).to_pylist()[:5]
+            raise ValueError(
+                f"canonical-groups table is missing URIs for subject "
+                f"entity ids {missing}")
         return pa.table({
-            "subj": pa.array(subj, pa.string()),
-            "pred": pa.array(pred, pa.string()),
-            "obj": pa.array(obj, pa.string()),
+            "subj": subj,
+            "pred": pred,
+            "obj": ent_uri(o, allow_doc=False),
             "count": g.column("n_sum"),
         })
 
@@ -229,7 +249,8 @@ def dedup_edges_ids(linked: rd.Dataset, ent_canon: dict[str, str],
 def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
                checkpoint_dir: str | None,
                canon_broadcast_limit: int,
-               triples_snapshot: tuple | None = None) -> KGResult:
+               triples_snapshot: tuple | None = None,
+               catalog=None) -> KGResult:
     """Shared canonicalize + materialize tail for build_kg and
     build_kg_resumable (path selection documented on build_kg).
 
@@ -237,8 +258,16 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
     the rewritten triples commit atomically as checkpoint partition 0, and
     a resumed run whose snapshot is already committed SKIPS the rewrite
     entirely (the lazy rewrite dataset is never executed) and streams the
-    snapshot instead."""
-    groups = canonical_groups(observed_entities(linked), cfg).materialize()
+    snapshot instead.
+
+    ``catalog`` (catalog.EntityCatalog, default = synthetic fixture): its
+    metadata dataset rides the canonicalization exchange, so every label /
+    norm_name / property / URI below comes from data, never a synth call."""
+    from raykg.catalog import default_catalog
+
+    catalog = catalog or default_catalog(cfg)
+    groups = canonical_groups(observed_entity_partials(linked),
+                              catalog.metadata_dataset()).materialize()
 
     def _commit_or_read(make_triples):
         """Triples pin selection: snapshot commit > plain checkpoint dir >
@@ -270,15 +299,18 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
             # two rewrite joins must not re-execute per consumer
             triples = make_joined().materialize()
         edges = dedup_edges(triples)
-        nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+        nodes = entity_nodes(groups).union(document_nodes(documents))
         return KGResult(triples=triples, nodes=nodes, edges=edges,
                         canon_map={})
 
-    canon_rows = groups.take_all()   # distinct-entity sized; small by design
+    # distinct-entity sized; small by design. Drop the per-bucket exchange
+    # sentinels (entity_id == ESENT) before building the driver-side maps.
+    canon_rows = [r for r in groups.take_all() if r["entity_id"] != ESENT]
     canon_map = {r["uri"]: r["canon_uri"] for r in canon_rows
                  if r["uri"] != r["canon_uri"]}
     ent_map = {r["entity_id"]: r["canon_ent"] for r in canon_rows
                if r["entity_id"] != r["canon_ent"]}
+    ent_uris = {r["entity_id"]: r["uri"] for r in canon_rows}
 
     def make_rewrite():
         return rewrite_triples(linked, canon_map)
@@ -289,8 +321,8 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
         # materializing it only paid an extra multi-GB object-store round trip
         triples = make_rewrite()
 
-    edges = dedup_edges_ids(linked, ent_map, cfg)
-    nodes = entity_nodes(groups, cfg).union(document_nodes(documents))
+    edges = dedup_edges_ids(linked, ent_map, ent_uris)
+    nodes = entity_nodes(groups).union(document_nodes(documents))
     return KGResult(triples=triples, nodes=nodes, edges=edges,
                     canon_map=canon_map)
 
@@ -354,7 +386,8 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
 def ingest_increment(cfg: KGConfig, checkpoint_dir: str,
                      docs_for_range=None, n_shards: int = 4,
                      link_only: bool = False,
-                     canon_broadcast_limit: int = 2_000_000) -> KGResult | None:
+                     canon_broadcast_limit: int = 2_000_000,
+                     catalog=None) -> KGResult | None:
     """Incremental crawl ingestion (delta append): extend a checkpointed KG
     build to ``cfg.n_docs`` documents WITHOUT re-linking the already-ingested
     corpus. The dominant extract+link phase runs only over the NEW doc range
@@ -434,14 +467,15 @@ def ingest_increment(cfg: KGConfig, checkpoint_dir: str,
             ckpt.run_partition(
                 next_part + i,
                 lambda lo=lo, hi=hi: linked_triples(docs_for_range(lo, hi),
-                                                    cfg),
+                                                    cfg, catalog),
                 counters={"n_docs": hi - lo},
                 fingerprint={"lo": lo, "hi": hi, "link_cfg": link_cfg})
     if link_only:
         return None
     return _finish_kg(ckpt.dataset(), docs_for_range(0, cfg.n_docs), cfg,
                       checkpoint_dir=None,
-                      canon_broadcast_limit=canon_broadcast_limit)
+                      canon_broadcast_limit=canon_broadcast_limit,
+                      catalog=catalog)
 
 
 def _fresh_dir(path: str) -> str:
@@ -458,8 +492,14 @@ def _fresh_dir(path: str) -> str:
 def build_kg(documents: rd.Dataset, cfg: KGConfig,
              checkpoint_dir: str | None = None,
              canon_broadcast_limit: int = 2_000_000,
-             link_mode: str = "broadcast") -> KGResult:
+             link_mode: str = "broadcast",
+             catalog=None) -> KGResult:
     """Run the full pipeline. ``documents`` must follow schema.DOCUMENTS.
+
+    ``catalog`` (catalog.EntityCatalog): the alias dictionary and the
+    entity-metadata table the pipeline links/canonicalizes against. Default
+    is the synthetic fixture vocabulary; a real corpus passes
+    catalog.DatasetCatalog over its own curated tables.
 
     Canonicalization path selection: up to ``canon_broadcast_limit`` distinct
     observed entities the canon map is collected once on the driver and
@@ -490,9 +530,10 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
         fn = linked_triples_distributed if link_mode == "distributed" \
             else linked_triples_hybrid
         linked = fn(documents, cfg,
-                    num_partitions=max(4, min(32, total_cpus)))
+                    num_partitions=max(4, min(32, total_cpus)),
+                    catalog=catalog)
     else:
-        linked = linked_triples(documents, cfg)
+        linked = linked_triples(documents, cfg, catalog)
     if checkpoint_dir:
         write_table(linked, _fresh_dir(f"{checkpoint_dir}/linked"))
         linked = read_table(f"{checkpoint_dir}/linked")
@@ -500,4 +541,4 @@ def build_kg(documents: rd.Dataset, cfg: KGConfig,
         linked = linked.materialize()
 
     return _finish_kg(linked, documents, cfg, checkpoint_dir,
-                      canon_broadcast_limit)
+                      canon_broadcast_limit, catalog=catalog)

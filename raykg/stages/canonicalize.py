@@ -31,54 +31,132 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from raykg import synth
-from raykg.config import KGConfig
 from raykg.functions.hashing import mint_uri
 from raykg.functions.shuffle import bucketed_group_agg
+
+# Sentinel markers for the two exchanges below. "\x00"-prefixed strings are
+# impossible in real data: entity ids come from the catalog contract
+# (catalog.py forbids control bytes) and norm_names from its metadata table.
+ESENT = "\x00S"        # sentinel entity_id / norm_name
+ESENT_URI = "￿"   # sorts after every real URI, so it never wins canon
+
+
+def _obs_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct observed entity ids (the combiner half of
+    observed_entities — each batch emits each entity at most once, the
+    hot-key guard for the Zipfian mention stream)."""
+    ents = pa.concat_arrays([
+        batch.column("subj_ent").combine_chunks(),
+        batch.column("obj_ent").combine_chunks(),
+    ])
+    ents = pc.drop_null(ents.filter(pc.not_equal(ents, "")))
+    return pa.table({"entity_id": pc.unique(ents)})
+
+
+def observed_entity_partials(linked: rd.Dataset) -> rd.Dataset:
+    """LINKED_TRIPLES -> per-batch-distinct entity ids (no exchange; global
+    dedup happens inside canonical_groups' metadata-attach exchange, so the
+    pipeline pays the same two exchanges as before metadata became data)."""
+    return linked.map_batches(_obs_partial, batch_format="pyarrow",
+                              batch_size=65536)
 
 
 def observed_entities(linked: rd.Dataset) -> rd.Dataset:
     """LINKED_TRIPLES -> distinct observed entity ids (two-phase dedup)."""
 
-    def combiner(batch: pa.Table) -> pa.Table:
-        ents = pa.concat_arrays([
-            batch.column("subj_ent").combine_chunks(),
-            batch.column("obj_ent").combine_chunks(),
-        ])
-        ents = pc.drop_null(ents.filter(pc.not_equal(ents, "")))
-        return pa.table({"entity_id": pc.unique(ents)})
-
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
             {"entity_id": pc.unique(t.column("entity_id").combine_chunks())})
 
-    return bucketed_group_agg(linked, combiner, "entity_id", finalize)
+    return bucketed_group_agg(linked, _obs_partial, "entity_id", finalize)
 
 
-def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
-    """Distinct entities -> (uri, canon_uri, canon_ent): bucketed shuffle on
-    ``norm_name``, union-find within each name group.
+def canonical_groups(entities: rd.Dataset, metadata: rd.Dataset) -> rd.Dataset:
+    """Observed entity ids -> (entity_id, uri, canon_uri, canon_ent, label,
+    properties): one bucketed exchange on ``entity_id`` that deduplicates the
+    observed ids AND attaches the catalog metadata (label -> minted uri,
+    norm_name, properties), then one bucketed exchange on ``norm_name`` with
+    union-find within each name group.
 
-    Today the equivalence evidence within a group is "shares the normalized
-    name", so each group is one component; the union-find is kept explicit so
-    fuzzy same-as edges can be added without changing the dataflow.
+    ``entities`` may carry duplicate ids across blocks (feed it
+    observed_entity_partials' output); ``metadata`` is the catalog's
+    ENTITY_METADATA dataset (catalog.py) — label / norm_name / properties
+    ride the dataflow as data, never synthesized per id (the reference's
+    label map is likewise data collected from the graph,
+    src/main/scala/Clustering.scala:100-105).
+
+    Today the equivalence evidence within a name group is "shares the
+    normalized name", so each group is one component; the union-find is kept
+    explicit so fuzzy same-as edges can be added without changing the
+    dataflow.
+
+    Sentinels: each exchange appends one marker row per bucket (zero-row
+    map outputs become schema-less blocks — functions/shuffle.py note). The
+    second exchange's sentinels SURVIVE into the output (≤ num_buckets rows
+    with entity_id == ESENT): like resolve_surfaces' resolution sentinel,
+    they match no real entity key in any consumer (entity_nodes and the
+    driver-side canon maps filter them; the rewrite exchanges attach them to
+    nothing) and keep every block non-empty for downstream keyed stages.
     """
+    empty_props = pa.array([[]], pa.map_(pa.string(), pa.string()))
 
-    def add_keys(batch: pa.Table) -> pa.Table:
-        ids = batch.column("entity_id").to_pylist()
-        idx = [int(e[1:]) for e in ids]
+    def obs_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({
-            "entity_id": pa.array(ids, pa.string()),
-            "uri": pa.array([mint_uri(synth.entity_label(i, cfg), e)
-                             for i, e in zip(idx, ids)], pa.string()),
-            "norm_name": pa.array([synth.entity_norm_name(i, cfg)
-                                   for i in idx], pa.string()),
+            "entity_id": t.column("entity_id"),
+            "label": pa.array([""] * n, pa.string()),
+            "norm_name": pa.array([""] * n, pa.string()),
+            "properties": pa.nulls(n, pa.map_(pa.string(), pa.string())),
+            "role": pa.array([0] * n, pa.int8()),
         })
 
+    def meta_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "entity_id": t.column("entity_id"),
+            "label": t.column("label"),
+            "norm_name": t.column("norm_name"),
+            "properties": t.column("properties"),
+            "role": pa.array([1] * n, pa.int8()),
+        })
+
+    def attach(t: pa.Table) -> pa.Table:
+        meta = t.filter(pc.equal(t.column("role"), 1))
+        obs = t.filter(pc.equal(t.column("role"), 0))
+        obs_ids = pc.unique(obs.column("entity_id").combine_chunks())
+        idx = pc.index_in(obs_ids, value_set=meta.column("entity_id")
+                          .combine_chunks())
+        if idx.null_count > 0:
+            missing = obs_ids.filter(pc.is_null(idx)).to_pylist()[:5]
+            raise ValueError(
+                f"entity catalog is missing metadata for observed entity "
+                f"ids {missing}; the alias and metadata tables must cover "
+                f"the same entity space")
+        labels = meta.column("label").combine_chunks().take(idx)
+        norms = meta.column("norm_name").combine_chunks().take(idx)
+        props = meta.column("properties").combine_chunks().take(idx)
+        uris = pa.array([mint_uri(lb, e)
+                         for lb, e in zip(labels.to_pylist(),
+                                          obs_ids.to_pylist())], pa.string())
+        out = pa.table({
+            "entity_id": obs_ids, "uri": uris, "norm_name": norms,
+            "label": labels, "properties": props,
+        })
+        sent = pa.table({
+            "entity_id": pa.array([ESENT], pa.string()),
+            "uri": pa.array([ESENT_URI], pa.string()),
+            "norm_name": pa.array([ESENT], pa.string()),
+            "label": pa.array([""], pa.string()),
+            "properties": empty_props,
+        })
+        return pa.concat_tables([out, sent])
+
     def resolve_slice(ids: list[str], uris: list[str]
-                      ) -> tuple[list, list, list, list]:
+                      ) -> tuple[list[int], list[str], list[str]]:
         """Union-find over one norm_name group (all members pairwise
-        equivalent -> one component; canon = min uri)."""
+        equivalent -> one component; canon = min uri). Returns slice-local
+        row indices plus per-row canon uri/entity — the caller gathers the
+        ride-along columns (label, properties) with one vectorized take."""
         parent = list(range(len(ids)))
 
         def find(x: int) -> int:
@@ -97,43 +175,61 @@ def canonical_groups(entities: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
         comp: dict[int, list[int]] = {}
         for k in range(len(ids)):
             comp.setdefault(find(k), []).append(k)
-        out_id, out_uri, out_canon, out_ent = [], [], [], []
+        out_row, out_canon, out_ent = [], [], []
         for members in comp.values():
             canon = min(members, key=lambda k: uris[k])
             for k in members:
-                out_id.append(ids[k])
-                out_uri.append(uris[k])
+                out_row.append(k)
                 out_canon.append(uris[canon])
                 out_ent.append(ids[canon])
-        return out_id, out_uri, out_canon, out_ent
+        return out_row, out_canon, out_ent
 
     def finalize(t: pa.Table) -> pa.Table:
-        # one sorted pass over the bucket; per-group union-find on slices
+        # drop the first exchange's per-bucket sentinels (one whole
+        # norm-name group), then one sorted pass over the bucket with
+        # per-group union-find on slices; label/properties ride through by
+        # row index (vectorized take at the end)
+        t = t.filter(pc.not_equal(t.column("norm_name"), ESENT))
         t = t.sort_by("norm_name")
         names = t.column("norm_name").to_pylist()
         ids = t.column("entity_id").to_pylist()
         uris = t.column("uri").to_pylist()
-        out_id: list[str] = []
-        out_uri: list[str] = []
+        out_row: list[int] = []
         out_canon: list[str] = []
         out_ent: list[str] = []
         lo = 0
         for hi in range(1, len(names) + 1):
             if hi == len(names) or names[hi] != names[lo]:
-                i_, u, c, e = resolve_slice(ids[lo:hi], uris[lo:hi])
-                out_id.extend(i_)
-                out_uri.extend(u)
+                rows, c, e = resolve_slice(ids[lo:hi], uris[lo:hi])
+                out_row.extend(r + lo for r in rows)
                 out_canon.extend(c)
                 out_ent.extend(e)
                 lo = hi
-        return pa.table({
-            "entity_id": pa.array(out_id, pa.string()),
-            "uri": pa.array(out_uri, pa.string()),
+        take = pa.array(out_row, pa.int64())
+        body = pa.table({
+            "entity_id": t.column("entity_id").combine_chunks().take(take),
+            "uri": t.column("uri").combine_chunks().take(take),
             "canon_uri": pa.array(out_canon, pa.string()),
             "canon_ent": pa.array(out_ent, pa.string()),
+            "label": t.column("label").combine_chunks().take(take),
+            "properties": t.column("properties").combine_chunks().take(take),
         })
+        # surviving sentinel (uri == canon_uri, canon of itself): keeps the
+        # block non-empty; every consumer treats it as an entity that is
+        # observed nowhere
+        sent = pa.table({
+            "entity_id": pa.array([ESENT], pa.string()),
+            "uri": pa.array([ESENT_URI], pa.string()),
+            "canon_uri": pa.array([ESENT_URI], pa.string()),
+            "canon_ent": pa.array([ESENT], pa.string()),
+            "label": pa.array([""], pa.string()),
+            "properties": empty_props,
+        })
+        return pa.concat_tables([body, sent])
 
-    keyed = entities.map_batches(add_keys, batch_format="pyarrow")
+    both = entities.map_batches(obs_rows, batch_format="pyarrow") \
+        .union(metadata.map_batches(meta_rows, batch_format="pyarrow"))
+    keyed = bucketed_group_agg(both, lambda t: t, "entity_id", attach)
     return bucketed_group_agg(keyed, lambda t: t, "norm_name", finalize)
 
 

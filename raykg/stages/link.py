@@ -22,7 +22,6 @@ import pyarrow as pa
 
 import ray
 
-from raykg import synth
 from raykg.config import MEDIA_PREDICATE, KGConfig
 from raykg.functions.hashing import (
     _perm_params,
@@ -44,28 +43,43 @@ LINKED_TRIPLES = pa.schema([
 
 
 def build_alias_items(cfg: KGConfig) -> list[tuple[str, int]]:
-    """(surface, entity_index) pairs for the closed entity vocabulary."""
-    items: list[tuple[str, int]] = []
-    for i in range(cfg.num_entities):
-        for a in synth.entity_aliases(i, cfg):
-            items.append((a, i))
-    return items
+    """(surface, entity_index) pairs for the closed entity vocabulary
+    (fixture default; kept as a convenience wrapper over the catalog)."""
+    from raykg.catalog import SynthCatalog
+
+    return SynthCatalog(cfg).alias_items()
 
 
-def build_index_ref(cfg: KGConfig):
+def build_index_ref(cfg: KGConfig, catalog=None):
     """Build the AliasIndex ONCE on the driver and place it in the object
     store; every linker actor fetches it in __init__ (broadcast-once, never
-    re-shipped per batch — reference analog T3/T4). At production scale this
-    is where a sharded alias table would be loaded instead."""
-    return ray.put(AliasIndex(cfg))
+    re-shipped per batch — reference analog T3/T4). ``catalog`` supplies
+    the alias dictionary and the entity mint map (catalog.EntityCatalog);
+    default is the synthetic vocabulary. This is the broadcast link path —
+    its envelope is "the dictionary fits a worker heap"; past that, use
+    link_mode="hybrid"/"distributed"."""
+    from raykg.catalog import default_catalog
+
+    catalog = catalog or default_catalog(cfg)
+    return ray.put(AliasIndex(cfg, catalog.alias_items(),
+                              mint_map=catalog.mint_map()))
 
 
 class AliasIndex:
     """Exact dict + MinHash-LSH blocked fuzzy lookup. Deterministic."""
 
-    def __init__(self, cfg: KGConfig, alias_items: list[tuple[str, int]] | None = None):
+    def __init__(self, cfg: KGConfig,
+                 alias_items: list[tuple[str, int]] | None = None,
+                 mint_map: dict[int, tuple[str, str]] | None = None):
         self.cfg = cfg
         items = alias_items if alias_items is not None else build_alias_items(cfg)
+        if mint_map is None:
+            from raykg.catalog import SynthCatalog
+
+            mint_map = SynthCatalog(cfg).mint_map()
+        # ent -> (uri, entity_id): minting rides the catalog data, never a
+        # per-id synth call (round-3 verdict gap #1)
+        self._mint = mint_map
         self.exact: dict[str, int] = {}
         for surface, ent in items:
             # first writer wins -> deterministic for a deterministic item order
@@ -138,6 +152,10 @@ class AliasIndex:
                 bands.append(d)
             self._bands = bands
         return self._bands
+
+    def mint(self, ent: int) -> tuple[str, str]:
+        """(uri, entity_id) for a resolved entity index — catalog-backed."""
+        return self._mint[ent]
 
     def resolve(self, surface: str) -> int | None:
         return self.resolve_many([surface])[0]
@@ -236,12 +254,7 @@ class LinkBatches:
             return
         ents = self.index.resolve_many(todo)
         for s, ent in zip(todo, ents):
-            if ent is None:
-                cache[s] = None
-            else:
-                eid = synth.entity_id(ent)
-                cache[s] = (mint_uri(synth.entity_label(ent, self.cfg), eid),
-                            eid)
+            cache[s] = None if ent is None else self.index.mint(ent)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         def resolver(uniq: list[str]):

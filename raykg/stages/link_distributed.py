@@ -36,7 +36,6 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from raykg import synth
 from raykg.config import MEDIA_PREDICATE, KGConfig
 from raykg.functions.hashing import (
     _perm_params,
@@ -45,19 +44,103 @@ from raykg.functions.hashing import (
     minhash_matrix,
     mint_uri,
 )
-from raykg.functions.shuffle import bucketed_group_agg
+from raykg.functions.shuffle import bucketed_group_agg, crc_bucket_array
 from raykg.stages.extract import extract_batch
-from raykg.stages.link import LINKED_TRIPLES, build_alias_items
+from raykg.stages.link import LINKED_TRIPLES
 
 
-def alias_dataset(cfg: KGConfig) -> rd.Dataset:
+def alias_dataset(cfg: KGConfig, catalog=None) -> rd.Dataset:
     """The alias dictionary as data: (alias, ent). At production scale this
-    is a read_lance of the curated alias table, not an in-memory build."""
-    items = build_alias_items(cfg)
-    return rd.from_arrow(pa.table({
-        "alias": pa.array([s for s, _ in items], pa.string()),
-        "ent": pa.array([e for _, e in items], pa.int64()),
-    }))
+    is a read of the curated alias table (catalog.DatasetCatalog), not an
+    in-memory build; default is the synthetic vocabulary."""
+    from raykg.catalog import default_catalog
+
+    return (catalog or default_catalog(cfg)).aliases_dataset()
+
+
+def minted_resolution(resolution: rd.Dataset, metadata: rd.Dataset,
+                      num_partitions: int = 32) -> rd.Dataset:
+    """resolution (surface, ent) -> (surface, eid, uri): entity ids and URIs
+    attached from the catalog's ENTITY_METADATA dataset via one bucketed
+    exchange on ``ent`` — the broadcast-free twin of AliasIndex.mint, so no
+    linker path ever synthesizes metadata per id. Both sides are small
+    (distinct corpus surfaces / vocabulary), never the corpus stream.
+
+    Resolution sentinel rows (surface "\\x00S", ent -1 — see argmax_fin)
+    pass through with empty eid/uri: they match no extraction surface in any
+    consumer and keep every output block non-empty."""
+    RSENT = "\x00S"
+
+    def res_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ent": pc.cast(t.column("ent"), pa.int64()),
+            "surface": t.column("surface"),
+            "entity_id": pa.array([""] * n, pa.string()),
+            "label": pa.array([""] * n, pa.string()),
+            "role": pa.array([0] * n, pa.int8()),
+        })
+
+    def meta_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ent": t.column("ent"),
+            "surface": pa.array([""] * n, pa.string()),
+            "entity_id": t.column("entity_id"),
+            "label": t.column("label"),
+            "role": pa.array([1] * n, pa.int8()),
+        })
+
+    def attach(t: pa.Table) -> pa.Table:
+        meta = t.filter(pc.equal(t.column("role"), 1))
+        res = t.filter(pc.equal(t.column("role"), 0))
+        idx = pc.index_in(res.column("ent").combine_chunks(),
+                          value_set=meta.column("ent").combine_chunks())
+        eids = meta.column("entity_id").combine_chunks().take(idx)
+        labels = meta.column("label").combine_chunks().take(idx)
+        surfaces = res.column("surface").to_pylist()
+        eid_l = eids.to_pylist()
+        lab_l = labels.to_pylist()
+        memo: dict[str, str] = {}
+        out_uri: list[str] = []
+        for s, eid, lb in zip(surfaces, eid_l, lab_l):
+            if eid is None:
+                if s != RSENT:
+                    raise ValueError(
+                        f"entity catalog is missing metadata for the entity "
+                        f"resolved from surface {s!r}; the alias and "
+                        f"metadata tables must cover the same ent space")
+                out_uri.append("")
+                continue
+            hit = memo.get(eid)
+            if hit is None:
+                hit = mint_uri(lb, eid)
+                memo[eid] = hit
+            out_uri.append(hit)
+        out = pa.table({
+            "surface": pa.array(surfaces, pa.string()),
+            "eid": pa.array([e if e is not None else "" for e in eid_l],
+                            pa.string()),
+            "uri": pa.array(out_uri, pa.string()),
+        })
+        # per-bucket sentinel: a bucket holding only metadata rows would
+        # otherwise emit zero rows (schema-less block hazard)
+        sent = pa.table({"surface": pa.array([RSENT], pa.string()),
+                         "eid": pa.array([""], pa.string()),
+                         "uri": pa.array([""], pa.string())})
+        return pa.concat_tables([out, sent])
+
+    both = resolution.map_batches(res_rows, batch_format="pyarrow") \
+        .union(metadata.map_batches(meta_rows, batch_format="pyarrow"))
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", crc_bucket_array(t.column("ent"), num_partitions))
+
+    return both.map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: attach(t.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 def variant_dataset(aliases: rd.Dataset) -> rd.Dataset:
@@ -315,7 +398,7 @@ def resolve_surfaces(surfaces: rd.Dataset, aliases: rd.Dataset,
 
 
 def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
-                          num_partitions: int = 32) -> rd.Dataset:
+                          num_partitions: int = 32, catalog=None) -> rd.Dataset:
     """Hybrid scale path: the alias DICTIONARY stays a Dataset (distributed
     keyed-shuffle resolution, like linked_triples_distributed), but triple
     assembly broadcasts the RESOLUTION TABLE — distinct observed surfaces
@@ -329,47 +412,38 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
     linked_triples_distributed."""
     import ray
 
+    from raykg.catalog import default_catalog
     from raykg.stages.link import assemble_linked
 
+    catalog = catalog or default_catalog(cfg)
     extractions = documents.map_batches(
         extract_batch, batch_format="pyarrow",
         batch_size=cfg.batch_size).materialize()
-    resolution = resolve_surfaces(distinct_surfaces(extractions),
-                                  alias_dataset(cfg), cfg,
-                                  num_partitions).materialize()
+    resolution = minted_resolution(
+        resolve_surfaces(distinct_surfaces(extractions),
+                         catalog.aliases_dataset(), cfg, num_partitions),
+        catalog.metadata_dataset(), num_partitions).materialize()
     # distinct-surface sized; fetched as Arrow blocks (zero per-row Python,
     # no row-dict blowup on the driver) and re-broadcast once
     res_t = pa.concat_tables(
         list(resolution.iter_batches(batch_format="pyarrow",
                                      batch_size=None)))
     surf_arr = res_t.column("surface").combine_chunks()
-    ent_arr = pc.cast(res_t.column("ent").combine_chunks(), pa.int64())
-    ref = ray.put((surf_arr, ent_arr))
+    uri_arr = res_t.column("uri").combine_chunks()
+    eid_arr = res_t.column("eid").combine_chunks()
+    ref = ray.put((surf_arr, uri_arr, eid_arr))
 
     class Assemble:
         def __init__(self):
-            self.surf, self.ents = ray.get(ref) \
+            self.surf, self.uris, self.eids = ray.get(ref) \
                 if isinstance(ref, ray.ObjectRef) else ref
-            self._uri: dict[int, tuple[str, str]] = {}
 
         def _resolver(self, uniq: list[str]):
+            # URIs arrive pre-minted from the catalog exchange; a surface
+            # absent from the resolution table takes a null (unresolved)
             idx = pc.index_in(pa.array(uniq, pa.string()),
                               value_set=self.surf)
-            ents = self.ents.take(idx).to_pylist()
-            uris, eids = [], []
-            for e in ents:
-                if e is None:
-                    uris.append(None)
-                    eids.append(None)
-                    continue
-                hit = self._uri.get(e)
-                if hit is None:
-                    eid = synth.entity_id(e)
-                    hit = (mint_uri(synth.entity_label(e, cfg), eid), eid)
-                    self._uri[e] = hit
-                uris.append(hit[0])
-                eids.append(hit[1])
-            return (pa.array(uris, pa.string()), pa.array(eids, pa.string()))
+            return (self.uris.take(idx), self.eids.take(idx))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             return assemble_linked(batch, self._resolver)
@@ -388,8 +462,12 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
 
 
 def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
-                               num_partitions: int = 32) -> rd.Dataset:
+                               num_partitions: int = 32,
+                               catalog=None) -> rd.Dataset:
     """documents -> LINKED_TRIPLES via pure keyed shuffles (no broadcast)."""
+    from raykg.catalog import default_catalog
+
+    catalog = catalog or default_catalog(cfg)
     extractions = documents.map_batches(
         extract_batch, batch_format="pyarrow",
         batch_size=cfg.batch_size).materialize()
@@ -397,10 +475,14 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
     # join: stacking several JoinOperators (each with its own aggregator
     # actors) plus the linker pool into one DAG deadlocks small clusters.
     # The resolution table is distinct-surface sized — the natural
-    # checkpoint between the dictionary phase and triple assembly.
-    resolution = resolve_surfaces(distinct_surfaces(extractions),
-                                  alias_dataset(cfg), cfg,
-                                  num_partitions).materialize()
+    # checkpoint between the dictionary phase and triple assembly. URIs are
+    # pre-minted into it from the catalog's metadata dataset (one
+    # vocabulary-sized bucketed exchange), so triple assembly below is pure
+    # column selection — no metadata synthesis anywhere.
+    resolution = minted_resolution(
+        resolve_surfaces(distinct_surfaces(extractions),
+                         catalog.aliases_dataset(), cfg, num_partitions),
+        catalog.metadata_dataset(), num_partitions).materialize()
 
     # join subject surfaces, then (for relations) object surfaces
     j1 = extractions.join(resolution, join_type="left_outer",
@@ -409,7 +491,7 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
                           right_suffix="_r",
                           validate_schemas=True).materialize()
     res2 = resolution.map_batches(
-        lambda t: t.rename_columns(["surface2", "ent2"]),
+        lambda t: t.rename_columns(["surface2", "eid2", "uri2"]),
         batch_format="pyarrow")
     j2 = j1.join(res2, join_type="left_outer",
                  num_partitions=num_partitions,
@@ -419,30 +501,17 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
     def assemble(t: pa.Table) -> pa.Table:
         """Vectorized triple assembly over the joined extraction stream —
         the same index_in/filter shape as stages/link.py assemble_linked,
-        except entities arrive pre-joined as int columns: URIs are minted
-        once per DISTINCT entity in the batch, every per-row mapping is an
-        Arrow take/filter, and the corpus-sized stream is never iterated
-        row-by-row in Python."""
-        if "ent" not in t.column_names or "ent2" not in t.column_names:
+        except URIs and entity ids arrive pre-joined as string columns:
+        every per-row mapping is an Arrow take/filter, and the corpus-sized
+        stream is never iterated row-by-row in Python."""
+        if "uri" not in t.column_names or "uri2" not in t.column_names:
             return LINKED_TRIPLES.empty_table()
-        ent = pc.cast(t.column("ent").combine_chunks(), pa.int64())
-        ent2 = pc.cast(t.column("ent2").combine_chunks(), pa.int64())
+        uri1 = t.column("uri").combine_chunks()
+        eid1 = t.column("eid").combine_chunks()
+        uri2 = t.column("uri2").combine_chunks()
+        eid2 = t.column("eid2").combine_chunks()
         etype = t.column("etype").combine_chunks()
         is_rel = pc.equal(etype, "relation")
-
-        uniq = pc.unique(pa.concat_arrays([ent.drop_null(),
-                                           ent2.drop_null()]))
-        uris, eids = [], []
-        for e in uniq.to_pylist():   # distinct entities only — small
-            eid = synth.entity_id(e)
-            uris.append(mint_uri(synth.entity_label(e, cfg), eid))
-            eids.append(eid)
-        uri_arr = pa.array(uris, pa.string())
-        eid_arr = pa.array(eids, pa.string())
-        idx1 = pc.index_in(ent, value_set=uniq)
-        uri1, eid1 = uri_arr.take(idx1), eid_arr.take(idx1)
-        idx2 = pc.index_in(ent2, value_set=uniq)
-        uri2, eid2 = uri_arr.take(idx2), eid_arr.take(idx2)
 
         doc_col = pc.cast(t.column("doc_id").combine_chunks(), pa.string())
         off_col = pc.cast(t.column("span_offset").combine_chunks(),
@@ -450,7 +519,7 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
         pred_col = pc.cast(t.column("pred").combine_chunks(), pa.string())
 
         rel_keep = pc.fill_null(pc.and_kleene(
-            is_rel, pc.and_kleene(pc.is_valid(ent), pc.is_valid(ent2))),
+            is_rel, pc.and_kleene(pc.is_valid(uri1), pc.is_valid(uri2))),
             False)
         rel_t = pa.Table.from_arrays(
             [uri1.filter(rel_keep), pred_col.filter(rel_keep),
@@ -460,7 +529,7 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
             schema=LINKED_TRIPLES)
 
         men_keep = pc.fill_null(
-            pc.and_kleene(pc.invert(is_rel), pc.is_valid(ent)), False)
+            pc.and_kleene(pc.invert(is_rel), pc.is_valid(uri1)), False)
         m_doc = doc_col.filter(men_keep)
         uniq_docs = pc.unique(m_doc)
         doc_uris = pa.array(

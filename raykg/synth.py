@@ -89,6 +89,52 @@ def entity_properties(i: int, cfg: KGConfig) -> dict[str, str]:
     return props
 
 
+def entity_metadata_rows(indices: np.ndarray, cfg: KGConfig) -> pa.Table:
+    """Entity-metadata table rows for the given entity indices (pure;
+    batch-callable). This is the synthetic instance of the engine's
+    ENTITY_METADATA contract (raykg/catalog.py): downstream stages
+    (canonicalization, node minting, URI assembly) consume label / norm_name
+    / properties from THIS table riding the dataflow, never by calling the
+    per-index synth functions — so a real corpus swaps in its own table."""
+    from raykg.catalog import ENTITY_METADATA
+
+    ents, eids, labels, norms, props = [], [], [], [], []
+    for i in indices:
+        i = int(i)
+        ents.append(i)
+        eids.append(entity_id(i))
+        labels.append(entity_label(i, cfg))
+        norms.append(entity_norm_name(i, cfg))
+        props.append(entity_properties(i, cfg))
+    return pa.Table.from_pydict(
+        {"ent": ents, "entity_id": eids, "label": labels,
+         "norm_name": norms, "properties": props},
+        schema=ENTITY_METADATA)
+
+
+def entity_metadata_dataset(cfg: KGConfig):
+    """Distributed generation of the full-vocabulary entity-metadata table."""
+    import ray.data as rd
+
+    n = cfg.num_entities
+    ds = rd.range(n, override_num_blocks=max(1, n // 8192))
+    return ds.map_batches(lambda b: entity_metadata_rows(b["id"], cfg),
+                          batch_format="numpy", batch_size=8192)
+
+
+def alias_rows(indices: np.ndarray, cfg: KGConfig) -> pa.Table:
+    """Alias-dictionary rows (alias, ent) for the given entity indices."""
+    from raykg.catalog import ALIASES
+
+    al, en = [], []
+    for i in indices:
+        i = int(i)
+        for a in entity_aliases(i, cfg):
+            al.append(a)
+            en.append(i)
+    return pa.Table.from_pydict({"alias": al, "ent": en}, schema=ALIASES)
+
+
 def apply_typo(surface: str, pos: int) -> str:
     """Drop one character at a deterministic position (mention corruption)."""
     if len(surface) < 4:
