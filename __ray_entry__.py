@@ -2398,13 +2398,17 @@ def oracle_sql() -> dict[str, str]:
                    LATERAL (SELECT unnest(range(0, len(embedding)))
                             AS i) t),
             terms AS (
+              -- scaled-int64 contract: floor(x*1e6) BIGINT terms sum
+              -- order-free; one float division + round finalizes (matches
+              -- the engine's integer matmul bit-for-bit)
               SELECT vec_id, j,
-                     x * (CASE WHEN ('0x' || substr(sha256('proj|42|'
+                     floor(x * 1e6)::BIGINT
+                     * (CASE WHEN ('0x' || substr(sha256('proj|42|'
                               || i::VARCHAR || '|' || j::VARCHAR), 1, 8))
                               ::UBIGINT % 2 = 0
-                          THEN 1.0 ELSE -1.0 END) AS term
+                          THEN 1 ELSE -1 END) AS term
               FROM comp, (SELECT unnest(range(0, 8)) AS j))
-            SELECT vec_id, j, round(sum(term), 4) AS p
+            SELECT vec_id, j, round(sum(term) / 1000000.0, 4) AS p
             FROM terms GROUP BY 1, 2""",
         "top_ngrams": f"""
             SELECT gram, count(*)::BIGINT AS n

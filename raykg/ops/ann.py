@@ -442,29 +442,41 @@ def quantize_embeddings(embeddings: rd.Dataset) -> rd.Dataset:
     arithmetic in float64 (bit-identical to the SQL oracle's DOUBLE)."""
 
     def batch(t: pa.Table) -> pa.Table:
+        # fully vectorized over the flattened list column: per-row min/max
+        # via reduceat on segment starts, elementwise quantization (same
+        # IEEE op sequence as the scalar path / SQL twin), and the string
+        # join done by Arrow's binary_join over a rebuilt list array
         ids = pc.cast(t.column("vec_id"), pa.int64())
-        vmin, vmax, codes = [], [], []
-        for vec in t.column("embedding").to_pylist():
-            v = np.asarray(vec, dtype=np.float64)
-            if v.size == 0:    # oracle twin: NULL min/max, '' codes
-                vmin.append(None)
-                vmax.append(None)
-                codes.append("")
-                continue
-            mn, mx = float(v.min()), float(v.max())
-            vmin.append(mn)
-            vmax.append(mx)
-            if mx == mn:
-                q = np.zeros(len(v), dtype=np.int64)
-            else:
-                q = round_half_away((v - mn) * 255.0 / (mx - mn), 0) \
-                    .astype(np.int64)
-            codes.append("_".join(str(int(x)) for x in q))
+        emb = t.column("embedding").combine_chunks()
+        n = len(emb)
+        lens = pc.list_value_length(emb).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        nonempty = lens > 0
+        vmin = np.zeros(n, np.float64)
+        vmax = np.zeros(n, np.float64)
+        if nonempty.any():
+            ne_starts = starts[:-1][nonempty]
+            vmin[nonempty] = np.minimum.reduceat(flat, ne_starts)
+            vmax[nonempty] = np.maximum.reduceat(flat, ne_starts)
+        rng = vmax - vmin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = (flat - np.repeat(vmin, lens)) * 255.0 \
+                / np.repeat(rng, lens)
+        scaled[np.repeat(rng == 0.0, lens)] = 0.0   # constant vectors -> 0
+        code_str = pc.cast(
+            pa.array(round_half_away(scaled, 0).astype(np.int64)),
+            pa.string())
+        codes_list = pa.ListArray.from_arrays(
+            pa.array(starts, pa.int32()), code_str)
         return pa.table({
             "vec_id": ids,
-            "vmin": pa.array(vmin, pa.float64()),
-            "vmax": pa.array(vmax, pa.float64()),
-            "codes": pa.array(codes, pa.string()),
+            "vmin": pa.array(vmin, mask=~nonempty),   # empty rows -> NULL
+            "vmax": pa.array(vmax, mask=~nonempty),
+            "codes": pc.binary_join(codes_list, "_"),
         })
 
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
@@ -557,38 +569,58 @@ def random_projection(embeddings: rd.Dataset, k: int = 8,
     sha('proj|seed|i|j') is even else -1, so the projection matrix is a
     pure hash function — never stored, never shipped, identical on every
     worker and in the DuckDB twin. Stateless map_batches; the sign matrix
-    is rebuilt once per actor from the first batch's dimensionality
-    (register-sized: dim x k). ``p`` is rounded to 4 dp after float64
-    accumulation (the repo's standard float-oracle contract)."""
+    is rebuilt once per actor from each observed dimensionality
+    (register-sized: dim x k).
+
+    Determinism contract (scaled-int64, same as
+    graph.neighbor_embedding_mean): each component scales to an exact
+    ``floor(v * 1e6)`` int64, the signed terms sum as a vectorized
+    (n x dim) @ (dim x k) INTEGER matmul — order-free, so BLAS/FMA blocked
+    accumulation can never drift from the SQL twin's unordered ``sum`` —
+    and one float division + round(.., 4) finalizes ``p``."""
     from raykg.functions.hashing import sha_int
 
     signs: dict[int, np.ndarray] = {}
 
     def sign_matrix(dim: int) -> np.ndarray:
         if dim not in signs:
-            m = np.empty((dim, k), np.float64)
+            m = np.empty((dim, k), np.int64)
             for i in range(dim):
                 for j in range(k):
-                    m[i, j] = 1.0 if sha_int(f"proj|{seed}|{i}|{j}") % 2 \
-                        == 0 else -1.0
+                    m[i, j] = 1 if sha_int(f"proj|{seed}|{i}|{j}") % 2 \
+                        == 0 else -1
             signs[dim] = m
         return signs[dim]
 
     def batch(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column("vec_id"), pa.int64())
-        vecs = t.column("embedding").to_pylist()
+        ids = pc.cast(t.column("vec_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        emb = t.column("embedding").combine_chunks()
+        lens = pc.list_value_length(emb).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        q = np.floor(flat * 1e6).astype(np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
         out_id, out_j, out_p = [], [], []
-        for vid, vec in zip(ids.to_pylist(), vecs):
-            v = np.asarray(vec, dtype=np.float64)
-            if v.size == 0:
+        for dim in np.unique(lens):
+            if dim == 0:          # empty vectors emit nothing (oracle twin)
                 continue
-            p = v @ sign_matrix(len(v))
-            out_id.extend([vid] * k)
-            out_j.extend(range(k))
-            out_p.extend(round_half_away(p, 4).tolist())
-        return pa.table({"vec_id": pa.array(out_id, pa.int64()),
-                         "j": pa.array(out_j, pa.int64()),
-                         "p": pa.array(out_p, pa.float64())})
+            rows = np.nonzero(lens == dim)[0]
+            idxm = starts[rows][:, None] + np.arange(int(dim))[None, :]
+            proj = q[idxm] @ sign_matrix(int(dim))        # (m, k) int64
+            out_id.append(np.repeat(ids[rows], k))
+            out_j.append(np.tile(np.arange(k, dtype=np.int64), len(rows)))
+            out_p.append(round_half_away(
+                proj.astype(np.float64).ravel() / 1e6, 4))
+        if not out_id:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.float64())})
+        return pa.table({"vec_id": pa.array(np.concatenate(out_id)),
+                         "j": pa.array(np.concatenate(out_j)),
+                         "p": pa.array(np.concatenate(out_p))})
 
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         batch, batch_format="pyarrow")
