@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_incremental_append(sf_dir):
         import dataclasses
+        import shutil
         import tempfile
 
         from raykg.pipelines.kg import ingest_increment
@@ -632,10 +633,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return lambda lo, hi: synth.sha_documents_dataset_range(
                 lo, hi, c)
 
-        ingest_increment(cfg_old, root, docs_for_range=rng(cfg_old),
-                         link_only=True)
-        return ingest_increment(cfg_full, root,
-                                docs_for_range=rng(cfg_full)).triples
+        try:
+            ingest_increment(cfg_old, root, docs_for_range=rng(cfg_old),
+                             link_only=True)
+            # pin the (fixture-sized) result before deleting the checkpoint
+            # it lazily reads from — gate runs used to leak one tempdir each
+            return ingest_increment(
+                cfg_full, root,
+                docs_for_range=rng(cfg_full)).triples.materialize()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
     def kg_flagship_fuzzy_exact(sf_dir):
         return _flagship_fuzzy_result().triples
@@ -1312,11 +1319,14 @@ def _walks_sql(walk_len: int, walks_per_node: int, seed: int = 42) -> str:
     return sql + f"\n    SELECT start, walk, step, node FROM ({union})"
 
 
-def _link_pred_sql(min_cn: int) -> str:
+def _link_pred_sql(min_cn: int, max_neighbors: int = 128) -> str:
     """Wedge-join twin of raykg.ops.graph.link_prediction_scores: distinct
     undirected neighbor sets, C(deg, 2) wedges per center, Adamic-Adar
-    1/ln(deg) weights rounded 4dp (the engine sums weights in ascending
-    order before rounding, so the float contract holds)."""
+    weights as scaled-int64 terms floor((1/ln(deg)) * 1e6) summed
+    order-free with ONE float division at the end (the engine's exact
+    contract). Centers with deg > max_neighbors are skipped — the SAME
+    hub cap the engine applies, so both sides stay aligned on hubby
+    data."""
     return _graph_sql() + f""",
     und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
                                 greatest(src, dst) AS b
@@ -1325,9 +1335,10 @@ def _link_pred_sql(min_cn: int) -> str:
                          UNION ALL SELECT b, a FROM und),
     deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM nbr GROUP BY w),
     sc AS (SELECT n1.u AS u, n2.u AS v, count(*)::BIGINT AS cn,
-                  round(sum(1.0 / ln(d.deg)), 4) AS aa
+                  round(sum(floor((1.0 / ln(d.deg)) * 1e6)::BIGINT)
+                        / 1000000.0, 4) AS aa
            FROM nbr n1 JOIN nbr n2 ON n2.w = n1.w AND n1.u < n2.u
-           JOIN deg d ON d.w = n1.w
+           JOIN deg d ON d.w = n1.w AND d.deg <= {max_neighbors}
            GROUP BY 1, 2)
     SELECT sc.u, sc.v, sc.cn, sc.aa,
            (CASE WHEN e.a IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_edge
@@ -1504,8 +1515,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, obj AS uri FROM t
               UNION SELECT DISTINCT doc_id, subj FROM t
                     WHERE subj NOT LIKE 'sdpg.gr/Document/%'),
+            -- engine hub cap replicated: first 256 entities per doc in
+            -- ascending uri order (co_mention_edges max_doc_entities)
+            capped AS (
+              SELECT doc_id, uri FROM (
+                SELECT doc_id, uri, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY uri) AS rk FROM ents)
+              WHERE rk <= 256),
             p AS (SELECT a.doc_id, a.uri AS ent_a, b.uri AS ent_b
-                  FROM ents a JOIN ents b
+                  FROM capped a JOIN capped b
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
@@ -1520,8 +1538,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE subj NOT LIKE 'sdpg.gr/Document/%'),
             nd AS (SELECT count(DISTINCT doc_id) AS n FROM ents),
             ec AS (SELECT uri, count(*)::BIGINT AS c FROM ents GROUP BY 1),
+            -- pair counts reuse co_mention_edges, so its per-doc hub cap
+            -- (first 256 uris ascending) applies to pairs only — per-
+            -- entity counts and N stay uncapped, matching the engine
+            capped AS (
+              SELECT doc_id, uri FROM (
+                SELECT doc_id, uri, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY uri) AS rk FROM ents)
+              WHERE rk <= 256),
             p AS (SELECT a.doc_id, a.uri AS ent_a, b.uri AS ent_b
-                  FROM ents a JOIN ents b
+                  FROM capped a JOIN capped b
                     ON a.doc_id = b.doc_id AND a.uri < b.uri),
             pc2 AS (SELECT ent_a, ent_b, count(*)::BIGINT AS n_both
                     FROM p GROUP BY 1, 2)

@@ -1555,9 +1555,12 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
     ``max_neighbors`` neighbors is SKIPPED with a loud warning — a
     celebrity node would otherwise emit O(deg^2) wedges (same contract as
     _cap_block in ops/dedup.py); the scores near such hubs are then
-    undercounts, raise the cap deliberately if you need them. ``aa`` is
-    rounded to 4 dp after a deterministic ascending-weight summation so
-    the DuckDB twin hash-matches (cf. bigram_logprob's float contract)."""
+    undercounts, raise the cap deliberately if you need them. The SQL twin
+    (_link_pred_sql) replicates the SAME cap, so the engine/oracle
+    contracts stay aligned when data grows hubs. ``aa`` uses the repo's
+    scaled-int64 float contract: each wedge weight is the exact int64
+    ``floor((1/ln(deg)) * 1e6)``, summed order-free, with one float
+    division + round(.., 4) at finalize (cf. neighbor_embedding_mean)."""
     edges = edges.materialize()
 
     def nbr_rows(t: pa.Table) -> pa.Table:
@@ -1590,7 +1593,7 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
                 "those hubs are undercounted; raise max_neighbors to "
                 "include them", capped, max_neighbors)
         pks, us, vs, ws = [np.empty(0, np.int64)], [np.empty(0, np.int64)], \
-            [np.empty(0, np.int64)], [np.empty(0, np.float64)]
+            [np.empty(0, np.int64)], [np.empty(0, np.int64)]
         for i, s0 in enumerate(seg.tolist()):
             d = int(seglen[i])
             if d < 2 or d > max_neighbors:
@@ -1601,7 +1604,8 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
             pks.append(uu * _SHIFT + vv)
             us.append(uu)
             vs.append(vv)
-            ws.append(np.full(len(uu), 1.0 / np.log(float(d)), np.float64))
+            w_int = np.int64(np.floor((1.0 / np.log(float(d))) * 1e6))
+            ws.append(np.full(len(uu), w_int, np.int64))
         pk2 = np.concatenate(pks)
         n = len(pk2)
         return pa.table({
@@ -1609,7 +1613,7 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
             "u": np.concatenate([np.concatenate(us), [_SENT]]),
             "v": np.concatenate([np.concatenate(vs), [_SENT]]),
             "c": np.concatenate([np.ones(n, np.int64), [0]]),
-            "wt": np.concatenate([np.concatenate(ws), [0.0]]),
+            "wt": np.concatenate([np.concatenate(ws), [0]]),
             "is_edge": np.zeros(n + 1, np.int64)})
 
     wedges = bucketed_group_agg(edges, nbr_rows, "w", wedge_fin,
@@ -1627,7 +1631,7 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
             "u": np.concatenate([pk // _SHIFT, [_SENT]]),
             "v": np.concatenate([pk % _SHIFT, [_SENT]]),
             "c": np.zeros(n + 1, np.int64),
-            "wt": np.zeros(n + 1, np.float64),
+            "wt": np.zeros(n + 1, np.int64),
             "is_edge": np.concatenate([np.ones(n, np.int64),
                                         [0]])})
 
@@ -1636,14 +1640,14 @@ def link_prediction_scores(edges: rd.Dataset, min_cn: int = 2,
         wt, ie = _np(t.column("wt")), _np(t.column("is_edge"))
         real = pk >= 0
         pk, c, wt, ie = pk[real], c[real], wt[real], ie[real]
-        # ascending (pk, wt) lexsort => deterministic float summation order
-        order = np.lexsort((wt, pk))
+        # group by pk; the scaled-int64 wt sum is order-free
+        order = np.argsort(pk, kind="stable")
         pk, c, wt, ie = pk[order], c[order], wt[order], ie[order]
         seg = np.flatnonzero(np.concatenate(([True], pk[1:] != pk[:-1]))) \
             if len(pk) else np.empty(0, np.int64)
         cn = np.add.reduceat(c, seg) if len(seg) else np.empty(0, np.int64)
-        aa = np.add.reduceat(wt, seg) if len(seg) else \
-            np.empty(0, np.float64)
+        aa = (np.add.reduceat(wt, seg) if len(seg) else
+              np.empty(0, np.int64)).astype(np.float64) / 1e6
         edge_flag = (np.maximum.reduceat(ie, seg) if len(seg) else
                      np.empty(0, np.int8)).astype(np.int64)
         upk = pk[seg]
@@ -2028,10 +2032,21 @@ def hits(edges: rd.Dataset, iters: int = 3,
                          "val": pa.array([0] * t.num_rows, pa.int64())})
 
     def _sum_state(t: pa.Table) -> pa.Table:
-        g = t.group_by("node").aggregate([("val", "sum")])
+        g = t.group_by("node").aggregate([("val", "sum"), ("val", "count"),
+                                          ("val", "min"), ("val", "max")])
         g = g.filter(pc.greater_equal(g.column("node"), 0))
+        # PRE-summation headroom guard: |sum| <= max|term| * n_terms, both
+        # wrap-free aggregates — so a group whose bound stays under 2^62
+        # provably did not wrap during the int64 sum. Checking the summed
+        # value alone is unsound: a wrapped sum can land back under the
+        # threshold (float product can't wrap, unlike the int64 sum).
+        bound = np.maximum(np.abs(_np(g.column("val_min"))),
+                           np.abs(_np(g.column("val_max")))) \
+            .astype(np.float64) * _np(g.column("val_count")) \
+            .astype(np.float64)
         v = _np(g.column("val_sum"))
-        if len(v) and np.abs(v).max() >= _HITS_MAX:
+        if len(v) and (bound.max() >= float(np.int64(1) << np.int64(62))
+                       or np.abs(v).max() >= _HITS_MAX):
             raise ValueError(
                 "hits: unnormalized score exceeds 2^60 — reduce iters "
                 "(each round multiplies by up to max_in*max_out)")
