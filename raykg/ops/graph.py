@@ -636,6 +636,162 @@ def connected_components(edges: rd.Dataset, max_iters: int = 32,
 
 
 # ---------------------------------------------------------------------------
+# Fused frontier min-plus kernel (BFS / weighted SSSP)
+# ---------------------------------------------------------------------------
+
+_K_EDGE, _K_STATE, _K_OFFER, _K_CNT = 0, 1, 2, 3
+
+
+def _frontier_min(edges: rd.Dataset, source: int, max_rounds: int,
+                  num_buckets: int, weight_fn=None,
+                  budget: int | None = None) -> tuple[rd.Dataset, bool]:
+    """Synchronous min-plus frontier propagation from ``source`` with ONE
+    bucketed exchange per round (the round-latency fix for the former
+    two-exchange bfs/sssp shape):
+
+    every row carries its target ``bucket``; edges are keyed by src ONCE
+    and PASS THROUGH each round unchanged (they are already in their home
+    bucket), state rows stay in their home bucket, and offer rows are
+    emitted pre-routed to ``bucket(dst)``. The per-bucket finalize FUSES
+    last round's fold (min over old state + arriving offers; ``changed``
+    per bucket) with this round's attach — offers go out only from nodes
+    IMPROVED this round (delta propagation), so offer volume is
+    frontier-adjacent edges, not reached-adjacent edges. One counter row
+    per bucket doubles as the non-empty-block sentinel and the distributed
+    fixpoint test (summed per round; no separate signature pass).
+
+    The source enters as an OFFER, so round r settles the depth-(r-1)
+    frontier; a run of ``max_rounds`` covers eccentricity max_rounds - 2
+    plus the empty round that proves convergence.
+
+    Exchange volume per round is edges + state + frontier-offers — same
+    bytes the previous design re-shuffled across TWO exchanges (it re-keyed
+    the full edge table every round too), at half the stage latency. At
+    cluster scale the remaining improvement is edge-resident partitions
+    (edges pinned per bucket, only offers exchanged); Ray Data's groupby
+    cannot express residency across rounds, so that variant needs raw
+    actors and is deliberately out of scope.
+
+    ``weight_fn(batch) -> int64 weights`` (default all-ones = BFS);
+    ``budget`` drops offers whose value exceeds it (cost-bounded SSSP).
+    Returns (state dataset with columns (node, val), converged)."""
+    INF = np.int64(1) << np.int64(62)
+
+    def route(a: np.ndarray) -> np.ndarray:
+        return ((a.astype(np.uint64) * np.uint64(2654435761))
+                >> np.uint64(7)).astype(np.int64) % num_buckets
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        w = weight_fn(t) if weight_fn is not None \
+            else np.ones(len(src), np.int64)
+        n = len(src)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([route(src), [0]]), pa.int64()),
+            "node": pa.array(np.concatenate([src, [_SENT]]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst, [_SENT]]), pa.int64()),
+            "val": pa.array(np.concatenate([w, [0]]), pa.int64()),
+            "kind": pa.array([_K_EDGE] * (n + 1), pa.int8()),
+        })
+
+    seed_bucket = int(route(np.array([source], np.int64))[0])
+    seed_t = pa.table({
+        "bucket": pa.array([seed_bucket], pa.int64()),
+        "node": pa.array([source], pa.int64()),
+        "dst": pa.array([_SENT], pa.int64()),
+        "val": pa.array([0], pa.int64()),
+        "kind": pa.array([_K_OFFER], pa.int8()),
+    })
+
+    def round_fn(t: pa.Table) -> pa.Table:
+        bkt = int(t.column("bucket")[0].as_py())
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        val = _np(t.column("val"))
+        kind = _np(t.column("kind"))
+        real = node >= 0
+        em = (kind == _K_EDGE) & real
+        esrc, edst, ew = node[em], dst[em], val[em]
+        fm = ((kind == _K_STATE) | (kind == _K_OFFER)) & real
+        f_node, f_val = node[fm], val[fm]
+        f_old = kind[fm] == _K_STATE
+        if len(f_node):
+            order = np.lexsort((f_val, f_node))
+            n_, v_, o_ = f_node[order], f_val[order], f_old[order]
+            start = np.flatnonzero(np.concatenate(
+                ([True], n_[1:] != n_[:-1])))
+            uniq, new = n_[start], v_[start]      # sorted => min is first
+            old = np.minimum.reduceat(np.where(o_, v_, INF), start)
+            improved = new < old
+        else:
+            uniq = np.empty(0, np.int64)
+            new = np.empty(0, np.int64)
+            improved = np.empty(0, bool)
+        changed = int(improved.sum())
+        fr_node, fr_val = uniq[improved], new[improved]
+        if len(fr_node) and len(esrc):
+            eo = np.argsort(esrc, kind="stable")
+            es, ed, ewo = esrc[eo], edst[eo], ew[eo]
+            lo = np.searchsorted(es, fr_node, side="left")
+            hi = np.searchsorted(es, fr_node, side="right")
+            counts = (hi - lo).astype(np.int64)
+            total = int(counts.sum())
+            # ragged gather of each frontier node's out-edge slice
+            base = np.repeat(lo, counts)
+            offs = np.arange(total, dtype=np.int64) \
+                - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
+                            counts)
+            idx = base + offs
+            off_dst = ed[idx]
+            off_val = np.repeat(fr_val, counts) + ewo[idx]
+            if budget is not None:
+                inside = off_val <= budget
+                off_dst, off_val = off_dst[inside], off_val[inside]
+        else:
+            off_dst = np.empty(0, np.int64)
+            off_val = np.empty(0, np.int64)
+        ne, ns, no = len(esrc), len(uniq), len(off_dst)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [np.full(ne + ns, bkt, np.int64), route(off_dst), [bkt]]),
+                pa.int64()),
+            "node": pa.array(np.concatenate(
+                [esrc, uniq, off_dst, [_SENT]]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [edst, np.full(ns + no + 1, _SENT, np.int64)]), pa.int64()),
+            "val": pa.array(np.concatenate(
+                [ew, new, off_val, [changed]]), pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.full(ne, _K_EDGE, np.int8),
+                 np.full(ns, _K_STATE, np.int8),
+                 np.full(no, _K_OFFER, np.int8),
+                 np.array([_K_CNT], np.int8)]), pa.int8()),
+        })
+
+    def cnt_rows(t: pa.Table) -> pa.Table:
+        v = _np(t.column("val"))[_np(t.column("kind")) == _K_CNT]
+        return pa.table({"val": pa.array([int(v.sum())], pa.int64())})
+
+    cur = edges.map_batches(edge_rows, batch_format="pyarrow") \
+        .union(rd.from_arrow(seed_t))
+    converged = False
+    for _ in range(max_rounds):
+        cur = cur.groupby("bucket").map_groups(
+            round_fn, batch_format="pyarrow").materialize()
+        if not cur.map_batches(cnt_rows,
+                               batch_format="pyarrow").sum("val"):
+            converged = True
+            break
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("kind"), _K_STATE)
+        t = t.filter(keep)
+        return pa.table({"node": t.column("node"), "val": t.column("val")})
+
+    return cur.map_batches(fin, batch_format="pyarrow"), converged
+
+
+# ---------------------------------------------------------------------------
 # BFS depths — single-source unit-weight shortest paths
 # ---------------------------------------------------------------------------
 
@@ -643,101 +799,19 @@ def bfs_depths(edges: rd.Dataset, source: int = 0, max_iters: int = 32,
                num_buckets: int = 256) -> rd.Dataset:
     """(node, depth) for every node reachable from ``source`` along
     DIRECTED edges; depth = length of the shortest such path (source
-    itself at depth 0). The distributed frontier loop, two bucketed
-    exchanges per round and nothing node-sized on the driver:
-
-    1. src-keyed ATTACH: state rows (reached nodes + depths) and edge rows
-       hash into the same bucket by src; edges whose src is reached OFFER
-       depth+1 to their dst (sorted ``searchsorted`` with a membership
-       mask — unreached srcs emit nothing, unlike pagerank's total-state
-       assert);
-    2. node-keyed FOLD: new depth = min(old, offers); ``changed`` counts
-       nodes that are newly reached or improved, summed distributedly for
-       the fixpoint test.
+    itself at depth 0). One fused bucketed exchange per round via
+    :func:`_frontier_min` (fold + frontier attach in the same per-bucket
+    finalize; the per-bucket counter row is the distributed fixpoint
+    test), nothing node-sized on the driver.
 
     Synchronous min-propagation over unit weights IS breadth-first search:
-    round r settles exactly the depth-r frontier, so the loop stops after
-    eccentricity(source)+1 rounds. Exhausting ``max_iters`` logs a warning
-    (the result would then miss nodes deeper than max_iters). All-integer
-    arithmetic — the DuckDB recursive-CTE twin is bit-exact."""
-    edges = edges.materialize()
-
-    state = rd.from_arrow(pa.table({
-        "node": pa.array([source, _SENT], pa.int64()),
-        "depth": pa.array([0, 0], pa.int64())}))
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        src, dst = _np(t.column("src")), _np(t.column("dst"))
-        _check_ids(src, dst)
-        return pa.table({"node": np.concatenate([src, [_SENT]]),
-                         "dst": np.concatenate([dst, [_SENT]]),
-                         "depth": np.zeros(len(src) + 1, np.int64)})
-
-    def state_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"node": t.column("node"),
-                         "dst": pa.array([_SENT] * n, pa.int64()),
-                         "depth": t.column("depth")})
-
-    def attach(t: pa.Table) -> pa.Table:
-        node, dst = _np(t.column("node")), _np(t.column("dst"))
-        dep = _np(t.column("depth"))
-        real = node >= 0
-        node, dst, dep = node[real], dst[real], dep[real]
-        is_state = dst == _SENT
-        snode, sdep = node[is_state], dep[is_state]
-        order = np.argsort(snode, kind="stable")
-        snode, sdep = snode[order], sdep[order]
-        enode, edst = node[~is_state], dst[~is_state]
-        if len(snode) and len(enode):
-            idx = np.searchsorted(snode, enode)
-            idx[idx >= len(snode)] = len(snode) - 1
-            hit = snode[idx] == enode
-            off_node, off_dep = edst[hit], sdep[idx[hit]] + 1
-        else:
-            off_node = np.empty(0, np.int64)
-            off_dep = np.empty(0, np.int64)
-        return pa.table({
-            "node": np.concatenate([off_node, [_SENT]]),
-            "d": np.concatenate([off_dep, [0]]),
-            "is_old": np.zeros(len(off_node) + 1, np.int8)})
-
-    def old_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"node": t.column("node"), "d": t.column("depth"),
-                         "is_old": pa.array([1] * n, pa.int8())})
-
-    INF = np.int64(1) << np.int64(62)
-
-    def fold(t: pa.Table) -> pa.Table:
-        node, d = _np(t.column("node")), _np(t.column("d"))
-        old_f = _np(t.column("is_old"))
-        order = np.argsort(node, kind="stable")
-        node, d, old_f = node[order], d[order], old_f[order]
-        start = np.flatnonzero(np.concatenate(
-            ([True], node[1:] != node[:-1])))
-        new = np.minimum.reduceat(d, start)
-        old = np.minimum.reduceat(np.where(old_f == 1, d, INF), start)
-        uniq = node[start]
-        changed = ((new < old) & (uniq >= 0)).astype(np.int64)
-        # the sentinel group (node=-1) survives as the per-block typed row
-        return pa.table({"node": uniq, "depth": new, "changed": changed})
-
-    converged = False
-    for _ in range(max_iters):
-        offers = bucketed_group_agg(
-            edges.map_batches(edge_rows, batch_format="pyarrow")
-            .union(state.map_batches(state_rows, batch_format="pyarrow")),
-            lambda t: t, "node", attach, num_buckets=num_buckets)
-        state = bucketed_group_agg(
-            offers.union(state.map_batches(old_rows,
-                                           batch_format="pyarrow")),
-            lambda t: t, "node", fold, num_buckets=num_buckets) \
-            .materialize()
-        if not state.sum("changed"):
-            converged = True
-            break
-        state = state.drop_columns(["changed"])
+    round r settles exactly the depth-(r-1) frontier, so the loop stops
+    after eccentricity(source)+2 rounds. Exhausting the round budget logs
+    a warning (the result would then miss nodes deeper than max_iters).
+    All-integer arithmetic — the DuckDB recursive-CTE twin is bit-exact."""
+    state, converged = _frontier_min(edges, source,
+                                     max_rounds=max_iters + 2,
+                                     num_buckets=num_buckets)
     if not converged:
         import logging
 
@@ -746,12 +820,9 @@ def bfs_depths(edges: rd.Dataset, source: int = 0, max_iters: int = 32,
             "deeper than max_iters are missing from the output; raise "
             "max_iters", max_iters)
 
-    def fin(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("node"), 0))
-        cols = ["node", "depth"]
-        return t.select(cols)
-
-    return state.map_batches(fin, batch_format="pyarrow")
+    return state.map_batches(
+        lambda t: t.rename_columns(["node", "depth"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2430,98 +2501,22 @@ def sssp_weighted(edges: rd.Dataset, source: int = 0, max_dist: int = 48,
     recursive walk whose accumulated distance strictly increases per hop
     and is bounded by the same budget, hence terminates.
 
-    Same distributed frontier shape as :func:`bfs_depths` (two bucketed
-    exchanges per round, membership-masked attach, distributed changed
-    count); weights >= 1 bound the rounds by max_dist. All-integer ->
-    bit-exact twin."""
-    edges = edges.materialize()
-
-    state = rd.from_arrow(pa.table({
-        "node": pa.array([source, _SENT], pa.int64()),
-        "dist": pa.array([0, 0], pa.int64())}))
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        src, dst = _np(t.column("src")), _np(t.column("dst"))
-        _check_ids(src, dst)
-        w = edge_weights(t, seed=seed, mod=weight_mod)
-        return pa.table({"node": np.concatenate([src, [_SENT]]),
-                         "dst": np.concatenate([dst, [_SENT]]),
-                         "dist": np.concatenate([w, [0]])})
-
-    def state_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"node": t.column("node"),
-                         "dst": pa.array([_SENT] * n, pa.int64()),
-                         "dist": t.column("dist")})
-
-    def attach(t: pa.Table) -> pa.Table:
-        node, dst = _np(t.column("node")), _np(t.column("dst"))
-        dv = _np(t.column("dist"))
-        real = node >= 0
-        node, dst, dv = node[real], dst[real], dv[real]
-        is_state = dst == _SENT
-        snode, sdist = node[is_state], dv[is_state]
-        order = np.argsort(snode, kind="stable")
-        snode, sdist = snode[order], sdist[order]
-        enode, edst, ew = node[~is_state], dst[~is_state], dv[~is_state]
-        if len(snode) and len(enode):
-            idx = np.searchsorted(snode, enode)
-            idx[idx >= len(snode)] = len(snode) - 1
-            hit = snode[idx] == enode
-            off_node = edst[hit]
-            off_d = sdist[idx[hit]] + ew[hit]
-            inside = off_d <= max_dist        # the budget, both sides
-            off_node, off_d = off_node[inside], off_d[inside]
-        else:
-            off_node = np.empty(0, np.int64)
-            off_d = np.empty(0, np.int64)
-        return pa.table({
-            "node": np.concatenate([off_node, [_SENT]]),
-            "d": np.concatenate([off_d, [0]]),
-            "is_old": np.zeros(len(off_node) + 1, np.int8)})
-
-    def old_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"node": t.column("node"), "d": t.column("dist"),
-                         "is_old": pa.array([1] * n, pa.int8())})
-
-    INF = np.int64(1) << np.int64(62)
-
-    def fold(t: pa.Table) -> pa.Table:
-        node, d = _np(t.column("node")), _np(t.column("d"))
-        old_f = _np(t.column("is_old"))
-        order = np.argsort(node, kind="stable")
-        node, d, old_f = node[order], d[order], old_f[order]
-        start = np.flatnonzero(np.concatenate(
-            ([True], node[1:] != node[:-1])))
-        new = np.minimum.reduceat(d, start)
-        old = np.minimum.reduceat(np.where(old_f == 1, d, INF), start)
-        uniq = node[start]
-        changed = ((new < old) & (uniq >= 0)).astype(np.int64)
-        return pa.table({"node": uniq, "dist": new, "changed": changed})
-
-    converged = False
-    for _ in range(max_dist + 1):   # weights >= 1 bound the rounds
-        offers = bucketed_group_agg(
-            edges.map_batches(edge_rows, batch_format="pyarrow")
-            .union(state.map_batches(state_rows, batch_format="pyarrow")),
-            lambda t: t, "node", attach, num_buckets=num_buckets)
-        state = bucketed_group_agg(
-            offers.union(state.map_batches(old_rows,
-                                           batch_format="pyarrow")),
-            lambda t: t, "node", fold, num_buckets=num_buckets) \
-            .materialize()
-        if not state.sum("changed"):
-            converged = True
-            break
+    Same distributed frontier shape as :func:`bfs_depths` — one fused
+    bucketed exchange per round (:func:`_frontier_min`), with the budget
+    applied at offer emission; weights >= 1 bound the rounds by max_dist.
+    All-integer -> bit-exact twin."""
+    state, converged = _frontier_min(
+        edges, source, max_rounds=max_dist + 2, num_buckets=num_buckets,
+        weight_fn=lambda t: edge_weights(t, seed=seed, mod=weight_mod),
+        budget=max_dist)
     if not converged:
         import logging
         logging.getLogger("raykg").warning(
-            "sssp_weighted: no fixpoint after %d rounds", max_dist + 1)
+            "sssp_weighted: no fixpoint after %d rounds", max_dist + 2)
 
     return state.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
-        .select(["node", "dist"]), batch_format="pyarrow")
+        lambda t: t.rename_columns(["node", "dist"]),
+        batch_format="pyarrow")
 
 
 def clustering_coefficient(edges: rd.Dataset,
@@ -2618,23 +2613,21 @@ def scc_of(edges: rd.Dataset, source: int = 0,
     exchange. The pivot SCC is the SQL-expressible unit of SCC
     decomposition (full decomposition recurses on data-dependent pivots,
     which no finite unrolling can express); the DuckDB twin runs the two
-    recursive walks and intersects."""
-    from concurrent.futures import ThreadPoolExecutor
+    recursive walks and intersects.
 
+    The two frontier loops run SEQUENTIALLY on the driver thread: Ray
+    Data execution is not documented thread-safe for concurrent
+    driver-side loops (an earlier variant drove them from two threads —
+    it worked but raced the scheduler), and the fused one-exchange round
+    of :func:`_frontier_min` already halved the per-round constant the
+    concurrency was hiding."""
+    edges = edges.materialize()   # consumed by both orientations
     rev_edges = edges.map_batches(
         lambda t: pa.table({"src": t.column("dst"),
                             "dst": t.column("src")}),
         batch_format="pyarrow")
-    # the two frontier loops are independent and each is ROUND-dominated
-    # (sequential diameter-bound rounds of fixed Ray stage latency, not
-    # data volume) — drive them concurrently so the wall is one BFS, not
-    # two; each thread owns its own Dataset lineage end to end
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_fwd = pool.submit(bfs_depths, edges, source=source,
-                            num_buckets=num_buckets)
-        f_bwd = pool.submit(bfs_depths, rev_edges, source=source,
-                            num_buckets=num_buckets)
-        fwd, bwd = f_fwd.result(), f_bwd.result()
+    fwd = bfs_depths(edges, source=source, num_buckets=num_buckets)
+    bwd = bfs_depths(rev_edges, source=source, num_buckets=num_buckets)
 
     def tag(which: int):
         def rows(t: pa.Table) -> pa.Table:
