@@ -790,8 +790,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deduplication
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "minhash_dedup": lambda sf: dedup.minhash_dedup(_docs(sf)),
+        # hash_family="fast" production mode (rows-only: crc family has no
+        # DuckDB twin BY DESIGN; minhash_dedup is its hash-green sha twin,
+        # and tests/test_hash_family_fast.py pins decision agreement —
+        # measured 3.2x end-to-end / 4.6x kernel vs sha, BASELINE.md r4)
+        "minhash_dedup_fast":
+            lambda sf: dedup.minhash_dedup(_docs(sf), hash_family="fast"),
         "lsh_candidate_pairs": lambda sf: dedup.lsh_candidate_pairs(_docs(sf)),
         "simhash": lambda sf: dedup.simhash(_docs(sf)),
+        # fast-family SimHash (rows-only; "simhash" is the sha twin)
+        "simhash_fast":
+            lambda sf: dedup.simhash(_docs(sf), hash_family="fast"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "embedding_neardup_pairs":
             lambda sf: dedup.embedding_neardup_pairs(_emb(sf)),

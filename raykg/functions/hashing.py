@@ -118,6 +118,71 @@ def minhash_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     return sig
 
 
+def fast_minhash_sigs(gram_lists: list[list[str]], num_hashes: int,
+                      seed: int) -> list[str]:
+    """``hash_family="fast"`` MinHash signatures for a batch of gram lists:
+    ONE crc32 per gram (C speed) spread through the vectorized
+    multiply-mod-Mersenne permutation family (:func:`minhash_matrix`) —
+    the whole batch is one (n_grams x num_hashes) numpy pass instead of
+    num_hashes x n_grams Python sha256 calls. Output format matches the
+    sha family ('_'-joined 8-hex parts; empty docs -> 'ffffffff' parts) so
+    every downstream keep/drop/banding decision is format-compatible.
+    Trade-off vs "sha": 32-bit crc base (birthday collisions become
+    relevant past ~2^16 distinct grams per doc — far above real documents)
+    and no DuckDB twin; the oracle gate always runs the sha family."""
+    lens = np.fromiter((len(g) for g in gram_lists), np.int64,
+                       count=len(gram_lists))
+    offsets = np.zeros(len(gram_lists) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = [g for gs in gram_lists for g in gs]
+    sig = minhash_matrix(crc_hash_array(flat), offsets, num_hashes, seed)
+    parts = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return ["_".join(format(int(v), "08x") for v in row) for row in parts]
+
+
+def fast_string_hashes(strings: list[str], num_hashes: int,
+                       seed: int) -> np.ndarray:
+    """(n, num_hashes) uint64 fast-family hashes: one crc32 per string,
+    spread by the multiply-mod-Mersenne family. The vectorized stand-in
+    for num_hashes sha256 calls per string (Bloom positions, CMS columns,
+    SimHash token hashes)."""
+    a, b = _perm_params(num_hashes, seed)
+    base = crc_hash_array(strings)
+    return (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+
+
+def fast_hash64(strings: list[str], seed: int = 0) -> np.ndarray:
+    """64-bit fast-family hashes of a list of strings: two independent
+    crc32 passes (C speed) packed into hi/lo words — the vectorized
+    stand-in for ``int(sha256(s)[:16], 16)`` per-token hashes (SimHash)."""
+    lo = crc_hash_array(strings, salt=seed & 0xFFFFFFFF)
+    hi = crc_hash_array(strings, salt=(seed ^ 0x9E3779B9) & 0xFFFFFFFF)
+    return (hi << np.uint64(32)) | lo
+
+
+def simhash_matrix(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit SimHash over a CSR layout (same layout contract as
+    :func:`minhash_matrix`): one (n_tokens, 64) bit expansion + one
+    ``add.reduceat`` per batch instead of a Python loop per document.
+    Majority bit vote; ties (vote <= 0, incl. empty docs) set the bit to 0.
+    Returns (n_rows,) uint64."""
+    n_rows = len(offsets) - 1
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(token_hashes) == 0:
+        return out
+    bit_idx = np.arange(64, dtype=np.uint64)
+    signs = (((token_hashes[:, None] >> bit_idx[None, :]) & np.uint64(1))
+             .astype(np.int64) * 2 - 1)
+    row_sizes = np.diff(offsets)
+    nonempty = row_sizes > 0
+    starts = offsets[:-1][nonempty]
+    votes = np.add.reduceat(signs, starts, axis=0)
+    packed = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    out[nonempty] = packed
+    return out
+
+
 def simhash64(token_hashes: np.ndarray) -> np.uint64:
     """64-bit SimHash of one row's token hashes (uint64)."""
     if len(token_hashes) == 0:

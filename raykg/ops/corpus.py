@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from raykg.functions.hashing import hex_threshold8, round_half_away, sha_hex
+from raykg.functions.hashing import (fast_string_hashes, hex_threshold8,
+                                     round_half_away, sha_hex)
 from raykg.functions.shuffle import bucketed_group_agg
 from raykg.ops.dedup import _grams, lsh_candidate_pairs
 from raykg.ops.text import _tokens
@@ -996,20 +997,29 @@ BLOOM_M = 1 << 14    # bits; a config constant, independent of corpus size
 BLOOM_K = 4          # hash functions
 
 
-def _bloom_positions(texts: list[str]) -> "tuple":
-    """The BLOOM_K bit positions of each text: position_i =
-    uint64(first 16 hex of sha256('bloom|i|' + text)) % BLOOM_M. Shared
+_BLOOM_FAST_SEED = 0xB100
+
+
+def _bloom_positions(texts: list[str], hash_family: str = "sha") -> "tuple":
+    """The BLOOM_K bit positions of each text. "sha": position_i =
+    uint64(first 16 hex of sha256('bloom|i|' + text)) % BLOOM_M — shared
     hash contract with the DuckDB oracle, so membership decisions —
-    including false positives — are bit-exact."""
+    including false positives — are bit-exact. "fast": one crc32 per text
+    spread by the vectorized permutation family (no per-position Python
+    digest; no DuckDB twin). Build and probe must use the SAME family."""
     import numpy as np
 
+    if hash_family == "fast":
+        return fast_string_hashes(texts, BLOOM_K,
+                                  _BLOOM_FAST_SEED) % np.uint64(BLOOM_M)
     h = np.array([[int(sha_hex(f"bloom|{i}|{s}")[:16], 16)
                    for i in range(BLOOM_K)] for s in texts],
                  dtype=np.uint64)
     return h % np.uint64(BLOOM_M)
 
 
-def bloom_train_positions(train: rd.Dataset) -> pa.Table:
+def bloom_train_positions(train: rd.Dataset,
+                          hash_family: str = "sha") -> pa.Table:
     """The set-bit table of a Bloom filter over the train-side document
     texts: (position) rows, deduped, at most BLOOM_M of them. Built as
     per-batch distinct-position partials merged by another distinct pass —
@@ -1027,7 +1037,8 @@ def bloom_train_positions(train: rd.Dataset) -> pa.Table:
         texts = t.column("text").to_pylist()
         if not texts:
             return pa.table({"position": pa.array([-1], pa.int64())})
-        pos = np.unique(_bloom_positions(texts).astype(np.int64))
+        pos = np.unique(_bloom_positions(texts, hash_family)
+                        .astype(np.int64))
         # sentinel keeps zero-row blocks typed (shuffle convention)
         return pa.table({"position": np.concatenate([pos, [-1]])})
 
@@ -1047,7 +1058,8 @@ def bloom_train_positions(train: rd.Dataset) -> pa.Table:
 
 
 def bloom_contamination(documents: rd.Dataset,
-                        probe_mod: int = 3) -> rd.Dataset:
+                        probe_mod: int = 3,
+                        hash_family: str = "sha") -> rd.Dataset:
     """(doc_id, bloom_hit) for every probe-side document: hit = 1 iff ALL
     of its BLOOM_K positions are set in the Bloom filter built over the
     train side. Split is deterministic: probe = doc_id % probe_mod == 0,
@@ -1071,7 +1083,7 @@ def bloom_contamination(documents: rd.Dataset,
 
     train = documents.map_batches(
         lambda t: _split(t, keep_probe=False), batch_format="pyarrow")
-    bits = bloom_train_positions(train)
+    bits = bloom_train_positions(train, hash_family)
     bits_np = np.sort(bits.column("position").to_numpy(zero_copy_only=False))
     ref = ray.put(bits_np)
 
@@ -1082,7 +1094,8 @@ def bloom_contamination(documents: rd.Dataset,
         if not texts:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "bloom_hit": pa.array([], pa.int64())})
-        pos = _bloom_positions(texts).astype(np.int64)    # (n, BLOOM_K)
+        pos = _bloom_positions(texts, hash_family) \
+            .astype(np.int64)    # (n, BLOOM_K)
         idx = np.searchsorted(positions, pos)
         idx[idx >= len(positions)] = max(len(positions) - 1, 0)
         member = (positions[idx] == pos) if len(positions) \
@@ -1104,18 +1117,29 @@ CMS_W = 1024    # columns per row
 CMS_D = 4       # hash rows
 
 
-def _cms_cols(tokens: list[str], row: int) -> "object":
-    """Column index of each token in sketch row ``row``:
-    uint64(first 16 hex of sha256('cms|row|' + token)) % CMS_W — the shared
-    hash contract with the DuckDB oracle."""
+_CMS_FAST_SEED = 0xC3
+
+
+def _cms_cols_all(tokens: list[str], hash_family: str = "sha") -> "object":
+    """(n_tokens, CMS_D) column indices, one column per sketch row.
+    "sha": uint64(first 16 hex of sha256('cms|row|' + token)) % CMS_W —
+    the shared hash contract with the DuckDB oracle. "fast": one crc32
+    per token spread by the vectorized permutation family (no per-row
+    Python digest; no DuckDB twin). Register build and point estimates
+    must use the SAME family."""
     import numpy as np
 
-    h = np.array([int(sha_hex(f"cms|{row}|{s}")[:16], 16) for s in tokens],
+    if hash_family == "fast":
+        return (fast_string_hashes(tokens, CMS_D, _CMS_FAST_SEED)
+                % np.uint64(CMS_W)).astype(np.int64)
+    h = np.array([[int(sha_hex(f"cms|{r}|{s}")[:16], 16)
+                   for r in range(CMS_D)] for s in tokens],
                  dtype=np.uint64)
     return (h % np.uint64(CMS_W)).astype(np.int64)
 
 
-def cms_token_counts(documents: rd.Dataset) -> pa.Table:
+def cms_token_counts(documents: rd.Dataset,
+                     hash_family: str = "sha") -> pa.Table:
     """The count-min sketch register table over corpus token OCCURRENCES:
     (row, col, n) for every non-empty cell. The sketch is LINEAR — cells
     add — so per-batch partials merge by plain SUM: associative,
@@ -1140,10 +1164,11 @@ def cms_token_counts(documents: rd.Dataset) -> pa.Table:
                              "n": pa.array([0], pa.int64())})
         toks = list(c.keys())
         cnts = np.array(list(c.values()), np.int64)
+        cols_all = _cms_cols_all(toks, hash_family)
         rows, cols, ns = [], [], []
         for r in range(CMS_D):
             rows.append(np.full(len(toks), r, np.int64))
-            cols.append(_cms_cols(toks, r))
+            cols.append(cols_all[:, r])
             ns.append(cnts)
         p = pa.table({"row": np.concatenate(rows),
                       "col": np.concatenate(cols),
@@ -1167,7 +1192,8 @@ def cms_token_counts(documents: rd.Dataset) -> pa.Table:
 
 
 def cms_estimate_tokens(documents: rd.Dataset,
-                        probes: list[str]) -> pa.Table:
+                        probes: list[str],
+                        hash_family: str = "sha") -> pa.Table:
     """(token, est) for each probe token: the count-min point estimate
     min over rows of cell(row, col(token)) — an upper bound on the true
     occurrence count, inflated only by hash collisions. Register lookup is
@@ -1175,15 +1201,15 @@ def cms_estimate_tokens(documents: rd.Dataset,
     one inside :func:`cms_token_counts`."""
     import numpy as np
 
-    regs = cms_token_counts(documents)
+    regs = cms_token_counts(documents, hash_family)
     cell = {(r, c): n for r, c, n in zip(regs.column("row").to_pylist(),
                                          regs.column("col").to_pylist(),
                                          regs.column("n").to_pylist())}
     probes = sorted(probes)
     ests = []
     for tok in probes:
-        vals = [cell.get((r, int(_cms_cols([tok], r)[0])), 0)
-                for r in range(CMS_D)]
+        cols = _cms_cols_all([tok], hash_family)[0]
+        vals = [cell.get((r, int(cols[r])), 0) for r in range(CMS_D)]
         ests.append(min(vals))
     return pa.table({"token": pa.array(probes, pa.string()),
                      "est": pa.array(ests, pa.int64())})
