@@ -1,7 +1,10 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry and compare against oracle_sql() through DuckDB (row count, column
 names, order-insensitive values). Usage:
-    python tools/check_queries.py [sf_dir] [query ...]
+    python tools/check_queries.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a driver-style per-query record (status, rows, seconds,
+issues) — the full-sweep artifact (CORRECTNESS_full_r*.json).
 """
 
 import math
@@ -63,8 +66,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -80,6 +88,7 @@ def main():
 
     qs, sqls = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,17 +98,21 @@ def main():
             rdf = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: ray raised {type(ex).__name__}: {ex}")
+            records[name] = {"status": "fail", "err": f"{type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ROWS {name}: {len(rdf)} rows ({dt:.1f}s, rows-only)")
+            records[name] = {"status": "rows_only", "rows": len(rdf),
+                             "sec": round(dt, 2)}
             n_rowsonly += 1
             continue
         try:
             odf = con.sql(sqls[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: SQL raised {type(ex).__name__}: {ex}")
+            records[name] = {"status": "fail", "err": f"SQL {type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         issues = compare(rdf, odf)
@@ -107,11 +120,24 @@ def main():
             print(f"FAIL {name} ({dt:.1f}s):")
             for i in issues:
                 print(f"   {i}")
+            records[name] = {"status": "fail", "rows": len(rdf),
+                             "oracle_rows": len(odf), "sec": round(dt, 2),
+                             "issues": issues}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(rdf)} rows ({dt:.1f}s)")
+            records[name] = {"status": "pass", "rows": len(rdf),
+                             "sec": round(dt, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "summary": {"pass": n_pass, "fail": n_fail,
+                                   "rows_only": n_rowsonly},
+                       "queries": records}, f, indent=1)
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
