@@ -61,6 +61,18 @@ class KGConfig:
     dup_entity_rem: int = 13     # coreferent duplicate of entity i-1
     prop_noise: float = 0.0      # probability a node property is absent
 
+    # --- mention detection (stages/extract.py) ---
+    # "digit":       candidate iff the token contains a digit — structural
+    #                for the synthetic vocabulary (every synth surface does,
+    #                no filler or predicate word does).
+    # "capitalized": candidate iff the token starts with an ASCII uppercase
+    #                letter — the real-text convention (proper nouns); used
+    #                by the checked-in demo corpus (fixtures/demo).
+    # Detection only nominates candidates; RESOLUTION is always the alias
+    # dictionary + fuzzy scoring in the linker, so a false candidate costs
+    # one dictionary miss, never a wrong triple.
+    mention_detector: str = "digit"
+
     # --- entity linking (reference analog: LSH.scala:12-13) ---
     link_shingle_k: int = 3
     link_num_hashes: int = 16

@@ -48,10 +48,22 @@ def run_job(args) -> dict:
     cfg = KGConfig(n_docs=args.synth_docs,
                    n_entities=args.entities,
                    batch_size=args.batch_size,
-                   link_concurrency=args.link_concurrency)
+                   link_concurrency=args.link_concurrency,
+                   mention_detector=args.mention_detector)
     t0 = time.perf_counter()
     kw = {"canon_broadcast_limit": args.canon_broadcast_limit,
           "link_mode": args.link_mode}
+    if bool(args.aliases) != bool(args.entity_metadata):
+        raise SystemExit("--aliases and --entity-metadata go together "
+                         "(the catalog contract needs both tables)")
+    if args.aliases:
+        # real-corpus path: the entity vocabulary rides the dataflow as two
+        # curated tables (catalog.DatasetCatalog) instead of the synthetic
+        # default. See fixtures/demo for a checked-in example.
+        from raykg.catalog import DatasetCatalog
+
+        kw["catalog"] = DatasetCatalog(read_table(args.aliases),
+                                       read_table(args.entity_metadata))
     if args.input:
         docs = read_table(args.input)
         result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint, **kw)
@@ -126,6 +138,18 @@ def main(argv: list[str] | None = None) -> None:
                         "up to --synth-docs, linking only the NEW doc "
                         "range (earlier shards are reused, the canonical "
                         "map is re-derived over the union)")
+    p.add_argument("--aliases", default=None,
+                   help="alias-dictionary table dir (alias, ent); with "
+                        "--entity-metadata, supplies the entity vocabulary "
+                        "as data instead of the synthetic default")
+    p.add_argument("--entity-metadata", default=None,
+                   help="entity-metadata table dir "
+                        "(ent, entity_id, label, norm_name, properties)")
+    p.add_argument("--mention-detector", choices=["digit", "capitalized"],
+                   default="digit",
+                   help="candidate-token rule: 'digit' (synthetic "
+                        "vocabulary) or 'capitalized' (real text / "
+                        "proper nouns, e.g. fixtures/demo)")
     p.add_argument("--synth-docs", type=int, default=10000)
     p.add_argument("--entities", type=int, default=0)
     p.add_argument("--shards", type=int, default=16)

@@ -39,7 +39,8 @@ def oracle_triples(documents: pa.Table, cfg: KGConfig) -> list[tuple]:
                              documents.column("spans").to_pylist()):
         for si, span in enumerate(spans):
             for ev in extract_span_events(doc_id, si, span["kind"],
-                                          span["text"], span["offset"]):
+                                          span["text"], span["offset"],
+                                          cfg.mention_detector):
                 _, _, off, etype, pred, a, b = ev
                 ra = resolve(a)
                 if etype == "relation":

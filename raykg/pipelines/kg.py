@@ -20,6 +20,7 @@ driver-side funneling of row-level data (SURVEY §4): only the canonical map
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import pyarrow as pa
 
@@ -58,7 +59,8 @@ def linked_triples(documents: rd.Dataset, cfg: KGConfig,
     alias dictionary and entity metadata (catalog.EntityCatalog; default =
     the synthetic fixture vocabulary)."""
     extractions = documents.map_batches(
-        extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+        partial(extract_batch, detector=cfg.mention_detector),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
     index_ref = build_index_ref(cfg, catalog)
     # Pool floor == the target concurrency: Ray Data's actor-pool autoscaler
     # is too conservative to climb from a low floor within a short job

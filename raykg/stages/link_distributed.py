@@ -45,6 +45,8 @@ from raykg.functions.hashing import (
     mint_uri,
 )
 from raykg.functions.shuffle import bucketed_group_agg, crc_bucket_array
+from functools import partial
+
 from raykg.stages.extract import extract_batch
 from raykg.stages.link import LINKED_TRIPLES
 
@@ -417,8 +419,8 @@ def linked_triples_hybrid(documents: rd.Dataset, cfg: KGConfig,
 
     catalog = catalog or default_catalog(cfg)
     extractions = documents.map_batches(
-        extract_batch, batch_format="pyarrow",
-        batch_size=cfg.batch_size).materialize()
+        partial(extract_batch, detector=cfg.mention_detector),
+        batch_format="pyarrow", batch_size=cfg.batch_size).materialize()
     resolution = minted_resolution(
         resolve_surfaces(distinct_surfaces(extractions),
                          catalog.aliases_dataset(), cfg, num_partitions),
@@ -469,8 +471,8 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
 
     catalog = catalog or default_catalog(cfg)
     extractions = documents.map_batches(
-        extract_batch, batch_format="pyarrow",
-        batch_size=cfg.batch_size).materialize()
+        partial(extract_batch, detector=cfg.mention_detector),
+        batch_format="pyarrow", batch_size=cfg.batch_size).materialize()
     # materialize boundaries keep each execution to a single hash-shuffle
     # join: stacking several JoinOperators (each with its own aggregator
     # actors) plus the linker pool into one DAG deadlocks small clusters.
