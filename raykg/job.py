@@ -64,7 +64,24 @@ def run_job(args) -> dict:
 
         kw["catalog"] = DatasetCatalog(read_table(args.aliases),
                                        read_table(args.entity_metadata))
-    if args.input:
+    if args.input and getattr(args, "incremental", False):
+        # file-based append: each NEW parquet file under --input becomes a
+        # lineage shard; committed files are never re-linked
+        from raykg.pipelines.kg import ingest_files
+
+        if not args.checkpoint:
+            raise SystemExit("--incremental --input requires --checkpoint "
+                             "(the lineage dir that records which files "
+                             "are already ingested)")
+        if args.link_mode != "broadcast":
+            raise SystemExit(
+                f"--link-mode={args.link_mode} is not supported with "
+                "--incremental (per-shard linking owns its lineage)")
+        result = ingest_files(
+            cfg, args.checkpoint, args.input,
+            canon_broadcast_limit=args.canon_broadcast_limit,
+            catalog=kw.get("catalog"))
+    elif args.input:
         docs = read_table(args.input)
         result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint, **kw)
     elif args.checkpoint:
@@ -134,10 +151,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", default=None,
                    help="lineage checkpoint dir (enables resume)")
     p.add_argument("--incremental", action="store_true",
-                   help="with --checkpoint: delta-append the synth corpus "
-                        "up to --synth-docs, linking only the NEW doc "
-                        "range (earlier shards are reused, the canonical "
-                        "map is re-derived over the union)")
+                   help="with --checkpoint: append-only ingestion that "
+                        "links ONLY new data and re-derives the canonical "
+                        "map over the union. With --input, each NEW "
+                        "parquet file under the input dir becomes a "
+                        "lineage shard (file-based crawl append); without "
+                        "--input, delta-appends the synth corpus up to "
+                        "--synth-docs")
     p.add_argument("--aliases", default=None,
                    help="alias-dictionary table dir (alias, ent); with "
                         "--entity-metadata, supplies the entity vocabulary "

@@ -19,10 +19,12 @@ driver-side funneling of row-level data (SURVEY §4): only the canonical map
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -475,6 +477,89 @@ def ingest_increment(cfg: KGConfig, checkpoint_dir: str,
     if link_only:
         return None
     return _finish_kg(ckpt.dataset(), docs_for_range(0, cfg.n_docs), cfg,
+                      checkpoint_dir=None,
+                      canon_broadcast_limit=canon_broadcast_limit,
+                      catalog=catalog)
+
+
+def ingest_files(cfg: KGConfig, checkpoint_dir: str, input_dir: str,
+                 link_only: bool = False,
+                 canon_broadcast_limit: int = 2_000_000,
+                 catalog=None) -> KGResult | None:
+    """File-based incremental ingestion for EXTERNAL corpora — the
+    real-corpus twin of ``ingest_increment`` (whose unit of increment is a
+    synthetic doc-index range). The unit here is a parquet file under
+    ``input_dir``: a crawler drops new document files into the directory,
+    re-running this job links ONLY the files not yet committed (one lineage
+    partition per file, in stable sorted-name order), and canonicalize /
+    rewrite / materialize re-run over the union of all committed shards —
+    required for correctness, because a new observation can retroactively
+    change a canonical entity choice (see ingest_increment's docstring).
+
+    Shard fingerprints carry the source file's path and row count plus a
+    config hash, so a re-run validates that every committed shard still
+    matches its file; a committed file that disappeared or changed size
+    fails loudly (the linked shard would silently disagree with the corpus
+    union otherwise). Appends only grow the corpus.
+    """
+    import dataclasses
+    import json as _json
+
+    from raykg.functions.hashing import sha_hex
+    from raykg.state.checkpoint import LineageCheckpoint
+
+    d = dataclasses.asdict(cfg)
+    d.pop("n_docs")
+    # hash the DERIVED entity count (same rationale as ingest_increment:
+    # with the default synth catalog the vocabulary depends on it)
+    d["num_entities"] = cfg.num_entities
+    link_cfg = sha_hex(_json.dumps(d, sort_keys=True))[:12]
+
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith((".parquet", ".lance")))
+    if not files:
+        raise ValueError(f"no document files under {input_dir}")
+    rows_of = {f: pq.read_metadata(f).num_rows for f in files
+               if f.endswith(".parquet")}
+
+    ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
+    parts = ckpt.committed_parts()
+    seen: set[str] = set()
+    for part in sorted(parts):
+        fp = parts[part].get("fingerprint") or {}
+        if fp.get("link_cfg") != link_cfg:
+            raise ValueError(
+                f"ingest shard {part} at {checkpoint_dir} was committed "
+                f"under config {fp.get('link_cfg')!r}, this run is "
+                f"{link_cfg!r}; delete the checkpoint or restore the "
+                "original config")
+        src = fp.get("source")
+        if src not in rows_of:
+            raise ValueError(
+                f"ingest shard {part} came from {src!r}, which is no "
+                f"longer under {input_dir}; appends only grow the corpus")
+        if rows_of[src] != fp.get("rows_in"):
+            raise ValueError(
+                f"{src} has {rows_of[src]} rows but shard {part} was "
+                f"committed at {fp.get('rows_in')}; ingested files are "
+                "immutable — add NEW files instead of editing old ones")
+        seen.add(src)
+
+    next_part = len(parts)
+    for f in files:
+        if f in seen or f not in rows_of:
+            continue
+        ckpt.run_partition(
+            next_part,
+            lambda f=f: linked_triples(read_table(f), cfg, catalog),
+            counters={"n_docs": rows_of[f]},
+            fingerprint={"source": f, "rows_in": rows_of[f],
+                         "link_cfg": link_cfg})
+        next_part += 1
+    if link_only:
+        return None
+    return _finish_kg(ckpt.dataset(), read_table(input_dir), cfg,
                       checkpoint_dir=None,
                       canon_broadcast_limit=canon_broadcast_limit,
                       catalog=catalog)

@@ -84,3 +84,79 @@ def test_demo_corpus_end_to_end(tmp_path):
     labels = set(nodes.column("label").to_pylist())
     assert labels <= {"Person", "Organisation", "Place", "Product",
                       "Document"}
+
+
+def _second_batch_table():
+    """Two more documents 'crawled' later: reuse known entities and add a
+    relation that only exists in the delta."""
+    import pyarrow as pa
+
+    from raykg import schema
+
+    spans = [
+        [{"kind": "text", "text": "recently Einstein located in Zurich",
+          "media_ref": "", "offset": 0}],
+        [{"kind": "text", "text": "sources confirmed Paris knows Warsaw",
+          "media_ref": "", "offset": 0}],
+    ]
+    return pa.Table.from_arrays(
+        [pa.array(["demo-d11", "demo-d12"], pa.string()),
+         pa.array(spans, pa.list_(schema.SPAN_STRUCT))],
+        schema=schema.DOCUMENTS)
+
+
+def _run_append(input_dir, ckpt, out):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "raykg.job",
+         "--input", input_dir,
+         "--aliases", os.path.join(FIX, "aliases"),
+         "--entity-metadata", os.path.join(FIX, "entity_metadata"),
+         "--mention-detector", "capitalized",
+         "--incremental", "--checkpoint", ckpt,
+         "--output", out, "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=420, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_demo_file_append(tmp_path):
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    input_dir = str(tmp_path / "crawl")
+    os.makedirs(input_dir)
+    shutil.copy(os.path.join(FIX, "documents", "part-0.parquet"),
+                os.path.join(input_dir, "crawl-000.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    m1 = _run_append(input_dir, ckpt, out)
+    lineage = os.path.join(ckpt, "linked", "_lineage")
+    parts1 = {f for f in os.listdir(lineage) if f.endswith(".json")}
+    assert len(parts1) == 1 and m1["n_triples"] > 0
+
+    # the crawler drops a second file; ONLY it gets linked
+    pq.write_table(_second_batch_table(),
+                   os.path.join(input_dir, "crawl-001.parquet"))
+    manifest0 = os.path.join(lineage, sorted(parts1)[0])
+    mtime0 = os.path.getmtime(manifest0)
+    m2 = _run_append(input_dir, ckpt, out)
+    parts2 = {f for f in os.listdir(lineage) if f.endswith(".json")}
+    assert len(parts2) == 2 and parts1 <= parts2
+    assert os.path.getmtime(manifest0) == mtime0, "shard 0 was re-run"
+    assert m2["n_triples"] > m1["n_triples"]
+
+    # the delta-only relation made it into the graph
+    import pyarrow.dataset as pads
+
+    triples = pads.dataset(os.path.join(out, "triples")).to_table()
+    got = set(zip(triples.column("subj").to_pylist(),
+                  triples.column("pred").to_pylist(),
+                  triples.column("obj").to_pylist()))
+    assert (EINSTEIN, "located_in",
+            mint_uri("Place", "demo:L-zurich")) not in got  # not in vocab
+    assert (mint_uri("Place", "demo:L-paris"), "knows",
+            mint_uri("Place", "demo:L-warsaw")) in got
