@@ -44,22 +44,37 @@ def _stat() -> list[int]:
         return list(map(int, f.readline().split()[1:]))
 
 
-def busy_probe(seconds: float = 10.0, procs: int = 32) -> dict:
-    """CPU-time shares measured while the host is fully loaded by us."""
+def busy_probe(seconds: float = 10.0, procs: int = 32,
+               samples: int = 1) -> dict:
+    """CPU-time shares measured while the host is fully loaded by us.
+
+    ``samples`` > 1 splits the burn into per-(seconds/samples) windows and
+    reports the WORST steal across them: a credit bucket that is merely
+    shallow (not empty) looks clean for the first seconds of a burn and
+    throttles later, so a single average underestimates what a multi-minute
+    bench leg will experience."""
+    per = seconds / samples
     t_end = time.time() + seconds + 2
     ps = [mp.Process(target=_burn, args=(t_end,)) for _ in range(procs)]
-    s0 = _stat()
     for p in ps:
         p.start()
-    time.sleep(seconds)
-    s1 = _stat()
-    for p in ps:
-        p.join()
-    d = [b - a for a, b in zip(s0, s1)]
-    tot = max(1, sum(d))
+    shares = []
     names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq",
              "steal"]
-    out = {n: round(100 * v / tot, 1) for n, v in zip(names, d)}
+    s0 = _stat()
+    for _ in range(samples):
+        time.sleep(per)
+        s1 = _stat()
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = max(1, sum(d))
+        shares.append({n: round(100 * v / tot, 1)
+                       for n, v in zip(names, d)})
+        s0 = s1
+    for p in ps:
+        p.join()
+    out = max(shares, key=lambda s: s["steal"])   # worst window governs
+    out = dict(out)
+    out["samples"] = shares
     out["loadavg"] = list(os.getloadavg())
     out["ts"] = round(time.time(), 1)
     return out
@@ -87,6 +102,9 @@ def main() -> None:
     ap.add_argument("--max-steal", type=float, default=4.0)
     ap.add_argument("--interval", type=float, default=180.0)
     ap.add_argument("--probe-seconds", type=float, default=10.0)
+    ap.add_argument("--probe-samples", type=int, default=1,
+                    help=">1 requires steal clean in EVERY sub-window "
+                         "(detects shallow credit buckets)")
     ap.add_argument("--deadline-min", type=float, default=45.0)
     ap.add_argument("--out", default="/tmp/quiet_bench_r4.json")
     ap.add_argument("--skip-sweep", action="store_true",
@@ -97,7 +115,7 @@ def main() -> None:
     probes = []
     window = "dirty"
     while True:
-        p = busy_probe(args.probe_seconds)
+        p = busy_probe(args.probe_seconds, samples=args.probe_samples)
         probes.append(p)
         print(f"probe: steal={p['steal']}% nice={p['nice']}% "
               f"user={p['user']}% load={p['loadavg'][0]:.1f}", flush=True)
