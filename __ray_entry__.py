@@ -745,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Efraimidis-Spirakis weighted without-replacement sample per
         # source, weight = n_chars (quality-weighted subsampling)
         "weighted_sample": lambda sf: corpus.weighted_sample(_docs(sf)),
+        # C4/RefinedWeb per-domain document cap: at most k docs per
+        # source, k smallest sha ranks — deterministic and mergeable
+        "source_cap": lambda sf: corpus.source_cap(_docs(sf)),
         "top_ngrams": lambda sf: corpus.top_ngrams(_docs(sf)),
         # BPE tokenizer training: the round-1 pair statistics AND the full
         # iterative merge table (unrolled-round SQL twin, hash-checked)
@@ -2382,6 +2385,15 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY es_key DESC, doc_id) AS rk
             FROM t QUALIFY rk <= 20""",
+        "source_cap": """
+            SELECT source, doc_id, cap_rank,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cap_rank, doc_id) AS rn
+            FROM (SELECT source, doc_id,
+                         substr(sha256('cap|42|' || doc_id::VARCHAR),
+                                1, 16) AS cap_rank
+                  FROM documents)
+            QUALIFY rn <= 10""",
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE substr(sha256('ssamp|42|' || doc_id::VARCHAR), 1, 8) <

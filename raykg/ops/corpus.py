@@ -595,6 +595,67 @@ def weighted_sample(documents: rd.Dataset, k: int = 20,
                               num_buckets=num_buckets)
 
 
+def source_cap(documents: rd.Dataset, k: int = 10, seed: int = 42,
+               group_col: str = "source",
+               num_buckets: int = 64) -> rd.Dataset:
+    """(source, doc_id, cap_rank, rn): at most ``k`` docs per source —
+    the per-domain document cap of C4/RefinedWeb-style web curation,
+    bounding any single domain's share of the corpus before mixing. The
+    survivors per source are the k smallest
+    sha256('cap|<seed>|<doc_id>')[:16] ranks (ties -> smaller doc_id),
+    so — like :func:`bottomk_sample`, whose rank family this is — the
+    cap is deterministic, reshard/resume-stable, and mergeable: re-capping
+    the union of two shards' capped outputs yields exactly the one-pass
+    result, which is what lets an incremental crawl re-apply the cap over
+    old + new docs without rereading uncapped history.
+
+    Scale shape: each batch keeps only its local per-source bottom-k, so
+    the ONE source-keyed exchange carries at most k x sources rows per
+    batch, never the corpus; the finalize re-ranks k x sources x batches
+    partials per bucket. A hot domain cannot skew the exchange — its
+    volume is bounded by k x batches regardless of its corpus share."""
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        per_group: dict[str, list] = {}
+        for d, g in zip(t.column("doc_id").to_pylist(),
+                        t.column(group_col).to_pylist()):
+            per_group.setdefault(g, []).append(
+                (sha_hex(f"cap|{seed}|{d}")[:16], d))
+        # sentinel row: doc_id -1 keeps zero-row blocks typed (shuffle
+        # convention); dropped in the finalize
+        out_g, out_d, out_r = [""], [-1], [""]
+        for g, lst in per_group.items():
+            lst.sort()
+            for rank, d in lst[:k]:
+                out_g.append(g)
+                out_d.append(d)
+                out_r.append(rank)
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "cap_rank": pa.array(out_r, pa.string())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"),
+                          ("cap_rank", "ascending"),
+                          ("doc_id", "ascending")]))
+        groups = t.column(group_col).to_pylist()
+        rn, keep, last, n = [], [], None, 0
+        for g in groups:              # partials-sized, k x groups x batches
+            if g != last:
+                last, n = g, 0
+            n += 1
+            rn.append(n)
+            keep.append(n <= k)
+        t = t.append_column("rn", pa.array(rn, pa.int64()))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    stream = documents.select_columns(["doc_id", group_col])
+    return bucketed_group_agg(stream, local_bottomk, group_col, finalize,
+                              num_buckets=num_buckets)
+
+
 def top_ngrams(documents: rd.Dataset, k: int = 20,
                gram: int = 2) -> rd.Dataset:
     """Global top-k token n-grams by count (ties -> lexicographically

@@ -456,6 +456,59 @@ def test_weighted_sample_matches_bruteforce_and_partitioning(ray_session):
     assert sum(win_w) / len(win_w) > sum(pool) / len(pool)
 
 
+def test_source_cap_matches_bruteforce_partitioning_and_merges(ray_session):
+    from raykg.functions.hashing import sha_hex
+
+    ids = list(range(300))
+    srcs = [f"s{i % 4}" for i in ids]           # 4 sources x 75 docs
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+    def rank(d):
+        return sha_hex(f"cap|42|{d}")[:16]
+
+    want = {}
+    for g in sorted(set(srcs)):
+        rows = sorted((rank(d), d) for d, s in zip(ids, srcs) if s == g)
+        want[g] = [d for _, d in rows[:10]]
+
+    got = corpus.source_cap(rd.from_arrow(docs), k=10,
+                            num_buckets=16).take_all()
+    by_g = {}
+    for r in sorted(got, key=lambda r: (r["source"], r["rn"])):
+        by_g.setdefault(r["source"], []).append(r["doc_id"])
+    assert by_g == want
+    assert all(1 <= r["rn"] <= 10 for r in got)
+    # resharding must not change the capped set
+    got2 = corpus.source_cap(rd.from_arrow(docs).repartition(11), k=10,
+                             num_buckets=16).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in got) == \
+        sorted((r["source"], r["doc_id"]) for r in got2)
+    # mergeability: re-capping the union of two shards' capped outputs
+    # equals the one-pass cap (the incremental-crawl re-cap property)
+    half_a = corpus.source_cap(
+        rd.from_arrow(docs.slice(0, 150)), k=10, num_buckets=16).take_all()
+    half_b = corpus.source_cap(
+        rd.from_arrow(docs.slice(150)), k=10, num_buckets=16).take_all()
+    union = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in half_a + half_b],
+                           pa.int64()),
+        "source": pa.array([r["source"] for r in half_a + half_b],
+                           pa.string())})
+    recap = corpus.source_cap(rd.from_arrow(union), k=10,
+                              num_buckets=16).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in recap) == \
+        sorted((r["source"], r["doc_id"]) for r in got)
+    # a source with fewer than k docs survives whole
+    small = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "source": pa.array(["only"] * 3, pa.string())})
+    got3 = corpus.source_cap(rd.from_arrow(small), k=10,
+                             num_buckets=16).take_all()
+    assert sorted(r["doc_id"] for r in got3) == [1, 2, 3]
+
+
 def test_temperature_mix_flattens_and_is_deterministic(ray_session):
     from raykg.functions.hashing import hex_threshold8, sha_hex
 
