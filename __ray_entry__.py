@@ -931,6 +931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # common-neighbor / Adamic-Adar link-prediction scores
         "graph_link_pred":
             lambda sf: graph.link_prediction_scores(graph.synth_graph_edges()),
+        # Jaccard neighborhood coefficient (degree-normalized common
+        # neighbors) — the hub-insensitive sibling of graph_link_pred
+        "graph_jaccard":
+            lambda sf: graph.jaccard_link_scores(graph.synth_graph_edges()),
         # GraphSAGE-style 1-hop neighbor feature aggregation: graph joined
         # to the embeddings table (scaled-int exact means, dim-exploded)
         "graph_neighbor_means":
@@ -963,6 +967,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank_weighted":
             lambda sf: graph.entity_pagerank(
                 _flagship_exact_result().triples, iters=3, weighted=True),
+        # typed 2-hop metapath census over the constructed KG's distinct
+        # edge set (schema discovery / metapath2vec walk design input)
+        "kg_metapath_counts":
+            lambda sf: graph.metapath_counts(
+                _flagship_exact_result().edges),
     }
 
 
@@ -1358,6 +1367,32 @@ def _link_pred_sql(min_cn: int, max_neighbors: int = 128) -> str:
     WHERE sc.cn >= {min_cn}"""
 
 
+def _jaccard_sql(min_cn: int, max_neighbors: int = 128) -> str:
+    """Twin of raykg.ops.graph.jaccard_link_scores: same wedge join and
+    hub-center cap as _link_pred_sql for the cn numerator, but the deg
+    denominators are TRUE uncapped distinct undirected degrees —
+    jac = cn / (deg(u) + deg(v) - cn), one DOUBLE division + round(.., 4)
+    over exact integers (the engine's float contract)."""
+    return _graph_sql() + f""",
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM g WHERE src <> dst),
+    nbr AS MATERIALIZED (SELECT a AS w, b AS u FROM und
+                         UNION ALL SELECT b, a FROM und),
+    deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM nbr GROUP BY w),
+    sc AS (SELECT n1.u AS u, n2.u AS v, count(*)::BIGINT AS cn
+           FROM nbr n1 JOIN nbr n2 ON n2.w = n1.w AND n1.u < n2.u
+           JOIN deg d ON d.w = n1.w AND d.deg <= {max_neighbors}
+           GROUP BY 1, 2)
+    SELECT sc.u, sc.v, sc.cn,
+           round(CAST(sc.cn AS DOUBLE) / (du.deg + dv.deg - sc.cn), 4)
+               AS jac,
+           (CASE WHEN e.a IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_edge
+    FROM sc JOIN deg du ON du.w = sc.u JOIN deg dv ON dv.w = sc.v
+    LEFT JOIN und e ON e.a = sc.u AND e.b = sc.v
+    WHERE sc.cn >= {min_cn}"""
+
+
 def _bpe_sql(n_merges: int) -> str:
     """Unrolled BPE training twin of raykg.ops.corpus.bpe_train: symbol
     sequences as double-separator strings (see _BPE_SEP there), merge
@@ -1504,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": _lpa_sql(4),
         "graph_walks": _walks_sql(4, 2),
         "graph_link_pred": _link_pred_sql(2),
+        "graph_jaccard": _jaccard_sql(2),
         # scaled-int exact neighbor means: float32 -> double is exact, and
         # floor(v * 1e6) / integer SUM / one final division are the same
         # IEEE ops the engine performs (ops/graph.py EMB_SCALE contract)
@@ -1569,6 +1605,17 @@ def oracle_sql() -> dict[str, str]:
             FROM pc2, nd
             JOIN ec ca ON ca.uri = pc2.ent_a
             JOIN ec cb ON cb.uri = pc2.ent_b""",
+        "kg_metapath_counts": "WITH t AS ("
+            + flagship_exact_sql(what="edges") + """),
+            e AS (SELECT subj, pred, obj FROM t)
+            SELECT split_part(e1.subj, '/', 2) AS label_a,
+                   e1.pred AS pred_ab,
+                   split_part(e1.obj, '/', 2) AS label_m,
+                   e2.pred AS pred_mc,
+                   split_part(e2.obj, '/', 2) AS label_c,
+                   count(*)::BIGINT AS n_paths
+            FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+            GROUP BY 1, 2, 3, 4, 5""",
         "kg_cross_modal": "WITH t AS ("
             + flagship_exact_sql(what="triples") + """),
             side AS (

@@ -3094,3 +3094,254 @@ def pagerank_weighted(edges: rd.Dataset, iters: int = 3,
     return state.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0))
         .select(["node", "rank_int"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard-coefficient link prediction (degree-normalized common neighbors)
+# ---------------------------------------------------------------------------
+
+def undirected_degrees(edges: rd.Dataset,
+                       num_buckets: int = 256) -> rd.Dataset:
+    """(node, deg): DISTINCT undirected neighbor count per node, self-loops
+    dropped — the denominator state for :func:`jaccard_link_scores`. One
+    node-keyed bucketed exchange whose combiner emits distinct (node, nbr)
+    pairs per batch (same thinning as link_prediction_scores' nbr_rows).
+    Output blocks carry one ``node = -1`` sentinel row per bucket (zero-row
+    block convention, functions/shuffle.py) — consumers filter it."""
+
+    def nbr_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        w = np.concatenate([src, dst])
+        u = np.concatenate([dst, src])
+        pk = np.unique(w * _SHIFT + u)
+        return pa.table({"node": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "u": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    def fin(t: pa.Table) -> pa.Table:
+        node, u = _np(t.column("node")), _np(t.column("u"))
+        real = node >= 0
+        pk = np.unique(node[real] * _SHIFT + u[real])
+        w = pk // _SHIFT
+        seg = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1]))) \
+            if len(w) else np.empty(0, np.int64)
+        deg = np.diff(np.concatenate([seg, [len(w)]])).astype(np.int64)
+        return pa.table({"node": np.concatenate([w[seg], [_SENT]]),
+                         "deg": np.concatenate([deg, [0]])})
+
+    return bucketed_group_agg(edges, nbr_rows, "node", fin,
+                              num_buckets=num_buckets)
+
+
+def _attach_node_state(pairs: rd.Dataset, state: rd.Dataset, key_col: str,
+                       carry: list[str], out_col: str,
+                       num_buckets: int) -> rd.Dataset:
+    """Attach ``state``'s (node, deg) value to every ``pairs`` row whose
+    ``key_col`` matches, as ``out_col`` — the endpoint-keyed attach exchange
+    (same shape as degree_assortativity's _attach_deg). ``carry`` columns
+    must be int64 and non-negative (the sentinel carrier uses -1).
+    Output keeps ``key_col``'s value under the column name ``akey`` plus a
+    ``mark`` column (1 = sentinel row) — callers filter and rename."""
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        cols = {"akey": t.column(key_col)}
+        for c in carry:
+            cols[c] = t.column(c)
+        n = t.num_rows
+        cols["degval"] = pa.array(np.full(n, -1, np.int64), pa.int64())
+        cols["is_state"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"akey": t.column("node")}
+        for c in carry:
+            cols[c] = pa.array(np.full(n, _SENT, np.int64), pa.int64())
+        cols["degval"] = t.column("deg")
+        cols["is_state"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def fin(t: pa.Table) -> pa.Table:
+        key, st = _np(t.column("akey")), _np(t.column("is_state"))
+        dv = _np(t.column("degval"))
+        is_s = st == 1
+        skey, sval = key[is_s], dv[is_s]
+        order = np.argsort(skey, kind="stable")
+        skey, sval = skey[order], sval[order]
+        ekey = key[~is_s]
+        real = ekey >= 0
+        carr = {c: _np(t.column(c))[~is_s][real] for c in carry}
+        ekey = ekey[real]
+        if len(ekey):
+            idx = np.searchsorted(skey, ekey)
+            if idx.max() >= len(skey) or \
+                    not np.array_equal(skey[idx], ekey):
+                raise AssertionError(
+                    "jaccard_link_scores: pair endpoint missing from the "
+                    "undirected degree state")
+            vals = sval[idx]
+        else:
+            vals = np.empty(0, np.int64)
+        cols = {"akey": np.concatenate([ekey, [_SENT]])}
+        for c in carry:
+            cols[c] = np.concatenate([carr[c], [_SENT]])
+        cols[out_col] = np.concatenate([vals, [_SENT]])
+        cols["mark"] = np.concatenate(
+            [np.zeros(len(ekey), np.int8), [1]]).astype(np.int8)
+        return pa.table(cols)
+
+    return bucketed_group_agg(
+        pairs.map_batches(pair_rows, batch_format="pyarrow")
+        .union(state.map_batches(state_rows, batch_format="pyarrow")),
+        lambda t: t, "akey", fin, num_buckets=num_buckets)
+
+
+def jaccard_link_scores(edges: rd.Dataset, min_cn: int = 2,
+                        max_neighbors: int = 128,
+                        num_buckets: int = 256) -> rd.Dataset:
+    """(u, v, cn, jac, is_edge) for every unordered node pair with at least
+    ``min_cn`` undirected common neighbors: the Jaccard neighborhood
+    coefficient jac = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    = cn / (deg(u) + deg(v) - cn) (Liben-Nowell & Kleinberg 2003), the
+    degree-normalized sibling of link_prediction_scores' cn/aa — hub pairs
+    stop dominating the ranking. ``min_cn`` must be >= 1 (the denominator is
+    then positive by construction).
+
+    Contract split, replicated exactly by the SQL twin (_jaccard_sql):
+    the cn NUMERATOR inherits link_prediction_scores' hub-center cap
+    (centers with more than ``max_neighbors`` neighbors emit no wedges,
+    logged there), while the deg DENOMINATORS are TRUE uncapped undirected
+    degrees. jac uses one float division + round(.., 4) at finalize over
+    exact int64 inputs (the repo's float contract).
+
+    Scale shape: the wedge pipeline (two exchanges) + one degree exchange
+    + two endpoint-keyed attach exchanges; nothing pair- or node-sized
+    lands on the driver."""
+    if min_cn < 1:
+        raise ValueError("jaccard_link_scores requires min_cn >= 1")
+    edges = edges.materialize()
+    pairs = link_prediction_scores(
+        edges, min_cn=min_cn, max_neighbors=max_neighbors,
+        num_buckets=num_buckets).map_batches(
+            lambda t: t.select(["u", "v", "cn", "is_edge"]),
+            batch_format="pyarrow")
+    deg = undirected_degrees(edges, num_buckets=num_buckets).materialize()
+
+    withu = _attach_node_state(
+        pairs, deg, "u", ["v", "cn", "is_edge"], "du",
+        num_buckets).map_batches(
+            lambda t: t.filter(pc.equal(t.column("mark"), 0))
+            .drop_columns(["mark"]).rename_columns(
+                ["u", "v", "cn", "is_edge", "du"]),
+            batch_format="pyarrow")
+    withv = _attach_node_state(
+        withu, deg, "v", ["u", "cn", "is_edge", "du"], "dv",
+        num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("mark"), 0))
+        cn = _np(t.column("cn")).astype(np.float64)
+        du, dv = _np(t.column("du")), _np(t.column("dv"))
+        jac = round_half_away(cn / (du + dv - cn).astype(np.float64), 4)
+        return pa.table({"u": t.column("u"), "v": t.column("akey"),
+                         "cn": t.column("cn"),
+                         "jac": pa.array(jac, pa.float64()),
+                         "is_edge": t.column("is_edge")})
+
+    return withv.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# typed 2-hop metapath census over the constructed KG
+# ---------------------------------------------------------------------------
+
+def metapath_counts(edges: rd.Dataset, num_buckets: int = 256) -> rd.Dataset:
+    """(label_a, pred_ab, label_m, pred_mc, label_c, n_paths): census of
+    typed 2-hop paths a -[pred_ab]-> m -[pred_mc]-> c over the KG's distinct
+    edge set, grouped by the endpoint/mid node labels (parsed from the
+    ``sdpg.gr/<label>/<sha>`` URI scheme) — the metapath inventory used for
+    KG schema discovery and metapath2vec-style walk design (Dong et al.
+    2017, "metapath2vec"; reference scope analog: the pattern co-grouping in
+    src2/main/scala/Clustering.scala consumes exactly this kind of typed
+    adjacency census).
+
+    Scale shape: ONE mid-keyed bucketed exchange. The combiner reduces each
+    batch to counts per (mid, side, tag) — tag packs (endpoint label, pred)
+    — so the exchange carries at most nodes × schema-combos rows, never
+    paths; the per-bucket finalize cross-multiplies in-counts × out-counts
+    per mid with one Arrow hash join and sums per combo. Path multiplicity
+    is NEVER enumerated (a hub with 10^6 in-edges and 10^6 out-edges
+    contributes one int64 product), so no hub cap is needed. The final
+    reduce is schema-census-sized (≤ labels² × preds² rows), one block."""
+    SEP = "\x1f"
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        subj = t.column("subj").combine_chunks()
+        obj = t.column("obj").combine_chunks()
+        pred = t.column("pred").combine_chunks()
+        la = pc.list_element(pc.split_pattern(subj, "/"), 1)
+        lc = pc.list_element(pc.split_pattern(obj, "/"), 1)
+        n = t.num_rows
+        both = pa.table({
+            "mid": pa.concat_arrays([obj, subj]),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()),
+            "tag": pa.chunked_array([
+                pc.binary_join_element_wise(la, pred, SEP),
+                pc.binary_join_element_wise(pred, lc, SEP),
+            ]).combine_chunks()})
+        g = both.group_by(["mid", "side", "tag"]).aggregate(
+            [([], "count_all")])
+        out = pa.table({"mid": g.column("mid"), "side": g.column("side"),
+                        "tag": g.column("tag"),
+                        "n": g.column("count_all")})
+        # sentinel: "" is impossible as a mid (URIs are non-empty)
+        return pa.concat_tables([out, pa.table({
+            "mid": pa.array([""], pa.string()),
+            "side": pa.array([-1], pa.int8()),
+            "tag": pa.array([""], pa.string()),
+            "n": pa.array([0], pa.int64())})])
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("side"), -1))
+        g = t.group_by(["mid", "side", "tag"]).aggregate([("n", "sum")])
+        it = g.filter(pc.equal(g.column("side"), 0))
+        ot = g.filter(pc.equal(g.column("side"), 1))
+        in_tbl = pa.table({"mid": it.column("mid"), "ka": it.column("tag"),
+                           "ni": it.column("n_sum")})
+        out_tbl = pa.table({"mid": ot.column("mid"), "kb": ot.column("tag"),
+                            "no": ot.column("n_sum")})
+        j = in_tbl.join(out_tbl, keys="mid", join_type="inner")
+        ml = pc.list_element(pc.split_pattern(j.column("mid"), "/"), 1)
+        prod = pc.multiply(j.column("ni"), j.column("no"))
+        combo = pa.table({"ka": j.column("ka"), "ml": ml,
+                          "kb": j.column("kb"), "n": prod}) \
+            .group_by(["ka", "ml", "kb"]).aggregate([("n", "sum")])
+        return pa.concat_tables([
+            pa.table({"ka": combo.column("ka"), "ml": combo.column("ml"),
+                      "kb": combo.column("kb"),
+                      "n": combo.column("n_sum")}),
+            pa.table({"ka": pa.array([""], pa.string()),
+                      "ml": pa.array([""], pa.string()),
+                      "kb": pa.array([""], pa.string()),
+                      "n": pa.array([0], pa.int64())})])
+
+    def final_fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("ml"), ""))
+        g = t.group_by(["ka", "ml", "kb"]).aggregate([("n", "sum")])
+        ka = pc.split_pattern(g.column("ka"), SEP)
+        kb = pc.split_pattern(g.column("kb"), SEP)
+        return pa.table({
+            "label_a": pc.list_element(ka, 0),
+            "pred_ab": pc.list_element(ka, 1),
+            "label_m": g.column("ml"),
+            "pred_mc": pc.list_element(kb, 0),
+            "label_c": pc.list_element(kb, 1),
+            "n_paths": g.column("n_sum")})
+
+    partial = bucketed_group_agg(edges, side_rows, "mid", fin,
+                                 num_buckets=num_buckets)
+    return partial.repartition(1).map_batches(
+        final_fin, batch_format="pyarrow", batch_size=None)

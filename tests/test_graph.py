@@ -900,3 +900,136 @@ def test_entity_pagerank_weighted_prefers_heavy_edge(ray_session):
     gu = dict(zip(u.uri, u.rank_int))
     assert gw[b] > gw[c]
     assert gu[b] == gu[c]
+
+
+# ---------------------------------------------------------------------------
+# jaccard_link_scores
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard(pairs, min_cn):
+    import math
+    from collections import defaultdict
+
+    from raykg.functions.hashing import round_half_away
+
+    adj = defaultdict(set)
+    und = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+        und.add((min(a, b), max(a, b)))
+    nodes = sorted(adj)
+    out = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            cn = len(adj[u] & adj[v])
+            if cn >= min_cn:
+                jac = cn / (len(adj[u]) + len(adj[v]) - cn)
+                out[(u, v)] = (cn, float(round_half_away(jac, 4)),
+                               1 if (u, v) in und else 0)
+    return out
+
+
+def test_jaccard_tiny():
+    # 0 and 3 share {1, 2}: jac = 2 / (3 + 2 - 2) = 0.6667
+    pairs = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 2), (4, 0)]
+    got = _df(graph.jaccard_link_scores(_edges(pairs), min_cn=1),
+              ["u", "v"])
+    want = _brute_jaccard(pairs, 1)
+    assert {(r["u"], r["v"]): (r["cn"], r["jac"], r["is_edge"])
+            for _, r in got.iterrows()} == want
+    row = got[(got["u"] == 0) & (got["v"] == 3)].iloc[0]
+    assert row["jac"] == pytest.approx(0.6667) and row["is_edge"] == 0
+
+
+def test_jaccard_hub_cap_keeps_true_degrees():
+    # star around 0 with 6 leaves plus a 1-2 edge: capping centers at 4
+    # kills all wedges THROUGH the hub (so the leaf-leaf pair (1, 2) loses
+    # its only common neighbor and vanishes), but pairs (0, 1) and (0, 2)
+    # survive through the degree-2 centers 2 and 1 — and the hub's TRUE
+    # degree 6 stays in their denominators: jac = 1 / (6 + 2 - 1) = 1/7.
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    got = _df(graph.jaccard_link_scores(_edges(pairs), min_cn=1,
+                                        max_neighbors=4), ["u", "v"])
+    assert {(r["u"], r["v"]) for _, r in got.iterrows()} == {(0, 1), (0, 2)}
+    assert got["jac"].tolist() == [0.1429, 0.1429]
+    assert got["cn"].tolist() == [1, 1]
+    # uncapped: (1, 2) has cn = 1 via hub 0, deg(1) = deg(2) = 2
+    full = _df(graph.jaccard_link_scores(_edges(pairs), min_cn=1), ["u", "v"])
+    row = full[(full["u"] == 1) & (full["v"] == 2)].iloc[0]
+    assert row["cn"] == 1 and row["jac"] == pytest.approx(1 / 3, abs=5e-5)
+    assert row["is_edge"] == 1
+
+
+def test_jaccard_partition_invariance():
+    pairs = [(i % 9, (i * 5 + 2) % 9) for i in range(40) if i % 9 !=
+             (i * 5 + 2) % 9]
+    a = _df(graph.jaccard_link_scores(_edges(pairs).repartition(1),
+                                      min_cn=1), ["u", "v"])
+    b = _df(graph.jaccard_link_scores(_edges(pairs).repartition(8),
+                                      min_cn=1), ["u", "v"])
+    assert len(a) > 0
+    assert a.equals(b)
+    assert a.equals(
+        _df(graph.jaccard_link_scores(_edges(pairs), min_cn=1,
+                                      num_buckets=7), ["u", "v"]))
+
+
+# ---------------------------------------------------------------------------
+# metapath_counts
+# ---------------------------------------------------------------------------
+
+def _kg_edges(rows):
+    def uri(label, i):
+        return f"sdpg.gr/{label}/{i:064x}"
+    t = pa.table({
+        "subj": pa.array([uri(la, a) for la, a, _, _, _ in rows]),
+        "pred": pa.array([p for _, _, p, _, _ in rows]),
+        "obj": pa.array([uri(lc, c) for _, _, _, lc, c in rows]),
+        "count": pa.array([1] * len(rows), pa.int64())})
+    return rd.from_arrow(t)
+
+
+def test_metapath_tiny():
+    # Person/1 -works_at-> Org/2 -based_in-> Place/3   (1 path)
+    # Person/4 -works_at-> Org/2 -based_in-> Place/3   (same mid: 1 more)
+    # Org/2 also -owns-> Product/5 (two 2-hop combos through Org/2)
+    rows = [("Person", 1, "works_at", "Organisation", 2),
+            ("Person", 4, "works_at", "Organisation", 2),
+            ("Organisation", 2, "based_in", "Place", 3),
+            ("Organisation", 2, "owns", "Product", 5)]
+    got = _df(graph.metapath_counts(_kg_edges(rows), num_buckets=4),
+              ["label_a", "pred_ab", "pred_mc", "label_c"])
+    want = {("Person", "works_at", "Organisation", "based_in", "Place"): 2,
+            ("Person", "works_at", "Organisation", "owns", "Product"): 2}
+    assert {(r["label_a"], r["pred_ab"], r["label_m"], r["pred_mc"],
+             r["label_c"]): r["n_paths"] for _, r in got.iterrows()} == want
+
+
+def test_metapath_counts_products_not_paths():
+    # hub mid with 3 in and 2 out of the same types: 3 x 2 = 6 paths from
+    # ONE product row per bucket — never enumerated pairwise
+    rows = [("Person", i, "works_at", "Organisation", 9) for i in range(3)] \
+        + [("Organisation", 9, "owns", "Product", 100 + j)
+           for j in range(2)]
+    got = graph.metapath_counts(_kg_edges(rows), num_buckets=4).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_paths"] == 6
+
+
+def test_metapath_partition_invariance():
+    rows = []
+    labels = ["Person", "Organisation", "Place", "Product"]
+    preds = ["works_at", "based_in", "owns"]
+    for i in range(60):
+        rows.append((labels[i % 4], i % 7, preds[i % 3],
+                     labels[(i * 3 + 1) % 4], (i * 5 + 2) % 7))
+    a = _df(graph.metapath_counts(_kg_edges(rows), num_buckets=4),
+            ["label_a", "pred_ab", "label_m", "pred_mc", "label_c"])
+    ds = _kg_edges(rows).repartition(8)
+    b = _df(graph.metapath_counts(ds, num_buckets=16),
+            ["label_a", "pred_ab", "label_m", "pred_mc", "label_c"])
+    assert len(a) > 0
+    assert a.equals(b)
