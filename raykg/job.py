@@ -82,7 +82,11 @@ def run_job(args) -> dict:
             canon_broadcast_limit=args.canon_broadcast_limit,
             catalog=kw.get("catalog"))
     elif args.input:
-        docs = read_table(args.input)
+        # cast_to only applies to JSONL inputs (JSON inference widens the
+        # int32 span offsets); parquet/lance schemas are authoritative
+        from raykg import schema as _schema
+
+        docs = read_table(args.input, cast_to=_schema.DOCUMENTS)
         result = build_kg(docs, cfg, checkpoint_dir=args.checkpoint, **kw)
     elif args.checkpoint:
         # the resumable path shares the canonicalize/materialize tail, so

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from raykg import synth
+from raykg import schema, synth
 from raykg.config import KGConfig
 from raykg.functions.hashing import mint_uri
 from raykg.sources.io import read_table, write_table
@@ -488,8 +488,9 @@ def ingest_files(cfg: KGConfig, checkpoint_dir: str, input_dir: str,
                  catalog=None) -> KGResult | None:
     """File-based incremental ingestion for EXTERNAL corpora — the
     real-corpus twin of ``ingest_increment`` (whose unit of increment is a
-    synthetic doc-index range). The unit here is a parquet file under
-    ``input_dir``: a crawler drops new document files into the directory,
+    synthetic doc-index range). The unit here is a parquet or JSONL file
+    under ``input_dir``: a crawler drops new document files into the
+    directory,
     re-running this job links ONLY the files not yet committed (one lineage
     partition per file, in stable sorted-name order), and canonicalize /
     rewrite / materialize re-run over the union of all committed shards —
@@ -517,11 +518,12 @@ def ingest_files(cfg: KGConfig, checkpoint_dir: str, input_dir: str,
 
     files = sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)
-        if f.endswith((".parquet", ".lance")))
+        if f.endswith((".parquet", ".lance", ".jsonl")))
     if not files:
         raise ValueError(f"no document files under {input_dir}")
     rows_of = {f: pq.read_metadata(f).num_rows for f in files
                if f.endswith(".parquet")}
+    size_of = {f: os.path.getsize(f) for f in files}
 
     ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
     parts = ckpt.committed_parts()
@@ -535,34 +537,88 @@ def ingest_files(cfg: KGConfig, checkpoint_dir: str, input_dir: str,
                 f"{link_cfg!r}; delete the checkpoint or restore the "
                 "original config")
         src = fp.get("source")
-        if src not in rows_of:
+        if src not in size_of:
             raise ValueError(
                 f"ingest shard {part} came from {src!r}, which is no "
                 f"longer under {input_dir}; appends only grow the corpus")
-        if rows_of[src] != fp.get("rows_in"):
+        if "bytes_in" in fp:
+            if size_of[src] != fp["bytes_in"]:
+                raise ValueError(
+                    f"{src} is {size_of[src]} bytes but shard {part} was "
+                    f"committed at {fp['bytes_in']}; ingested files are "
+                    "immutable — add NEW files instead of editing old ones")
+        elif rows_of.get(src) != fp.get("rows_in"):
+            # pre-bytes_in checkpoints recorded parquet row counts only
             raise ValueError(
-                f"{src} has {rows_of[src]} rows but shard {part} was "
+                f"{src} has {rows_of.get(src)} rows but shard {part} was "
                 f"committed at {fp.get('rows_in')}; ingested files are "
                 "immutable — add NEW files instead of editing old ones")
         seen.add(src)
 
     next_part = len(parts)
     for f in files:
-        if f in seen or f not in rows_of:
+        if f in seen:
             continue
+        n_rows = rows_of.get(f)
+        if n_rows is None and f.endswith(".jsonl"):
+            n_rows = _count_jsonl_rows(f)
         ckpt.run_partition(
             next_part,
-            lambda f=f: linked_triples(read_table(f), cfg, catalog),
-            counters={"n_docs": rows_of[f]},
-            fingerprint={"source": f, "rows_in": rows_of[f],
-                         "link_cfg": link_cfg})
+            lambda f=f: linked_triples(
+                read_table(f, cast_to=schema.DOCUMENTS), cfg, catalog),
+            counters={"n_docs": n_rows if n_rows is not None else 0},
+            fingerprint={"source": f, "rows_in": n_rows,
+                         "bytes_in": size_of[f], "link_cfg": link_cfg})
         next_part += 1
     if link_only:
         return None
-    return _finish_kg(ckpt.dataset(), read_table(input_dir), cfg,
+    return _finish_kg(ckpt.dataset(), _read_document_files(files), cfg,
                       checkpoint_dir=None,
                       canon_broadcast_limit=canon_broadcast_limit,
                       catalog=catalog)
+
+
+def _count_jsonl_rows(path: str) -> int:
+    """Non-empty line count of a JSONL file — one buffered sequential pass
+    at commit time for the shard's ``n_docs`` counter (parquet gets this
+    from footer metadata for free; JSONL has no footer). Runs ONCE per NEW
+    file; re-runs validate immutability by byte size instead."""
+    n = 0
+    last = b"\n"
+    with open(path, "rb") as fh:
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            n += chunk.count(b"\n")
+            last = chunk
+    if not last.endswith(b"\n"):
+        n += 1
+    return n
+
+
+def _read_document_files(files: list[str]) -> rd.Dataset:
+    """Distributed read of a mixed-format ingest directory: one
+    read_parquet over all parquet shards + one read_json over all JSONL
+    shards, unioned (read_parquet on the bare directory would choke on the
+    JSONL files). Lance shards go through read_table's gated reader."""
+    pq_files = [f for f in files if f.endswith(".parquet")]
+    jl_files = [f for f in files if f.endswith(".jsonl")]
+    parts: list[rd.Dataset] = []
+    if pq_files:
+        parts.append(rd.read_parquet(pq_files))
+    if jl_files:
+        parts.append(
+            rd.read_json(jl_files, file_extensions=["jsonl"]).map_batches(
+                lambda t: t.select(schema.DOCUMENTS.names)
+                .cast(schema.DOCUMENTS), batch_format="pyarrow"))
+    for f in files:
+        if f.endswith(".lance"):  # pragma: no cover - no Lance wheel here
+            parts.append(read_table(f))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def _fresh_dir(path: str) -> str:

@@ -17,14 +17,23 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_table(path: str, columns: list[str] | None = None,
+               cast_to=None) -> rd.Dataset:
     """Distributed read with column pruning pushed to the scan. JSONL
     (``.jsonl`` path suffix) is supported as an ingest format — columns
-    are projected after the parse (the format has no column pruning)."""
+    are projected after the parse (the format has no column pruning), and
+    ``cast_to`` (a pyarrow.Schema) casts the inferred types to the
+    contract schema (JSON inference widens e.g. int32 span offsets to
+    int64; parquet/lance carry authoritative schemas, so the cast is a
+    JSONL-only concern)."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=columns)
     if path.rstrip("/").endswith(".jsonl"):
         ds = rd.read_json(path, file_extensions=["jsonl", "json"])
+        if cast_to is not None:
+            ds = ds.map_batches(
+                lambda t, s=cast_to: t.select(s.names).cast(s),
+                batch_format="pyarrow")
         return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns)
 
