@@ -680,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_stats": relational.event_lag_stats,
         # first-order Markov transition matrix (LEAD window twin)
         "event_transitions": relational.event_transitions,
+        # cohort retention: users by first-event week, counted in every
+        # later active week (fixed epoch-anchored 7-day buckets)
+        "retention_cohorts": relational.retention_cohorts,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # anti-join (no broadcast side) + rollup multi-level aggregate
         "customers_without_orders": relational.customers_without_orders,
@@ -1808,6 +1811,16 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / sum(count(*))
                              OVER (PARTITION BY event_type), 6) AS p
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "retention_cohorts": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+            u AS (SELECT DISTINCT user_id, wk FROM w),
+            c AS (SELECT user_id, min(wk) AS cohort FROM u GROUP BY 1)
+            SELECT c.cohort AS cohort_week,
+                   (u.wk - c.cohort)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM u JOIN c USING (user_id) GROUP BY 1, 2""",
         "top_orders_per_customer": """
             SELECT o_custkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey

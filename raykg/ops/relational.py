@@ -1494,3 +1494,70 @@ def ewma_by_user(sf_dir: str, num_buckets: int = 256) -> rd.Dataset:
         .groupby("bucket").map_groups(
             lambda t: per_bucket(t.drop_columns(["bucket"])),
             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(cohort_week, week_offset, n_users): classic cohort retention —
+    users grouped by the week of their FIRST event, counted as retained in
+    every later week they show activity. ``week`` is a fixed 7-day bucket
+    anchored at the unix epoch (``epoch_us // 604800e6`` — a pure integer
+    contract both engine and oracle reproduce bit-for-bit; deliberately NOT
+    calendar ISO weeks, whose locale rules aren't worth the parity risk).
+
+    Scale shape: one user-keyed bucketed exchange whose per-batch partial
+    is ALREADY distinct (user, week) rows; the per-bucket finalize derives
+    each user's cohort (min week, one vectorized lexsort) and emits
+    (cohort, offset) partial counts, which merge through ``small_key_agg``
+    — the output is weeks x offsets, register-sized, never user-sized."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    WEEK_TICKS = {"s": 604_800, "ms": 604_800 * 10**3,
+                  "us": 604_800 * 10**6, "ns": 604_800 * 10**9}
+
+    def partial(t: pa.Table) -> pa.Table:
+        unit = t.schema.field("ts").type.unit
+        uid = pc.cast(t.column("user_id"), pa.int64())
+        wk = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) // WEEK_TICKS[unit]
+        g = pa.table({"user_id": uid,
+                      "wk": pa.array(wk, pa.int64())}) \
+            .group_by(["user_id", "wk"]).aggregate([])
+        return g.append_column("bucket", crc_bucket_array(
+            g.column("user_id"), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "wk"]).aggregate([])  # cross-batch dedup
+        uid = _np_col(g, "user_id")
+        wk = _np_col(g, "wk")
+        if not len(uid):
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        seg = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        seglen = np.diff(np.concatenate([seg, [len(uid)]]))
+        cohort = np.repeat(wk[seg], seglen)       # per-user min (sorted)
+        off = wk - cohort
+        c = pa.table({"cohort_week": pa.array(cohort, pa.int64()),
+                      "week_offset": pa.array(off, pa.int64())}) \
+            .group_by(["cohort_week", "week_offset"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"cohort_week": c.column("cohort_week"),
+                         "week_offset": c.column("week_offset"),
+                         "n_users": pc.cast(c.column("count_all"),
+                                            pa.int64())})
+
+    return small_key_agg(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow"),
+        _sum_combine(["cohort_week", "week_offset"], ["n_users"]))

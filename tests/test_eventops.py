@@ -323,3 +323,60 @@ def test_ewma_by_user_matches_duckdb_and_hand(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["ewma_by_user"]).df()
     con.close()
     assert _norm(got) == _norm(want)
+
+
+def _retention_events() -> pa.Table:
+    # multi-week spread: user 1 first active in week W, returns W+1 and W+3;
+    # user 2 first active in W, never returns; user 3 first active in W+1,
+    # returns W+2 twice IN THE SAME WEEK (must count once)
+    rows = []
+    eid = 0
+
+    def add(days, user):
+        nonlocal eid
+        rows.append((eid, T0 + dt.timedelta(days=days), user, "click",
+                     1.0, "{}"))
+        eid += 1
+
+    add(0, 1)
+    add(1, 1)        # same week as first -> offset 0, counted once
+    add(8, 1)        # W+1
+    add(22, 1)       # W+3
+    add(2, 2)        # W only
+    add(9, 3)        # first week W+1
+    add(15, 3)       # W+2
+    add(16, 3)       # W+2 again (same week -> one retention row)
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string())})
+
+
+def test_retention_cohorts_matches_duckdb(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    pq.write_table(_retention_events(), str(tmp_path / "events.parquet"))
+    got = relational.retention_cohorts(str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    con.register("events", _retention_events())
+    want = con.sql(e.oracle_sql()["retention_cohorts"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+
+    # semantic pins: T0 = 2024-01-01 lands in epoch-week 2817
+    by = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+          for r in got.itertuples()}
+    w0 = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000
+             // 604_800_000_000)
+    # cohort w0: users 1 and 2 start there; user 1 returns W+1 and W+3
+    assert by[(w0, 0)] == 2
+    assert by[(w0, 1)] == 1
+    assert by[(w0, 3)] == 1
+    assert (w0, 2) not in by
+    # cohort w0+1: user 3; two same-week events at W+2 count once
+    assert by[(w0 + 1, 0)] == 1
+    assert by[(w0 + 1, 1)] == 1
