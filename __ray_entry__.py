@@ -938,6 +938,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neighbors) — the hub-insensitive sibling of graph_link_pred
         "graph_jaccard":
             lambda sf: graph.jaccard_link_scores(graph.synth_graph_edges()),
+        # sampled-source Brandes betweenness in exact integer micro-units
+        # (fused one-exchange forward AND backward rounds)
+        "graph_betweenness":
+            lambda sf: graph.betweenness_sampled(graph.synth_graph_edges(),
+                                                 sources=(0, 7, 13)),
         # GraphSAGE-style 1-hop neighbor feature aggregation: graph joined
         # to the embeddings table (scaled-int exact means, dim-exploded)
         "graph_neighbor_means":
@@ -1396,6 +1401,53 @@ def _jaccard_sql(min_cn: int, max_neighbors: int = 128) -> str:
     WHERE sc.cn >= {min_cn}"""
 
 
+def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
+    """Twin of raykg.ops.graph.betweenness_sampled: multi-source BFS with
+    path counting unrolled to ``rounds`` levels (levels past the graph's
+    eccentricity settle nothing, so any rounds >= ecc gives the identical
+    fixpoint — the engine ran to ecc 14 on this graph, 16 leaves margin),
+    then the integer-exact dependency recursion unrolled back DOWN the
+    layers: delta(v) = sum((sigma_v * (1000000 + delta_w)) // sigma_w)
+    over depth-(L+1) heads w — BIGINT floor division term for term, summed
+    order-free, exactly the engine contract."""
+    srcs = ", ".join(str(int(s)) for s in sources)
+    sql = _graph_sql() + f""",
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+    st0 AS (SELECT s, s AS node, 0 AS d, 1::BIGINT AS sigma
+            FROM (SELECT unnest([{srcs}]) AS s)),
+    cum0 AS (SELECT * FROM st0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    st{r} AS MATERIALIZED (
+      SELECT f.s, e.dst AS node, {r} AS d, sum(f.sigma)::BIGINT AS sigma
+      FROM st{r - 1} f JOIN e ON e.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM cum{r - 1} c
+                        WHERE c.s = f.s AND c.node = e.dst)
+      GROUP BY 1, 2),
+    cum{r} AS MATERIALIZED (SELECT * FROM cum{r - 1}
+                            UNION ALL SELECT * FROM st{r})"""
+    sql += f""",
+    st AS MATERIALIZED (SELECT * FROM cum{rounds}),
+    dl{rounds} AS (SELECT s, node, 0::BIGINT AS delta FROM st WHERE 1 = 0)"""
+    for lvl in range(rounds - 1, -1, -1):
+        sql += f""",
+    dl{lvl} AS MATERIALIZED (
+      SELECT sv.s, sv.node,
+             sum((sv.sigma * (1000000 + coalesce(dw.delta, 0)))
+                 // sw.sigma)::BIGINT AS delta
+      FROM st sv JOIN e ON e.src = sv.node
+      JOIN st sw ON sw.s = sv.s AND sw.node = e.dst AND sw.d = {lvl + 1}
+      LEFT JOIN dl{lvl + 1} dw ON dw.s = sv.s AND dw.node = e.dst
+      WHERE sv.d = {lvl}
+      GROUP BY 1, 2)"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM dl{lvl}" for lvl in range(rounds))
+    return sql + f"""
+    SELECT node, sum(delta)::BIGINT AS bc_micro
+    FROM ({union}) WHERE node <> s
+    GROUP BY node HAVING sum(delta) > 0"""
+
+
 def _bpe_sql(n_merges: int) -> str:
     """Unrolled BPE training twin of raykg.ops.corpus.bpe_train: symbol
     sequences as double-separator strings (see _BPE_SEP there), merge
@@ -1543,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _walks_sql(4, 2),
         "graph_link_pred": _link_pred_sql(2),
         "graph_jaccard": _jaccard_sql(2),
+        "graph_betweenness": _betweenness_sql((0, 7, 13)),
         # scaled-int exact neighbor means: float32 -> double is exact, and
         # floor(v * 1e6) / integer SUM / one final division are the same
         # IEEE ops the engine performs (ops/graph.py EMB_SCALE contract)

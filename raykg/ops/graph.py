@@ -3345,3 +3345,426 @@ def metapath_counts(edges: rd.Dataset, num_buckets: int = 256) -> rd.Dataset:
                                  num_buckets=num_buckets)
     return partial.repartition(1).map_batches(
         final_fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# sampled-source betweenness centrality (Brandes, integer-exact)
+# ---------------------------------------------------------------------------
+
+_B_EDGE, _B_STATE, _B_OFFER, _B_CNT = 0, 1, 2, 3
+_BC_SCALE = 10**6
+
+
+def _frontier_bfs_sigma(edges: rd.Dataset, sources: tuple,
+                        max_rounds: int,
+                        num_buckets: int) -> rd.Dataset:
+    """Multi-source BFS with shortest-path counting: (si, node, d, sigma)
+    for every (source index, reachable node), where sigma is the number of
+    distinct shortest s->node paths. Same ONE-exchange-per-round shape as
+    :func:`_frontier_min` — edges are keyed by src once and pass through;
+    state/offer rows ride in bucket(node) carrying a source-index column —
+    with a sum-fold instead of a min-fold: under unit weights every offer
+    a node ever receives for source si arrives in the single round that
+    first reaches it, so sigma = the sum of that round's offer sigmas and
+    later (non-shortest) offers are simply dropped against the existing
+    state. ``edges`` must be DISTINCT directed pairs without self-loops
+    (the caller dedups) — a multi-edge would double-count paths."""
+    INF = np.int64(1) << np.int64(62)
+
+    def route(a: np.ndarray) -> np.ndarray:
+        return ((a.astype(np.uint64) * np.uint64(2654435761))
+                >> np.uint64(7)).astype(np.int64) % num_buckets
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        n = len(src)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([route(src), [0]]),
+                               pa.int64()),
+            "node": pa.array(np.concatenate([src, [_SENT]]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst, [_SENT]]), pa.int64()),
+            "si": pa.array(np.full(n + 1, -1, np.int64), pa.int64()),
+            "val": pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+            "sig": pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+            "kind": pa.array([_B_EDGE] * (n + 1), pa.int8()),
+        })
+
+    src_arr = np.asarray(sources, np.int64)
+    seed_t = pa.table({
+        "bucket": pa.array(route(src_arr), pa.int64()),
+        "node": pa.array(src_arr, pa.int64()),
+        "dst": pa.array(np.full(len(src_arr), _SENT, np.int64), pa.int64()),
+        "si": pa.array(np.arange(len(src_arr), dtype=np.int64), pa.int64()),
+        "val": pa.array(np.zeros(len(src_arr), np.int64), pa.int64()),
+        "sig": pa.array(np.ones(len(src_arr), np.int64), pa.int64()),
+        "kind": pa.array([_B_OFFER] * len(src_arr), pa.int8()),
+    })
+
+    def round_fn(t: pa.Table) -> pa.Table:
+        bkt = int(t.column("bucket")[0].as_py())
+        node, dst = _np(t.column("node")), _np(t.column("dst"))
+        si, val, sig = (_np(t.column("si")), _np(t.column("val")),
+                        _np(t.column("sig")))
+        kind = _np(t.column("kind"))
+        real = node >= 0
+        em = (kind == _B_EDGE) & real
+        esrc, edst = node[em], dst[em]
+        stm = (kind == _B_STATE) & real
+        ofm = (kind == _B_OFFER) & real
+        # settled state keyed (si, node)
+        s_key = si[stm] * _SHIFT + node[stm]
+        s_node, s_si = node[stm], si[stm]
+        s_val, s_sig = val[stm], sig[stm]
+        # fold offers: sum sigma per (si, node) NOT yet settled
+        o_key = si[ofm] * _SHIFT + node[ofm]
+        o_val, o_sig = val[ofm], sig[ofm]
+        if len(o_key):
+            order = np.argsort(o_key, kind="stable")
+            ok, ov, osg = o_key[order], o_val[order], o_sig[order]
+            start = np.flatnonzero(np.concatenate(
+                ([True], ok[1:] != ok[:-1])))
+            uk = ok[start]
+            uval = ov[start]                     # all offers share d = round
+            usig = np.add.reduceat(osg, start)
+            if len(s_key):
+                ssort = np.sort(s_key)
+                pos = np.searchsorted(ssort, uk)
+                pos[pos >= len(ssort)] = len(ssort) - 1 if len(ssort) else 0
+                fresh = ~np.equal(ssort[pos], uk) if len(ssort) \
+                    else np.ones(len(uk), bool)
+            else:
+                fresh = np.ones(len(uk), bool)
+            nk, nval, nsig = uk[fresh], uval[fresh], usig[fresh]
+        else:
+            nk = np.empty(0, np.int64)
+            nval = np.empty(0, np.int64)
+            nsig = np.empty(0, np.int64)
+        if len(nsig):
+            assert int(nsig.max()) < INF // _BC_SCALE, \
+                "betweenness sigma overflow"
+        changed = len(nk)
+        f_si, f_node = nk // _SHIFT, nk % _SHIFT
+        # offers out of the freshly settled frontier
+        if len(f_node) and len(esrc):
+            eo = np.argsort(esrc, kind="stable")
+            es, ed = esrc[eo], edst[eo]
+            lo = np.searchsorted(es, f_node, side="left")
+            hi = np.searchsorted(es, f_node, side="right")
+            counts = (hi - lo).astype(np.int64)
+            total = int(counts.sum())
+            base = np.repeat(lo, counts)
+            offs = np.arange(total, dtype=np.int64) \
+                - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
+                            counts)
+            idx = base + offs
+            off_dst = ed[idx]
+            off_si = np.repeat(f_si, counts)
+            off_val = np.repeat(nval, counts) + 1
+            off_sig = np.repeat(nsig, counts)
+        else:
+            off_dst = np.empty(0, np.int64)
+            off_si = np.empty(0, np.int64)
+            off_val = np.empty(0, np.int64)
+            off_sig = np.empty(0, np.int64)
+        ne, ns0, nn, no = len(esrc), len(s_node), len(f_node), len(off_dst)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [np.full(ne + ns0 + nn, bkt, np.int64), route(off_dst),
+                 [bkt]]), pa.int64()),
+            "node": pa.array(np.concatenate(
+                [esrc, s_node, f_node, off_dst, [_SENT]]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [edst, np.full(ns0 + nn + no + 1, _SENT, np.int64)]),
+                pa.int64()),
+            "si": pa.array(np.concatenate(
+                [np.full(ne, -1, np.int64), s_si, f_si, off_si, [-1]]),
+                pa.int64()),
+            "val": pa.array(np.concatenate(
+                [np.zeros(ne, np.int64), s_val, nval, off_val, [changed]]),
+                pa.int64()),
+            "sig": pa.array(np.concatenate(
+                [np.zeros(ne, np.int64), s_sig, nsig, off_sig, [0]]),
+                pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.full(ne, _B_EDGE, np.int8),
+                 np.full(ns0 + nn, _B_STATE, np.int8),
+                 np.full(no, _B_OFFER, np.int8),
+                 np.array([_B_CNT], np.int8)]), pa.int8()),
+        })
+
+    def cnt_rows(t: pa.Table) -> pa.Table:
+        v = _np(t.column("val"))[_np(t.column("kind")) == _B_CNT]
+        return pa.table({"val": pa.array([int(v.sum())], pa.int64())})
+
+    cur = edges.map_batches(edge_rows, batch_format="pyarrow") \
+        .union(rd.from_arrow(seed_t))
+    for _ in range(max_rounds):
+        cur = cur.groupby("bucket").map_groups(
+            round_fn, batch_format="pyarrow").materialize()
+        if not cur.map_batches(cnt_rows,
+                               batch_format="pyarrow").sum("val"):
+            break
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), _B_STATE))
+        return pa.table({"si": t.column("si"), "node": t.column("node"),
+                         "d": t.column("val"), "sigma": t.column("sig")})
+
+    return cur.map_batches(fin, batch_format="pyarrow")
+
+
+def betweenness_sampled(edges: rd.Dataset, sources: tuple = (0, 7, 13),
+                        num_buckets: int = 256,
+                        max_rounds: int = 64) -> rd.Dataset:
+    """(node, bc_micro): Brandes betweenness centrality restricted to the
+    ``sources`` sample (Brandes 2001; the sampled estimator of Brandes &
+    Pich 2007), over the DISTINCT directed simple graph. Integer-exact
+    contract so DuckDB replays it bit-for-bit: the dependency recursion
+    runs in micro-units — Δ(v) = Σ_{w ∈ succ(v)} (σ_v · (10^6 + Δ(w)))
+    // σ_w, all int64, order-free sums, ``//`` = floor division on both
+    sides — and bc_micro(v) = Σ_s Δ_s(v) over v ≠ s, emitted where > 0.
+    (Classic float Brandes is this with SCALE → ∞; at 10^6 the floor
+    error is ≤ 1e-6 per path term, far below the sampling error.)
+
+    Scale shape: forward = multi-source BFS-with-σ, ONE fused bucketed
+    exchange per round (:func:`_frontier_bfs_sigma` — all sources advance
+    in the same wavefront, so rounds = max eccentricity, not sources ×
+    eccentricity). Backward = the same fused-round trick DOWN the depth
+    layers, again ONE exchange per layer: edges live keyed by their HEAD,
+    so a head's bucket holds σ_w, the Δ_w it computed the previous layer,
+    and every in-edge — it emits (tail, σ_w, Δ_w) succ rows pre-routed to
+    bucket(tail), where next round's finalize folds them against the local
+    σ_v of tails settled at exactly depth L (non-shortest-path tails drop
+    by the depth filter). Rounds = eccentricity + 1, nothing node- or
+    edge-sized on the driver. The per-round edge pass-through is the same
+    residency limitation documented in _frontier_min."""
+    sources = tuple(int(s) for s in sources)
+    if len(set(sources)) != len(sources):
+        raise ValueError("betweenness sources must be distinct")
+
+    # globally dedup directed edges, drop self-loops (σ counts paths in the
+    # simple graph; a multi-edge would double-count)
+    def ded_comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        pk = np.unique(src[keep] * _SHIFT + dst[keep])
+        return pa.table({"pk": np.concatenate([pk, [_SENT]])})
+
+    def ded_fin(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = np.unique(pk[pk >= 0])
+        return pa.table({"src": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "dst": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    simple = bucketed_group_agg(edges, ded_comb, "pk", ded_fin,
+                                num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("src"), 0)),
+        batch_format="pyarrow").materialize()
+
+    state = _frontier_bfs_sigma(simple, sources, max_rounds,
+                                num_buckets).materialize()
+    dmax = state.max("d")
+    dmax = int(dmax) if dmax is not None else 0
+
+    def route(a: np.ndarray) -> np.ndarray:
+        return ((a.astype(np.uint64) * np.uint64(2654435761))
+                >> np.uint64(7)).astype(np.int64) % num_buckets
+
+    # backward round rows, all in bucket(key):
+    #   tag 0 EDGE  (key=head, other=tail)
+    #   tag 1 STATE (key=node, si, sigma, d)
+    #   tag 2 DELTA (key=node, si, delta)        — accrues as layers finish
+    #   tag 3 SUCC  (key=tail, si, sigma=σ_w, delta=Δ_w) — arrives routed
+    def edge_rows(t: pa.Table) -> pa.Table:
+        head, tail = _np(t.column("dst")), _np(t.column("src"))
+        n = len(head)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([route(head), [0]]),
+                               pa.int64()),
+            "key": pa.array(np.concatenate([head, [_SENT]]), pa.int64()),
+            "other": pa.array(np.concatenate([tail, [_SENT]]), pa.int64()),
+            "si": pa.array(np.full(n + 1, -1, np.int64), pa.int64()),
+            "sigma": pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+            "delta": pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+            "d": pa.array(np.full(n + 1, -1, np.int64), pa.int64()),
+            "tag": pa.array([0] * (n + 1), pa.int8())})
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        n = len(node)
+        return pa.table({
+            "bucket": pa.array(route(node), pa.int64()),
+            "key": t.column("node"),
+            "other": pa.array(np.full(n, _SENT, np.int64), pa.int64()),
+            "si": t.column("si"),
+            "sigma": t.column("sigma"),
+            "delta": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "d": t.column("d"),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    def make_round(layer: int):
+        def round_fn(t: pa.Table) -> pa.Table:
+            bkt = int(t.column("bucket")[0].as_py())
+            key, other = _np(t.column("key")), _np(t.column("other"))
+            si, sigma = _np(t.column("si")), _np(t.column("sigma"))
+            delta, dpt = _np(t.column("delta")), _np(t.column("d"))
+            tag = _np(t.column("tag"))
+            real = key >= 0
+            em = (tag == 0) & real
+            stm = (tag == 1) & real
+            dm = (tag == 2) & real
+            sm = (tag == 3) & real
+            # local state lookup arrays sorted by (si, node)
+            skey = si[stm] * _SHIFT + key[stm]
+            sord = np.argsort(skey, kind="stable")
+            skey_s = skey[sord]
+            ssig = sigma[stm][sord]
+            sd = dpt[stm][sord]
+            # 1. fold succ arrivals into Δ for tails settled at this layer
+            if int(sm.sum()):
+                tkey = si[sm] * _SHIFT + key[sm]
+                pos = np.searchsorted(skey_s, tkey)
+                ok = (pos < len(skey_s))
+                pos_c = np.where(ok, pos, 0)
+                ok &= skey_s[pos_c] == tkey
+                ok &= sd[pos_c] == layer
+                sv = ssig[pos_c]
+                sw, dw = sigma[sm], delta[sm]
+                if int(ok.sum()):
+                    assert int(sv[ok].max()) < (1 << 62) // (
+                        _BC_SCALE + int(dw[ok].max()) + 1), \
+                        "betweenness dependency overflow"
+                term = np.where(ok, sv * (_BC_SCALE + dw)
+                                // np.maximum(sw, 1), 0)
+                nk = tkey[ok]
+                tv = term[ok]
+                order = np.argsort(nk, kind="stable")
+                nk, tv = nk[order], tv[order]
+                segs = np.flatnonzero(np.concatenate(
+                    ([True], nk[1:] != nk[:-1]))) if len(nk) \
+                    else np.empty(0, np.int64)
+                new_dk = nk[segs]
+                new_dv = np.add.reduceat(tv, segs) if len(segs) \
+                    else np.empty(0, np.int64)
+            else:
+                new_dk = np.empty(0, np.int64)
+                new_dv = np.empty(0, np.int64)
+            # all delta rows now known locally (old + freshly folded)
+            dk = np.concatenate([si[dm] * _SHIFT + key[dm], new_dk])
+            dv = np.concatenate([delta[dm], new_dv])
+            # 2. emit succ rows from heads settled at THIS layer to their
+            #    in-edge tails (next round folds them at layer - 1)
+            if layer > 0:
+                hm = sd == layer
+                hkey = skey_s[hm]
+                hsig = ssig[hm]
+                # attach each head's Δ (fresh this round or absent -> 0)
+                dord = np.argsort(dk, kind="stable")
+                dks, dvs = dk[dord], dv[dord]
+                hpos = np.searchsorted(dks, hkey)
+                hok = hpos < len(dks)
+                hpos_c = np.where(hok, hpos, 0)
+                hok &= (dks[hpos_c] == hkey) if len(dks) else False
+                hdelta = np.where(hok, dvs[hpos_c] if len(dvs)
+                                  else 0, 0)
+                # in-edges of each head node
+                hnode = hkey % _SHIFT
+                eo = np.argsort(key[em], kind="stable")
+                ekey, etail = key[em][eo], other[em][eo]
+                if len(hkey) and len(ekey):
+                    lo = np.searchsorted(ekey, hnode, side="left")
+                    hi = np.searchsorted(ekey, hnode, side="right")
+                    counts = (hi - lo).astype(np.int64)
+                    total = int(counts.sum())
+                    base = np.repeat(lo, counts)
+                    offs = np.arange(total, dtype=np.int64) \
+                        - np.repeat(np.concatenate(
+                            ([0], np.cumsum(counts)[:-1])), counts)
+                    idx = base + offs
+                    s_tail = etail[idx]
+                    s_si = np.repeat(hkey // _SHIFT, counts)
+                    s_sig = np.repeat(hsig, counts)
+                    s_del = np.repeat(hdelta, counts)
+                else:
+                    s_tail = np.empty(0, np.int64)
+                    s_si = np.empty(0, np.int64)
+                    s_sig = np.empty(0, np.int64)
+                    s_del = np.empty(0, np.int64)
+            else:
+                s_tail = np.empty(0, np.int64)
+                s_si = np.empty(0, np.int64)
+                s_sig = np.empty(0, np.int64)
+                s_del = np.empty(0, np.int64)
+            ne = int(em.sum())
+            ns = int(stm.sum())
+            nd = len(dk)
+            no = len(s_tail)
+            return pa.table({
+                "bucket": pa.array(np.concatenate(
+                    [np.full(ne + ns + nd, bkt, np.int64),
+                     route(s_tail), [bkt]]), pa.int64()),
+                "key": pa.array(np.concatenate(
+                    [key[em], key[stm], dk % _SHIFT, s_tail, [_SENT]]),
+                    pa.int64()),
+                "other": pa.array(np.concatenate(
+                    [other[em],
+                     np.full(ns + nd + no + 1, _SENT, np.int64)]),
+                    pa.int64()),
+                "si": pa.array(np.concatenate(
+                    [np.full(ne, -1, np.int64), si[stm], dk // _SHIFT,
+                     s_si, [-1]]), pa.int64()),
+                "sigma": pa.array(np.concatenate(
+                    [np.zeros(ne, np.int64), sigma[stm],
+                     np.zeros(nd, np.int64), s_sig, [0]]), pa.int64()),
+                "delta": pa.array(np.concatenate(
+                    [np.zeros(ne, np.int64), np.zeros(ns, np.int64),
+                     dv, s_del, [0]]), pa.int64()),
+                "d": pa.array(np.concatenate(
+                    [np.full(ne, -1, np.int64), dpt[stm],
+                     np.full(nd + no + 1, -1, np.int64)]), pa.int64()),
+                "tag": pa.array(np.concatenate(
+                    [np.zeros(ne, np.int8), np.ones(ns, np.int8),
+                     np.full(nd, 2, np.int8), np.full(no, 3, np.int8),
+                     [0]]).astype(np.int8), pa.int8())})
+        return round_fn
+
+    cur = simple.map_batches(edge_rows, batch_format="pyarrow") \
+        .union(state.map_batches(state_rows, batch_format="pyarrow"))
+    for layer in range(dmax, -1, -1):
+        cur = cur.groupby("bucket").map_groups(
+            make_round(layer), batch_format="pyarrow").materialize()
+
+    src_np = np.asarray(sources, np.int64)
+
+    def bc_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("tag"), 2),
+                       pc.greater_equal(t.column("key"), 0))
+        t = t.filter(keep)
+        si, node = _np(t.column("si")), _np(t.column("key"))
+        delta = _np(t.column("delta"))
+        ok = node != src_np[si]            # v != s (Brandes endpoints rule)
+        return pa.table({"node": np.concatenate([node[ok], [_SENT]]),
+                         "delta": np.concatenate([delta[ok], [0]])})
+
+    def bc_fin(t: pa.Table) -> pa.Table:
+        node, delta = _np(t.column("node")), _np(t.column("delta"))
+        real = node >= 0
+        g = pa.table({"node": pa.array(node[real], pa.int64()),
+                      "bc_micro": pa.array(delta[real], pa.int64())}) \
+            .group_by("node").aggregate([("bc_micro", "sum")])
+        g = g.filter(pc.greater(g.column("bc_micro_sum"), 0))
+        return pa.table({
+            "node": pa.concat_arrays(
+                [g.column("node").combine_chunks(),
+                 pa.array([_SENT], pa.int64())]),
+            "bc_micro": pa.concat_arrays(
+                [g.column("bc_micro_sum").combine_chunks(),
+                 pa.array([0], pa.int64())])})
+
+    out = bucketed_group_agg(cur, bc_rows, "node", bc_fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

@@ -1033,3 +1033,82 @@ def test_metapath_partition_invariance():
             ["label_a", "pred_ab", "label_m", "pred_mc", "label_c"])
     assert len(a) > 0
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# betweenness_sampled
+# ---------------------------------------------------------------------------
+
+def _brute_betweenness(pairs, sources, scale=10**6):
+    """Plain-Python Brandes with the engine's exact integer contract:
+    delta(v) = sum over shortest-path successors w of
+    (sigma_v * (scale + delta_w)) // sigma_w, bc = sum over sources."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+    bc = defaultdict(int)
+    for s in sources:
+        dist, sigma = {s: 0}, {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(int)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += (sigma[v] * (scale + delta[w])) // sigma[w]
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+    return {v: d for v, d in bc.items() if d > 0}
+
+
+def test_betweenness_path_and_diamond():
+    got = _df(graph.betweenness_sampled(
+        _edges([(0, 1), (1, 2), (2, 3)]), sources=(0,), num_buckets=4),
+        "node")
+    assert dict(zip(got.node, got.bc_micro)) == {1: 2_000_000, 2: 1_000_000}
+    got = _df(graph.betweenness_sampled(
+        _edges([(0, 1), (0, 2), (1, 3), (2, 3)]), sources=(0,),
+        num_buckets=4), "node")
+    # two shortest paths to 3 split the dependency: 1/2 each
+    assert dict(zip(got.node, got.bc_micro)) == {1: 500_000, 2: 500_000}
+
+
+def test_betweenness_matches_brute_force():
+    pairs = [(i % 11, (i * 7 + 3) % 11) for i in range(60)
+             if i % 11 != (i * 7 + 3) % 11]
+    # duplicate edges must not double-count paths
+    pairs = pairs + pairs[:10]
+    srcs = (0, 4, 9)
+    got = _df(graph.betweenness_sampled(_edges(pairs), sources=srcs,
+                                        num_buckets=8), "node")
+    assert dict(zip(got.node, got.bc_micro)) == \
+        _brute_betweenness(pairs, srcs)
+
+
+def test_betweenness_partition_invariance():
+    pairs = [(i % 13, (i * 5 + 2) % 13) for i in range(70)
+             if i % 13 != (i * 5 + 2) % 13]
+    a = _df(graph.betweenness_sampled(_edges(pairs).repartition(1),
+                                      sources=(0, 3), num_buckets=4),
+            "node")
+    b = _df(graph.betweenness_sampled(_edges(pairs).repartition(8),
+                                      sources=(0, 3), num_buckets=16),
+            "node")
+    assert len(a) > 0
+    assert a.equals(b)
+    assert dict(zip(a.node, a.bc_micro)) == \
+        _brute_betweenness(pairs, (0, 3))
