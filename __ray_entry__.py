@@ -943,6 +943,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness":
             lambda sf: graph.betweenness_sampled(graph.synth_graph_edges(),
                                                  sources=(0, 7, 13)),
+        # sampled harmonic (inward reachability) centrality from the same
+        # multi-source wavefront
+        "graph_harmonic":
+            lambda sf: graph.harmonic_sampled(graph.synth_graph_edges(),
+                                              sources=(0, 7, 13)),
         # GraphSAGE-style 1-hop neighbor feature aggregation: graph joined
         # to the embeddings table (scaled-int exact means, dim-exploded)
         "graph_neighbor_means":
@@ -1401,15 +1406,12 @@ def _jaccard_sql(min_cn: int, max_neighbors: int = 128) -> str:
     WHERE sc.cn >= {min_cn}"""
 
 
-def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
-    """Twin of raykg.ops.graph.betweenness_sampled: multi-source BFS with
-    path counting unrolled to ``rounds`` levels (levels past the graph's
-    eccentricity settle nothing, so any rounds >= ecc gives the identical
-    fixpoint — the engine ran to ecc 14 on this graph, 16 leaves margin),
-    then the integer-exact dependency recursion unrolled back DOWN the
-    layers: delta(v) = sum((sigma_v * (1000000 + delta_w)) // sigma_w)
-    over depth-(L+1) heads w — BIGINT floor division term for term, summed
-    order-free, exactly the engine contract."""
+def _bfs_sigma_sql(sources: tuple, rounds: int) -> str:
+    """Shared forward pass for the sampled-centrality twins: multi-source
+    BFS with path counting unrolled to ``rounds`` levels (levels past the
+    graph's eccentricity settle nothing, so any rounds >= ecc gives the
+    identical fixpoint — the engine ran to ecc 14 on this graph, 16 leaves
+    margin). Ends with ``st`` = (s, node, d, sigma)."""
     srcs = ", ".join(str(int(s)) for s in sources)
     sql = _graph_sql() + f""",
     e AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
@@ -1426,8 +1428,25 @@ def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
       GROUP BY 1, 2),
     cum{r} AS MATERIALIZED (SELECT * FROM cum{r - 1}
                             UNION ALL SELECT * FROM st{r})"""
-    sql += f""",
-    st AS MATERIALIZED (SELECT * FROM cum{rounds}),
+    return sql + f""",
+    st AS MATERIALIZED (SELECT * FROM cum{rounds})"""
+
+
+def _harmonic_sql(sources: tuple, rounds: int = 16) -> str:
+    """Twin of raykg.ops.graph.harmonic_sampled: one integer floor term
+    per (source, reached node) pair, summed order-free."""
+    return _bfs_sigma_sql(sources, rounds) + """
+    SELECT node, sum(1000000 // d)::BIGINT AS harm_micro
+    FROM st WHERE d > 0 GROUP BY node"""
+
+
+def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
+    """Twin of raykg.ops.graph.betweenness_sampled: the shared forward
+    pass, then the integer-exact dependency recursion unrolled back DOWN
+    the layers: delta(v) = sum((sigma_v * (1000000 + delta_w)) // sigma_w)
+    over depth-(L+1) heads w — BIGINT floor division term for term, summed
+    order-free, exactly the engine contract."""
+    sql = _bfs_sigma_sql(sources, rounds) + f""",
     dl{rounds} AS (SELECT s, node, 0::BIGINT AS delta FROM st WHERE 1 = 0)"""
     for lvl in range(rounds - 1, -1, -1):
         sql += f""",
@@ -1596,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_link_pred": _link_pred_sql(2),
         "graph_jaccard": _jaccard_sql(2),
         "graph_betweenness": _betweenness_sql((0, 7, 13)),
+        "graph_harmonic": _harmonic_sql((0, 7, 13)),
         # scaled-int exact neighbor means: float32 -> double is exact, and
         # floor(v * 1e6) / integer SUM / one final division are the same
         # IEEE ops the engine performs (ops/graph.py EMB_SCALE contract)

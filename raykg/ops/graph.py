@@ -3768,3 +3768,75 @@ def betweenness_sampled(edges: rd.Dataset, sources: tuple = (0, 7, 13),
     return out.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+def harmonic_sampled(edges: rd.Dataset, sources: tuple = (0, 7, 13),
+                     num_buckets: int = 256,
+                     max_rounds: int = 64) -> rd.Dataset:
+    """(node, harm_micro): sampled harmonic centrality (Boldi & Vigna
+    2014) — harm(t) = Σ_{s ∈ sources, d(s,t) > 0} floor(10^6 / d(s,t)),
+    the inward reachability score estimated from the same sampled-source
+    wavefront betweenness uses. Integer micro-units (one floor per term,
+    order-free int64 sum) so the DuckDB twin is bit-exact. Cost: ONE
+    multi-source BFS (:func:`_frontier_bfs_sigma`, one fused exchange per
+    round) + one node-keyed count exchange; the σ counts ride along unused
+    — the state is shared with betweenness when both are wanted."""
+    sources = tuple(int(s) for s in sources)
+    if len(set(sources)) != len(sources):
+        raise ValueError("harmonic sources must be distinct")
+
+    def ded_comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        pk = np.unique(src[keep] * _SHIFT + dst[keep])
+        return pa.table({"pk": np.concatenate([pk, [_SENT]])})
+
+    def ded_fin(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = np.unique(pk[pk >= 0])
+        return pa.table({"src": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "dst": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    simple = bucketed_group_agg(edges, ded_comb, "pk", ded_fin,
+                                num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("src"), 0)),
+        batch_format="pyarrow")
+    state = _frontier_bfs_sigma(simple, sources, max_rounds, num_buckets)
+
+    def comb(t: pa.Table) -> pa.Table:
+        node, d = _np(t.column("node")), _np(t.column("d"))
+        keep = d > 0
+        node, d = node[keep], d[keep]
+        term = (10**6) // d
+        g = pa.table({"node": pa.array(node, pa.int64()),
+                      "harm_micro": pa.array(term, pa.int64())}) \
+            .group_by("node").aggregate([("harm_micro", "sum")])
+        return pa.table({
+            "node": pa.concat_arrays(
+                [g.column("node").combine_chunks(),
+                 pa.array([_SENT], pa.int64())]),
+            "harm_micro": pa.concat_arrays(
+                [g.column("harm_micro_sum").combine_chunks(),
+                 pa.array([0], pa.int64())])})
+
+    def fin(t: pa.Table) -> pa.Table:
+        node = _np(t.column("node"))
+        hm = _np(t.column("harm_micro"))
+        real = node >= 0
+        g = pa.table({"node": pa.array(node[real], pa.int64()),
+                      "harm_micro": pa.array(hm[real], pa.int64())}) \
+            .group_by("node").aggregate([("harm_micro", "sum")])
+        return pa.table({
+            "node": pa.concat_arrays(
+                [g.column("node").combine_chunks(),
+                 pa.array([_SENT], pa.int64())]),
+            "harm_micro": pa.concat_arrays(
+                [g.column("harm_micro_sum").combine_chunks(),
+                 pa.array([0], pa.int64())])})
+
+    out = bucketed_group_agg(state, comb, "node", fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

@@ -1112,3 +1112,40 @@ def test_betweenness_partition_invariance():
     assert a.equals(b)
     assert dict(zip(a.node, a.bc_micro)) == \
         _brute_betweenness(pairs, (0, 3))
+
+
+def test_harmonic_tiny_and_invariance():
+    # path 0 -> 1 -> 2 -> 3 from source 0: 10^6/d floor terms
+    got = _df(graph.harmonic_sampled(_edges([(0, 1), (1, 2), (2, 3)]),
+                                     sources=(0,), num_buckets=4), "node")
+    assert dict(zip(got.node, got.harm_micro)) == \
+        {1: 1_000_000, 2: 500_000, 3: 333_333}
+    # two sources sum their terms; duplicate edges don't change distances
+    pairs = [(i % 13, (i * 5 + 2) % 13) for i in range(70)
+             if i % 13 != (i * 5 + 2) % 13]
+    a = _df(graph.harmonic_sampled(_edges(pairs), sources=(0, 3),
+                                   num_buckets=4), "node")
+    b = _df(graph.harmonic_sampled(_edges(pairs + pairs).repartition(8),
+                                   sources=(0, 3), num_buckets=16), "node")
+    assert len(a) > 0 and a.equals(b)
+
+    # brute force over BFS distances with the same floor contract
+    from collections import deque
+    import collections
+    adj = collections.defaultdict(set)
+    for x, y in pairs:
+        adj[x].add(y)
+    want = collections.defaultdict(int)
+    for s in (0, 3):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for t_, d_ in dist.items():
+            if d_ > 0:
+                want[t_] += 10**6 // d_
+    assert dict(zip(a.node, a.harm_micro)) == dict(want)
