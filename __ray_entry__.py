@@ -948,6 +948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_harmonic":
             lambda sf: graph.harmonic_sampled(graph.synth_graph_edges(),
                                               sources=(0, 7, 13)),
+        # k-truss community core: synchronous triangle-support peel
+        "graph_ktruss":
+            lambda sf: graph.ktruss_edges(graph.synth_graph_edges(), k=4),
         # GraphSAGE-style 1-hop neighbor feature aggregation: graph joined
         # to the embeddings table (scaled-int exact means, dim-exploded)
         "graph_neighbor_means":
@@ -1467,6 +1470,29 @@ def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
     GROUP BY node HAVING sum(delta) > 0"""
 
 
+def _ktruss_sql(k: int, rounds: int = 8) -> str:
+    """Twin of raykg.ops.graph.ktruss_edges: the peel unrolled to exactly
+    ``rounds`` filter applications (identity once the fixpoint is
+    reached; the engine RAISES if it hasn't converged within the same
+    bound, so the two sides can't silently diverge). support(a, b) =
+    count of w adjacent to both endpoints within the current edge set."""
+    sql = _graph_sql() + """,
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                               greatest(src, dst) AS b
+                        FROM g WHERE src <> dst)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    nbr{r} AS MATERIALIZED (SELECT a AS w, b AS u FROM e{r - 1}
+                            UNION ALL SELECT b, a FROM e{r - 1}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN nbr{r} n1 ON n1.u = e.a
+      JOIN nbr{r} n2 ON n2.u = e.b AND n2.w = n1.w
+      GROUP BY e.a, e.b HAVING count(*) >= {k - 2})"""
+    return sql + f"""
+    SELECT a, b FROM e{rounds}"""
+
+
 def _bpe_sql(n_merges: int) -> str:
     """Unrolled BPE training twin of raykg.ops.corpus.bpe_train: symbol
     sequences as double-separator strings (see _BPE_SEP there), merge
@@ -1616,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard": _jaccard_sql(2),
         "graph_betweenness": _betweenness_sql((0, 7, 13)),
         "graph_harmonic": _harmonic_sql((0, 7, 13)),
+        "graph_ktruss": _ktruss_sql(4),
         # scaled-int exact neighbor means: float32 -> double is exact, and
         # floor(v * 1e6) / integer SUM / one final division are the same
         # IEEE ops the engine performs (ops/graph.py EMB_SCALE contract)

@@ -3840,3 +3840,156 @@ def harmonic_sampled(edges: rd.Dataset, sources: tuple = (0, 7, 13),
     return out.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (triangle-support peeling)
+# ---------------------------------------------------------------------------
+
+def _edge_support(und: rd.Dataset, num_buckets: int,
+                  max_neighbors: int) -> rd.Dataset:
+    """(a, b, support) for every undirected edge in ``und`` (distinct
+    a < b pairs): support = number of triangles the edge closes = common
+    neighbors of a and b within the CURRENT edge set. Center-keyed wedge
+    enumeration + one pair-keyed join against the edge set — the
+    link_prediction_scores plan restricted to actual edges. A center with
+    more than ``max_neighbors`` neighbors RAISES (truss peeling is a
+    correctness contract — a silently skipped hub would undercount
+    support and peel valid edges; raise the cap for hubby graphs)."""
+
+    def nbr_rows(t: pa.Table) -> pa.Table:
+        a, b = _np(t.column("a")), _np(t.column("b"))
+        w = np.concatenate([a, b])
+        u = np.concatenate([b, a])
+        pk = np.unique(w * _SHIFT + u)
+        return pa.table({"w": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "u": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    def wedge_fin(t: pa.Table) -> pa.Table:
+        w, u = _np(t.column("w")), _np(t.column("u"))
+        real = w >= 0
+        pk = np.unique(w[real] * _SHIFT + u[real])
+        w, u = pk // _SHIFT, pk % _SHIFT
+        seg = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1]))) \
+            if len(w) else np.empty(0, np.int64)
+        seglen = np.diff(np.concatenate([seg, [len(w)]])).astype(np.int64)
+        if len(seglen) and int(seglen.max()) > max_neighbors:
+            raise ValueError(
+                f"ktruss: a node has {int(seglen.max())} neighbors > "
+                f"max_neighbors={max_neighbors}; support through it "
+                "cannot be skipped without corrupting the peel — raise "
+                "max_neighbors")
+        pks = [np.empty(0, np.int64)]
+        for i, s0 in enumerate(seg.tolist()):
+            d = int(seglen[i])
+            if d < 2:
+                continue
+            nbrs = u[s0:s0 + d]
+            ia, ib = np.triu_indices(d, k=1)
+            pks.append(nbrs[ia] * _SHIFT + nbrs[ib])
+        pk2 = np.concatenate(pks)
+        n = len(pk2)
+        return pa.table({
+            "pk": np.concatenate([pk2, [_SENT]]),
+            "c": np.concatenate([np.ones(n, np.int64), [0]]),
+            "is_edge": np.zeros(n + 1, np.int64)})
+
+    wedges = bucketed_group_agg(und, nbr_rows, "w", wedge_fin,
+                                num_buckets=num_buckets)
+
+    def edge_tag(t: pa.Table) -> pa.Table:
+        a, b = _np(t.column("a")), _np(t.column("b"))
+        n = len(a)
+        return pa.table({
+            "pk": np.concatenate([a * _SHIFT + b, [_SENT]]),
+            "c": np.zeros(n + 1, np.int64),
+            "is_edge": np.concatenate([np.ones(n, np.int64), [0]])})
+
+    def sup_fin(t: pa.Table) -> pa.Table:
+        pk, c = _np(t.column("pk")), _np(t.column("c"))
+        ie = _np(t.column("is_edge"))
+        real = pk >= 0
+        pk, c, ie = pk[real], c[real], ie[real]
+        order = np.argsort(pk, kind="stable")
+        pk, c, ie = pk[order], c[order], ie[order]
+        seg = np.flatnonzero(np.concatenate(([True], pk[1:] != pk[:-1]))) \
+            if len(pk) else np.empty(0, np.int64)
+        sup = np.add.reduceat(c, seg) if len(seg) else \
+            np.empty(0, np.int64)
+        edge = np.maximum.reduceat(ie, seg) if len(seg) else \
+            np.empty(0, np.int64)
+        upk = pk[seg]
+        keep = edge == 1                       # only actual edges
+        upk, sup = upk[keep], sup[keep]
+        return pa.table({
+            "a": np.concatenate([upk // _SHIFT, [_SENT]]),
+            "b": np.concatenate([upk % _SHIFT, [_SENT]]),
+            "support": np.concatenate([sup, [0]])})
+
+    return bucketed_group_agg(
+        wedges.union(und.map_batches(edge_tag, batch_format="pyarrow")),
+        lambda t: t, "pk", sup_fin, num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("a"), 0)),
+        batch_format="pyarrow")
+
+
+def ktruss_edges(edges: rd.Dataset, k: int = 4, max_rounds: int = 8,
+                 num_buckets: int = 256,
+                 max_neighbors: int = 4096) -> rd.Dataset:
+    """(a, b): the k-truss of the undirected simple graph — the maximal
+    subgraph in which every edge closes at least k-2 triangles WITHIN the
+    subgraph (Cohen 2008); the triangle-cohesion sibling of k-core, the
+    standard community-core extractor. Synchronous peel: each round
+    recomputes every surviving edge's support over the CURRENT edge set
+    and drops edges below k-2, until a fixpoint. Raises if the peel has
+    not converged after ``max_rounds`` — the DuckDB twin unrolls exactly
+    ``max_rounds`` rounds (identity once the fixpoint is reached, so any
+    bound >= the data's peel depth verifies bit-for-bit; the loud failure
+    keeps both sides honest instead of silently diverging).
+
+    Scale shape per round: one center-keyed wedge exchange (O(Σ deg²)
+    wedges, the triangle plan's cost envelope — ``max_neighbors`` RAISES
+    on celebrity nodes rather than skipping, because a skipped hub would
+    corrupt the peel) + one pair-keyed count/tag exchange. Nothing
+    node- or edge-sized lands on the driver; the driver sees one count
+    per round for the fixpoint test."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+
+    def und_comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": np.concatenate([pk, [_SENT]])})
+
+    def und_fin(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = np.unique(pk[pk >= 0])
+        return pa.table({"a": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "b": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    cur = bucketed_group_agg(edges, und_comb, "pk", und_fin,
+                             num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("a"), 0)),
+        batch_format="pyarrow").materialize()
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        sup = _edge_support(cur, num_buckets, max_neighbors)
+        nxt = sup.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("support"),
+                                                k - 2))
+            .select(["a", "b"]), batch_format="pyarrow").materialize()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"ktruss did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (and regenerate the oracle's unroll bound)")
+    return cur

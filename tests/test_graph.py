@@ -1149,3 +1149,62 @@ def test_harmonic_tiny_and_invariance():
             if d_ > 0:
                 want[t_] += 10**6 // d_
     assert dict(zip(a.node, a.harm_micro)) == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# ktruss_edges
+# ---------------------------------------------------------------------------
+
+def _brute_ktruss(pairs, k):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nxt = {(a, b) for a, b in und
+               if len(adj[a] & adj[b]) >= k - 2}
+        if nxt == und:
+            return und
+        und = nxt
+
+
+def test_ktruss_k4_peels_cascade():
+    # K4 on {0,1,2,3} (every edge closes 2 triangles) survives k=4;
+    # a triangle hanging off it ({3,4,5}) has support-1 edges -> peeled,
+    # and the bridge 3-4 peels with it
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 4), (3, 5), (4, 5)]
+    pairs = k4 + extra
+    got = _df(graph.ktruss_edges(_edges(pairs), k=4, num_buckets=8),
+              ["a", "b"])
+    assert {(r.a, r.b) for r in got.itertuples()} == set(k4)
+    assert _brute_ktruss(pairs, 4) == set(k4)
+    # at k=3 everything with one triangle survives
+    got3 = _df(graph.ktruss_edges(_edges(pairs), k=3, num_buckets=8),
+               ["a", "b"])
+    assert {(r.a, r.b) for r in got3.itertuples()} == \
+        _brute_ktruss(pairs, 3) == set(pairs)
+
+
+def test_ktruss_matches_brute_force_and_invariance():
+    edges = graph.synth_graph_edges(200)
+    df = edges.to_pandas()
+    pairs = list(zip(df["src"].tolist(), df["dst"].tolist()))
+    want = _brute_ktruss(pairs, 4)
+    assert len(want) > 0           # the dense communities keep a 4-truss
+    a = _df(graph.ktruss_edges(edges, k=4, num_buckets=8), ["a", "b"])
+    assert {(r.a, r.b) for r in a.itertuples()} == want
+    b = _df(graph.ktruss_edges(edges.repartition(8), k=4,
+                               num_buckets=16), ["a", "b"])
+    assert a.equals(b)
+
+
+def test_ktruss_empty_and_nonconvergence_guard():
+    # triangle-free graph: everything peels to empty on round 1
+    got = graph.ktruss_edges(_edges([(0, 1), (1, 2), (2, 3)]), k=4,
+                             num_buckets=4).to_pandas()
+    assert len(got) == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k >= 3"):
+        graph.ktruss_edges(_edges([(0, 1)]), k=2)
