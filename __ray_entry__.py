@@ -833,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ann.ann_bruteforce(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_lsh": lambda sf: ann.ann_lsh(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "ann_ivf": lambda sf: ann.ann_ivf(_emb(sf), [0, 1, 2, 3, 4], k=5),
+        # MMR diversified top-k (relevant-but-mutually-different picks;
+        # greedy integer-exact selection, one distributed scan per step)
+        "mmr_select": lambda sf: ann.mmr_select(_emb(sf), query_id=0, k=8),
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
@@ -1491,6 +1494,47 @@ def _ktruss_sql(k: int, rounds: int = 8) -> str:
       GROUP BY e.a, e.b HAVING count(*) >= {k - 2})"""
     return sql + f"""
     SELECT a, b FROM e{rounds}"""
+
+
+def _mmr_sql(query_id: int = 0, k: int = 8, lam_num: int = 7,
+             lam_den: int = 10) -> str:
+    """Twin of raykg.ops.ann.mmr_select: the greedy selection unrolled to
+    k steps, each an argmax of lam_num*rel - (lam_den-lam_num)*maxsim
+    over pure BIGINT dot products of floor(v*1e6) components, ties to the
+    smallest vec_id — the engine's exact integer contract."""
+    a, b = lam_num, lam_den - lam_num
+    sql = f"""
+    WITH ev AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    qv AS MATERIALIZED (SELECT i, q FROM ev WHERE vec_id = {query_id}),
+    rel AS MATERIALIZED (
+      SELECT ev.vec_id, sum(ev.q * qv.q)::BIGINT AS rel
+      FROM ev JOIN qv USING (i)
+      WHERE ev.vec_id <> {query_id}
+      GROUP BY 1),
+    sel0("rank", vec_id, score) AS (
+      SELECT 0::BIGINT, (-1)::BIGINT, 0::BIGINT WHERE 1 = 0)"""
+    for r in range(1, k + 1):
+        sql += f""",
+    ms{r} AS MATERIALIZED (
+      SELECT p.vec_id, max(p.d) AS maxsim FROM (
+        SELECT e1.vec_id, s.vec_id AS sid, sum(e1.q * e2.q)::BIGINT AS d
+        FROM ev e1 JOIN sel{r - 1} s ON TRUE
+        JOIN ev e2 ON e2.vec_id = s.vec_id AND e2.i = e1.i
+        GROUP BY 1, 2) p GROUP BY 1),
+    s{r} AS MATERIALIZED (
+      SELECT {r}::BIGINT AS "rank", r.vec_id,
+             ({a} * r.rel - {b} * coalesce(m.maxsim, 0))::BIGINT AS score
+      FROM rel r LEFT JOIN ms{r} m ON m.vec_id = r.vec_id
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      ORDER BY score DESC, r.vec_id LIMIT 1),
+    sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1}
+                            UNION ALL SELECT * FROM s{r})"""
+    return sql + f"""
+    SELECT "rank", vec_id, score FROM sel{k}"""
 
 
 def _bpe_sql(n_merges: int) -> str:
@@ -2968,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY cos_sim DESC, neighbor_id) <= 5""",
+        "mmr_select": _mmr_sql(0, 8),
         "ann_ivf": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 16),

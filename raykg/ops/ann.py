@@ -624,3 +624,96 @@ def random_projection(embeddings: rd.Dataset, k: int = 8,
 
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# maximal marginal relevance (diversified top-k selection)
+# ---------------------------------------------------------------------------
+
+def mmr_select(embeddings: rd.Dataset, query_id: int = 0, k: int = 8,
+               lam_num: int = 7, lam_den: int = 10) -> pa.Table:
+    """(rank, vec_id, score): Maximal Marginal Relevance selection
+    (Carbonell & Goldstein 1998) — k vectors chosen one at a time by
+    argmax of λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s), the standard
+    diversified-sampling / dedup-aware retrieval step of a training-data
+    curation pipeline (pick relevant-but-mutually-different documents).
+
+    Integer contract, bit-exact against the DuckDB twin: components
+    quantize to floor(v·10^6) int64 (the repo's EMB_SCALE contract);
+    rel and sim are raw int64 dot products; λ = lam_num/lam_den enters as
+    score = lam_num·rel − (lam_den − lam_num)·maxsim (pure int64, no
+    float anywhere); ties break to the smallest vec_id. The query vector
+    is the embedding of ``query_id`` (itself excluded from candidates).
+
+    Scale shape: one distributed scan per step — each batch reduces to a
+    single (score, vec_id) best row against the broadcast query + ≤ k
+    selected vectors (a k×dim closure, register-sized), and the driver
+    folds #blocks candidate rows per step. k scans total; the selection
+    loop is inherently sequential (each pick changes the next step's
+    scores), which is the exact MMR semantics — approximate batched
+    variants trade that away."""
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("need 0 < lam_num <= lam_den")
+
+    def quant_rows(ids: list[int]) -> dict[int, np.ndarray]:
+        rows = _rows_for_ids(embeddings, ids)
+        return {int(r["vec_id"]):
+                np.floor(np.asarray(r["embedding"], np.float64)
+                         * 1e6).astype(np.int64) for r in rows}
+
+    q = quant_rows([query_id]).get(int(query_id))
+    if q is None:
+        raise ValueError(f"query vec_id {query_id} not found")
+
+    selected: list[tuple[int, int]] = []     # (vec_id, score)
+    sel_vecs: list[np.ndarray] = []
+    for _ in range(k):
+        sel_ids = np.asarray([i for i, _ in selected] + [int(query_id)],
+                             np.int64)
+        smat = np.stack(sel_vecs) if sel_vecs else None
+        a, b = int(lam_num), int(lam_den - lam_num)
+
+        def best(t: pa.Table, q=q, sel_ids=sel_ids, smat=smat,
+                 a=a, b=b) -> pa.Table:
+            ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            emb = t.column("embedding").combine_chunks()
+            flat = np.floor(np.asarray(
+                emb.flatten().to_numpy(zero_copy_only=False),
+                np.float64) * 1e6).astype(np.int64)
+            X = flat.reshape(len(ids), -1)
+            keep = ~np.isin(ids, sel_ids)
+            ids, X = ids[keep], X[keep]
+            if not len(ids):
+                return pa.table({"vec_id": pa.array([-1], pa.int64()),
+                                 "score": pa.array([0], pa.int64()),
+                                 "vec": pa.array([[]],
+                                                 pa.list_(pa.int64()))})
+            rel = X @ q
+            maxsim = (X @ smat.T).max(axis=1) if smat is not None \
+                else np.zeros(len(ids), np.int64)
+            score = a * rel - b * maxsim
+            top = score.max()
+            pos = int(np.flatnonzero(
+                (score == top) & (ids == ids[score == top].min()))[0])
+            # the winner carries its own quantized vector so the driver
+            # never re-scans the corpus to fetch it
+            return pa.table({
+                "vec_id": pa.array([int(ids[pos])], pa.int64()),
+                "score": pa.array([int(top)], pa.int64()),
+                "vec": pa.array([X[pos].tolist()],
+                                pa.list_(pa.int64()))})
+
+        rows = embeddings.select_columns(["vec_id", "embedding"]) \
+            .map_batches(best, batch_format="pyarrow").take_all()
+        rows = [r for r in rows if r["vec_id"] >= 0]
+        if not rows:
+            break
+        win = max(rows, key=lambda r: (r["score"], -r["vec_id"]))
+        selected.append((int(win["vec_id"]), int(win["score"])))
+        sel_vecs.append(np.asarray(win["vec"], np.int64))
+
+    return pa.table({
+        "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+        "vec_id": pa.array([i for i, _ in selected], pa.int64()),
+        "score": pa.array([s for _, s in selected], pa.int64())})

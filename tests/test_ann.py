@@ -165,3 +165,57 @@ def test_random_projection_matches_brute_force():
     again = random_projection(ds.repartition(3), k=4).to_pandas() \
         .sort_values(["vec_id", "j"]).reset_index(drop=True)
     assert again.equals(got)
+
+
+def test_mmr_select_diversity_and_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from raykg.ops.ann import mmr_select
+
+    # query = [1, 0]; vec 1 is most relevant, vec 2 a near-duplicate of 1,
+    # vec 3 less relevant but diverse — MMR (lambda=0.7) must pick 3 over 2
+    vecs = {0: [1.0, 0.0],       # query
+            1: [0.95, 0.05],
+            2: [0.949, 0.0505],  # near-duplicate of 1
+            3: [0.70, -0.70],    # diverse, still relevant
+            4: [0.10, 0.12]}     # weakly related
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32())})
+    ds = rd.from_arrow(t)
+    # lambda = 1/2: score = rel - maxsim up to scale. The near-dup's
+    # penalty (sim to pick 1 = 0.904) eats its relevance edge, the diverse
+    # vec 3 (sim 0.63, rel 0.70) comes second, the near-dup third.
+    got = mmr_select(ds, query_id=0, k=3, lam_num=1, lam_den=2)
+    picks = got.column("vec_id").to_pylist()
+    assert picks == [1, 3, 2]
+    # pure relevance (lambda = 1) ranks by dot product alone
+    rel_only = mmr_select(ds, query_id=0, k=3, lam_num=1, lam_den=1)
+    assert rel_only.column("vec_id").to_pylist() == [1, 2, 3]
+
+    # brute-force mirror of the integer contract on the real table
+    ds2 = _emb().limit(200).materialize()
+    full = ds2.to_pandas()
+    Q = {int(r.vec_id): np.floor(np.asarray(r.embedding, np.float64)
+                                 * 1e6).astype(np.int64)
+         for r in full.itertuples()}
+    got2 = mmr_select(ds2, query_id=0, k=5)
+    q = Q[0]
+    sel = []
+    for _ in range(5):
+        best = None
+        for vid, v in Q.items():
+            if vid == 0 or vid in [s for s, _ in sel]:
+                continue
+            rel = int(v @ q)
+            ms = max((int(v @ Q[s]) for s, _ in sel), default=0)
+            sc = 7 * rel - 3 * ms
+            if best is None or sc > best[1] or (sc == best[1]
+                                                and vid < best[0]):
+                best = (vid, sc)
+        sel.append(best)
+    assert list(zip(got2.column("vec_id").to_pylist(),
+                    got2.column("score").to_pylist())) == sel
