@@ -705,6 +705,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": lambda sf: text.repetition_ratio(_docs(sf)),
         "doc_length_histogram":
             lambda sf: text.doc_length_histogram(_docs(sf)),
+        # per-doc fraction of n-grams first seen in this doc (crawl-
+        # snapshot novelty ordering signal)
+        "ngram_novelty": lambda sf: text.ngram_novelty(_docs(sf)),
+        # skyline of distinct (size, price) part points, exact int cents
+        "pareto_front": relational.pareto_front,
+        # exact distributed percentile_disc via domain-bounded histograms
+        "group_quantiles": relational.group_quantiles,
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
         # DSIR hashed-n-gram importance weights (Xie et al., NeurIPS'23):
         # target = lang-ID 'en' docs, features = sha-hashed unigram buckets
@@ -808,6 +815,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fast":
             lambda sf: dedup.simhash(_docs(sf), hash_family="fast"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
+        # asymmetric Broder containment: short doc quoted inside long one
+        "containment_pairs": lambda sf: dedup.containment_pairs(_docs(sf)),
+        # SymSpell deletion-blocked edit-distance-1 similarity join
+        "fuzzy_name_pairs": lambda sf: dedup.fuzzy_name_pairs(
+            rd.read_parquet(f"{sf}/part.parquet", columns=["p_name"]),
+            col="p_name"),
+        # exact integer-register Pearson over the lineitem measures
+        "numeric_correlation_matrix": relational.numeric_correlation_matrix,
         "embedding_neardup_pairs":
             lambda sf: dedup.embedding_neardup_pairs(_emb(sf)),
         # ExactSubstr signal (Lee et al. 2022): per-doc duplicated
@@ -2276,6 +2291,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT (len({_TOKS}) // 16)::BIGINT AS bin,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1""",
+        # corpus-wide first occurrence per gram, joined back per doc;
+        # docs with no grams (empty text) are absent on both sides
+        "ngram_novelty": f"""
+            WITH g AS (SELECT doc_id, unnest({_GRAMS}) AS gram
+                       FROM documents),
+            f AS (SELECT gram, min(doc_id) AS first_doc FROM g
+                  GROUP BY gram)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id
+                            THEN 1 ELSE 0 END)::BIGINT AS novel_grams,
+                   round(sum(CASE WHEN f.first_doc = g.doc_id
+                                  THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS novelty
+            FROM g JOIN f USING (gram)
+            GROUP BY g.doc_id""",
+        # quadratic dominance anti-join — the engine's local-front merge
+        # must reproduce the exact skyline
+        "pareto_front": """
+            WITH d AS (SELECT DISTINCT p_size::BIGINT AS p_size,
+                              floor(p_retailprice*100 + 0.5)::BIGINT
+                                  AS price_cents
+                       FROM part)
+            SELECT p_size, price_cents FROM d a
+            WHERE NOT EXISTS (SELECT 1 FROM d b
+                WHERE b.p_size >= a.p_size
+                  AND b.price_cents <= a.price_cents
+                  AND (b.p_size > a.p_size
+                       OR b.price_cents < a.price_cents))""",
+        # integer-exact percentile_disc: least cents with cum*4 >= k*n —
+        # the engine's searchsorted pick written as a window scan (no
+        # reliance on quantile_disc's index convention)
+        "group_quantiles": """
+            WITH h AS (SELECT l_returnflag AS group_key,
+                              floor(l_extendedprice*100 + 0.5)::BIGINT
+                                  AS cents,
+                              count(*)::BIGINT AS c
+                       FROM lineitem GROUP BY 1, 2),
+            cum AS (SELECT group_key, cents,
+                           sum(c) OVER (PARTITION BY group_key
+                                        ORDER BY cents) AS cum,
+                           sum(c) OVER (PARTITION BY group_key) AS n
+                    FROM h),
+            qs AS (SELECT unnest([1, 2, 3]) AS k),
+            hit AS (SELECT group_key, k, cents,
+                           row_number() OVER (PARTITION BY group_key, k
+                                              ORDER BY cents) AS rn
+                    FROM cum CROSS JOIN qs
+                    WHERE cum * 4 >= k * n)
+            SELECT group_key, k / 4.0 AS q,
+                   round(cents / 100.0, 2) AS value
+            FROM hit WHERE rn = 1""",
         "unigram_logprob": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
             c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
@@ -2804,6 +2870,63 @@ def oracle_sql() -> dict[str, str]:
                     ON a.source = b.source AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, round(jac, 4) AS jaccard
             FROM p WHERE jac >= 0.5""",
+        # ordered-pair containment |A∩B|/|A| within a source block
+        "containment_pairs": f"""
+            WITH g AS (SELECT doc_id, source, {_GRAMS} AS grams
+                       FROM documents),
+            p AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+                         len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(a.grams) AS cont
+                  FROM g a JOIN g b
+                    ON a.source = b.source AND a.doc_id <> b.doc_id
+                  WHERE len(a.grams) > 0)
+            SELECT doc_sub, doc_super, round(cont, 4) AS containment
+            FROM p WHERE cont >= 0.8""",
+        # quadratic levenshtein self-join — the engine's deletion-
+        # neighborhood blocking must reproduce it exactly
+        "fuzzy_name_pairs": """
+            WITH w AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM w a JOIN w b
+              ON a.name < b.name AND levenshtein(a.name, b.name) <= 1""",
+        # exact integer moment registers (BIGINT->HUGEINT widening mirrors
+        # the engine's Python-int partials); r is one double expression
+        "numeric_correlation_matrix": """
+            WITH q AS (SELECT floor(l_quantity*100 + 0.5)::HUGEINT AS c0,
+                              floor(l_extendedprice*100 + 0.5)::HUGEINT AS c1,
+                              floor(l_discount*100 + 0.5)::HUGEINT AS c2,
+                              floor(l_tax*100 + 0.5)::HUGEINT AS c3
+                       FROM lineitem),
+            s AS (
+              SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                     count(*)::HUGEINT AS n, sum(c0) AS sx, sum(c1) AS sy,
+                     sum(c0*c1) AS sxy, sum(c0*c0) AS sx2, sum(c1*c1) AS sy2
+              FROM q
+              UNION ALL
+              SELECT 'l_quantity', 'l_discount', count(*)::HUGEINT,
+                     sum(c0), sum(c2), sum(c0*c2), sum(c0*c0), sum(c2*c2)
+              FROM q
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax', count(*)::HUGEINT,
+                     sum(c0), sum(c3), sum(c0*c3), sum(c0*c0), sum(c3*c3)
+              FROM q
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_discount', count(*)::HUGEINT,
+                     sum(c1), sum(c2), sum(c1*c2), sum(c1*c1), sum(c2*c2)
+              FROM q
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax', count(*)::HUGEINT,
+                     sum(c1), sum(c3), sum(c1*c3), sum(c1*c1), sum(c3*c3)
+              FROM q
+              UNION ALL
+              SELECT 'l_discount', 'l_tax', count(*)::HUGEINT,
+                     sum(c2), sum(c3), sum(c2*c3), sum(c2*c2), sum(c3*c3)
+              FROM q)
+            SELECT col_x, col_y, n::BIGINT AS n_rows,
+                   round((n*sxy - sx*sy)::DOUBLE
+                         / (sqrt((n*sx2 - sx*sx)::DOUBLE)
+                            * sqrt((n*sy2 - sy*sy)::DOUBLE)), 4) AS r
+            FROM s""",
         "embedding_neardup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

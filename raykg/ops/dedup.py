@@ -397,6 +397,62 @@ def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
     return with_grams.groupby("part").map_groups(pairs, batch_format="pyarrow")
 
 
+def containment_pairs(documents: rd.Dataset, gram: int = 3,
+                      threshold: float = 0.8,
+                      partition_col: str = "source",
+                      max_block: int = 20_000) -> rd.Dataset:
+    """(doc_sub, doc_super, containment): ASYMMETRIC n-gram containment
+    |G(sub) ∩ G(super)| / |G(sub)| >= ``threshold`` for ordered pairs
+    within a partition key — Broder's containment coefficient, the
+    near-dup signal Jaccard misses when a short document is wholly
+    quoted inside a much longer one (the union term drowns the overlap).
+    Both directions of every pair are tested; a direction is emitted iff
+    it passes. Same blocked-all-pairs shape and ``max_block`` cap-with-
+    warning discipline as :func:`ngram_jaccard_pairs` (the blocking key
+    bounds the quadratic term; intersections are computed once per
+    unordered pair and reused for both directions)."""
+
+    def add_grams(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "part": t.column(partition_col),
+            "grams": pa.array([_grams(s, gram)
+                               for s in t.column("text").to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    with_grams = documents.select_columns(["doc_id", "text", partition_col]) \
+        .map_batches(add_grams, batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_pylist()
+        grams = [set(g) for g in t.column("grams").to_pylist()]
+        capped = _cap_block(docs, t.column("part")[0].as_py() if t.num_rows
+                            else None, max_block, "containment_pairs")
+        if capped is not None:
+            keep = set(capped)
+            sel = [i for i, d in enumerate(docs) if d in keep]
+            docs = [docs[i] for i in sel]
+            grams = [grams[i] for i in sel]
+        order = sorted(range(len(docs)), key=lambda k: docs[k])
+        sub_col, sup_col, c_col = [], [], []
+        for x, y in combinations(order, 2):
+            inter = len(grams[x] & grams[y])
+            for sub, sup in ((x, y), (y, x)):
+                if not grams[sub]:
+                    continue
+                cont = inter / len(grams[sub])
+                if cont >= threshold:
+                    sub_col.append(docs[sub])
+                    sup_col.append(docs[sup])
+                    c_col.append(round_half_away(cont, 4))
+        return pa.table({"doc_sub": pa.array(sub_col, pa.int64()),
+                         "doc_super": pa.array(sup_col, pa.int64()),
+                         "containment": pa.array(c_col, pa.float64())})
+
+    return with_grams.groupby("part").map_groups(pairs, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
                             block_col: str = "label",
                             max_block: int = 50_000) -> rd.Dataset:
@@ -890,3 +946,96 @@ def decontaminate(documents: rd.Dataset, span: int = 8,
 
     return bucketed_group_agg(flagged, per_doc_part, "doc_id",
                               per_doc_fin, num_buckets=num_buckets)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in one pass (no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        if a == b:
+            return True
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_name_pairs(names: rd.Dataset, col: str = "name",
+                     max_bucket: int = 10_000) -> rd.Dataset:
+    """(name_a, name_b): all DISTINCT string pairs within Levenshtein
+    distance 1, via SymSpell deletion-neighborhood blocking (Garbe 2012):
+    two strings are within edit distance 1 iff one appears in the other's
+    1-deletion set or they share a 1-deletion variant, so candidate
+    generation is a hash-key groupby on {s} ∪ deletes1(s) instead of an
+    all-pairs scan. Shared-variant collisions that are really distance 2
+    (e.g. "ab"/"ba" both delete to "a") are removed by an exact O(len)
+    verify inside the bucket. Same blocking idea as the KG linker's typo
+    stage (stages/link_distributed.py), exposed as a standalone
+    similarity-join operator; the DuckDB twin is the quadratic
+    ``levenshtein(a, b) <= 1`` self-join.
+
+    Scale shape: one distinct-names exchange, a (len+1)-way key explode
+    carrying only (key, name), one key groupby whose per-bucket quadratic
+    is bounded by the deletion-neighborhood size (and capped WITH a
+    warning via ``max_bucket`` — hot keys come from very short strings,
+    which callers should pre-filter), then a pair-keyed distinct since a
+    pair can surface under several shared keys."""
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({col: t.column(col).unique()})
+
+    distinct = names.select_columns([col]) \
+        .map_batches(batch_distinct, batch_format="pyarrow") \
+        .groupby(col).map_groups(lambda t: t.slice(0, 1),
+                                 batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys, vals = [], []
+        for s in t.column(col).to_pylist():
+            variants = {s}
+            for i in range(len(s)):
+                variants.add(s[:i] + s[i + 1:])
+            for v in variants:
+                keys.append(v)
+                vals.append(s)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "name": pa.array(vals, pa.string())})
+
+    exploded = distinct.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ns = sorted(set(t.column("name").to_pylist()))
+        label = t.column("key")[0].as_py() if t.num_rows else None
+        capped = _cap_block(ns, label, max_bucket, "fuzzy_name_pairs")
+        if capped is not None:
+            ns = capped
+        # sentinel pair: NUL-prefixed strings cannot be real names (the
+        # explode only emits data-derived strings), and most buckets have
+        # no ED-1 pair at all — without the sentinel they would emit
+        # schema-less zero-row blocks (functions/shuffle.py convention)
+        a_col, b_col = ["\x00S"], ["\x00S"]
+        for i, j in combinations(range(len(ns)), 2):
+            if _ed_le1(ns[i], ns[j]):
+                a_col.append(ns[i])
+                b_col.append(ns[j])
+        return pa.table({"name_a": pa.array(a_col, pa.string()),
+                         "name_b": pa.array(b_col, pa.string())})
+
+    pairs = exploded.groupby("key").map_groups(bucket_pairs,
+                                               batch_format="pyarrow")
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["name_a", "name_b"]).aggregate([])
+
+    import pyarrow.compute as pc
+    return pairs.map_batches(pair_distinct, batch_format="pyarrow") \
+        .groupby(["name_a", "name_b"]) \
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow") \
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("name_a"), "\x00S")),
+            batch_format="pyarrow")

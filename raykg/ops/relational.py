@@ -1561,3 +1561,217 @@ def retention_cohorts(sf_dir: str, num_buckets: int = 256) -> pa.Table:
             lambda t: per_bucket(t.drop_columns(["bucket"])),
             batch_format="pyarrow"),
         _sum_combine(["cohort_week", "week_offset"], ["n_users"]))
+
+
+def numeric_correlation_matrix(sf_dir: str) -> pa.Table:
+    """(col_x, col_y, n_rows, r): exact Pearson correlation between every
+    pair of lineitem numeric measures (quantity, extendedprice, discount,
+    tax) under the repo's scaled-int64 register contract (cf.
+    degree_assortativity): each value is quantized once as
+    floor(x*100 + 0.5) — exact for these 2-decimal measures — and the six
+    moment registers (n, Σx, Σy, Σxy, Σx², Σy²) are summed as EXACT
+    integers (per-element products fit int64; cross-batch totals are
+    arbitrary-precision Python ints riding the partials as strings, the
+    engine's analog of DuckDB's BIGINT→HUGEINT sum widening). r is ONE
+    float expression over the merged registers, so the DuckDB twin
+    reproduces it bit-for-bit.
+
+    Scale shape: a per-batch combiner reduces each batch to 6 register
+    rows (one per column pair); the merge exchange is register-sized —
+    6 × n_batches rows — regardless of row count, and the final reduce
+    runs on the driver over that register table only."""
+    import math
+
+    import numpy as np
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    pair_idx = [(i, j) for i in range(len(cols))
+                for j in range(i + 1, len(cols))]
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = {c: np.floor(
+            t.column(c).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64) for c in cols}
+        xs, ys, ns, sx, sy, sxy, sx2, sy2 = [], [], [], [], [], [], [], []
+        for i, j in pair_idx:
+            a, b = q[cols[i]], q[cols[j]]
+            xs.append(cols[i])
+            ys.append(cols[j])
+            ns.append(len(a))
+            sx.append(str(int(a.sum())))
+            sy.append(str(int(b.sum())))
+            # per-element products fit int64 (<= 1e14); totals may not —
+            # widen to Python int before summing
+            sxy.append(str(sum((a * b).tolist())))
+            sx2.append(str(sum((a * a).tolist())))
+            sy2.append(str(sum((b * b).tolist())))
+        return pa.table({
+            "col_x": pa.array(xs, pa.string()),
+            "col_y": pa.array(ys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "sx": pa.array(sx, pa.string()),
+            "sy": pa.array(sy, pa.string()),
+            "sxy": pa.array(sxy, pa.string()),
+            "sx2": pa.array(sx2, pa.string()),
+            "sy2": pa.array(sy2, pa.string())})
+
+    # register-sized driver pull: 6 rows per input batch
+    partials = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+
+    acc: dict = {}
+    for row in partials.to_pylist():
+        k = (row["col_x"], row["col_y"])
+        st = acc.setdefault(k, [0, 0, 0, 0, 0, 0])
+        st[0] += row["n"]
+        st[1] += int(row["sx"])
+        st[2] += int(row["sy"])
+        st[3] += int(row["sxy"])
+        st[4] += int(row["sx2"])
+        st[5] += int(row["sy2"])
+    xs, ys, ns, rs = [], [], [], []
+    for i, j in pair_idx:
+        k = (cols[i], cols[j])
+        n, sx, sy, sxy, sx2, sy2 = acc[k]
+        num = n * sxy - sx * sy
+        denx = n * sx2 - sx * sx
+        deny = n * sy2 - sy * sy
+        r = float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
+        xs.append(cols[i])
+        ys.append(cols[j])
+        ns.append(n)
+        rs.append(round_half_away(r, 4))
+    return pa.table({"col_x": pa.array(xs, pa.string()),
+                     "col_y": pa.array(ys, pa.string()),
+                     "n_rows": pa.array(ns, pa.int64()),
+                     "r": pa.array(rs, pa.float64())})
+
+
+def pareto_front(sf_dir: str) -> pa.Table:
+    """(p_size, price_cents): the skyline of distinct part
+    (size, retail-price) points under "larger size is better, lower
+    price is better" — every point no other point dominates (>= size,
+    <= price, strict in at least one). The classic skyline operator
+    (Borzsony et al., ICDE 2001); price is quantized ONCE to exact
+    integer cents so dominance is pure int comparison and the DuckDB
+    NOT EXISTS twin matches row-for-row.
+
+    Scale shape: 2-D skylines admit the pareto-of-paretos merge law
+    (skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)), so each batch reduces
+    to its local front via one sort + running-min scan (vectorized
+    numpy cummin), and only the union of local fronts — bounded by
+    #batches × front size, and a 2-D front is at most #distinct sizes
+    rows — reaches the driver for the identical final scan. No global
+    sort, no all-pairs."""
+    import numpy as np
+
+    ds = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def local_front(t: pa.Table) -> pa.Table:
+        size = t.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t.column("p_retailprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return _front_scan(size, cents)
+
+    def _front_scan(size: np.ndarray, cents: np.ndarray) -> pa.Table:
+        if len(size) == 0:
+            return pa.table({"p_size": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64())})
+        # sort by size desc, cents asc; a point survives iff its price is
+        # a strict new running minimum (everything before it has >= size,
+        # and ties on size keep only the cheapest, which sorts first)
+        order = np.lexsort((cents, -size))
+        s, c = size[order], cents[order]
+        cmin = np.minimum.accumulate(c)
+        keep = np.ones(len(s), dtype=bool)
+        # strict new running minimum; equal-price/equal-pair rows fail
+        # (==, not <), so dominated ties and duplicates drop together
+        keep[1:] = c[1:] < cmin[:-1]
+        return pa.table({"p_size": pa.array(s[keep], pa.int64()),
+                         "price_cents": pa.array(c[keep], pa.int64())})
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_front, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    return _front_scan(
+        partials.column("p_size").to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        partials.column("price_cents").to_numpy(zero_copy_only=False)
+        .astype(np.int64))
+
+
+def group_quantiles(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
+    """(group_key, q, value): EXACT discrete quantiles (q = .25/.50/.75,
+    percentile_disc semantics — the least value whose cumulative count
+    reaches ceil(q*n)) of l_extendedprice per l_returnflag. Exact
+    distributed median without a global sort: prices quantize to integer
+    cents, so each group reduces to a (cents -> count) histogram whose
+    size is bounded by the PRICE DOMAIN (~100k distinct cents), not the
+    row count; the quantile pick is an integer cumulative-count
+    comparison (cum*4 >= k*n), so no float threshold can flake and the
+    DuckDB twin matches bit-for-bit.
+
+    Scale shape: per-batch combiner collapses rows to distinct
+    (group, cents) partials; one group-keyed bucketed exchange moves
+    only histogram rows; each group's finalize is a sort + cumsum over
+    its domain-bounded histogram. At 100 TB the histogram per group is
+    unchanged (domain-bounded) — only partial-row counts grow with
+    batch count."""
+    import numpy as np
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def comb(t: pa.Table) -> pa.Table:
+        cents = pa.array(np.floor(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64),
+            pa.int64())
+        g = pa.table({"group_key": t.column("l_returnflag"),
+                      "cents": cents}) \
+            .group_by(["group_key", "cents"]).aggregate([([], "count_all")])
+        # sentinel: group_key "" cannot occur (l_returnflag is 1 char)
+        return pa.table({
+            "group_key": pa.array(
+                g.column("group_key").to_pylist() + [""], pa.string()),
+            "cents": pa.array(g.column("cents").to_pylist() + [0],
+                              pa.int64()),
+            "n": pa.array(g.column("count_all").to_pylist() + [0],
+                          pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["group_key", "cents"]).aggregate([("n", "sum")])
+        keys_out, qs_out, vs_out = [], [], []
+        for key in sorted(set(g.column("group_key").to_pylist())):
+            sub = g.filter(pc.equal(g.column("group_key"), key))
+            cents = np.asarray(sub.column("cents").to_pylist(), np.int64)
+            cnt = np.asarray(sub.column("n_sum").to_pylist(), np.int64)
+            if key == "":
+                continue
+            order = np.argsort(cents)
+            cents, cnt = cents[order], cnt[order]
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            if n == 0:
+                continue
+            for k, q in ((1, 0.25), (2, 0.5), (3, 0.75)):
+                idx = int(np.searchsorted(cum * 4, k * n))
+                keys_out.append(key)
+                qs_out.append(q)
+                vs_out.append(round_half_away(cents[idx] / 100.0, 2))
+        if not keys_out:   # sentinel-only bucket
+            return pa.table({"group_key": pa.array([""], pa.string()),
+                             "q": pa.array([0.0], pa.float64()),
+                             "value": pa.array([0.0], pa.float64())})
+        return pa.table({"group_key": pa.array(keys_out, pa.string()),
+                         "q": pa.array(qs_out, pa.float64()),
+                         "value": pa.array(vs_out, pa.float64())})
+
+    out = bucketed_group_agg(ds, comb, "group_key", fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("group_key"), "")),
+        batch_format="pyarrow")

@@ -1217,3 +1217,92 @@ def bm25_scores(documents: rd.Dataset,
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def ngram_novelty(documents: rd.Dataset, gram: int = 3,
+                  num_buckets: int = 256) -> rd.Dataset:
+    """(doc_id, n_grams, novel_grams, novelty): per-document n-gram
+    novelty — the fraction of a document's DISTINCT token ``gram``-grams
+    whose corpus-wide first occurrence (minimum doc_id over every
+    document containing the gram) is this document. The "how much new
+    text does each shard contribute" signal data-curation pipelines use
+    to order or down-weight crawl snapshots (novelty ~0 means the doc is
+    assembled entirely from already-seen phrasing even when no single
+    near-dup pair fires). Counts are exact int64; ``novelty`` is one
+    rounded division, so the DuckDB twin (unnest grams -> min(doc_id)
+    per gram -> join back) matches bit-for-bit.
+
+    Scale shape: the (gram, doc_id) pair stream is exchanged ONCE keyed
+    by gram (bucketed crc32, so a ubiquitous gram cannot overload a
+    partition beyond its bucket's share); each bucket resolves its
+    grams' global min locally and emits the pair stream back annotated
+    with a 0/1 novelty flag, which a second doc-keyed exchange reduces
+    to three registers per document. Nothing vocabulary-sized is ever
+    broadcast or pulled to the driver."""
+    import pyarrow.compute as pc
+
+    from raykg.functions.shuffle import bucketed_group_agg
+    from raykg.ops.dedup import _grams
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        # sentinel gram "" cannot occur: _grams only joins non-empty
+        # token lists (empty text contributes no rows)
+        gs, ds = [""], [-1]
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for g in _grams(s, gram):
+                gs.append(g)
+                ds.append(d)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ds, pa.int64())})
+
+    def flag_fin(t: pa.Table) -> pa.Table:
+        # per-gram global min is complete inside the bucket; re-emit
+        # every (doc, flag) pair plus the per-bucket sentinel
+        firsts = t.group_by("gram").aggregate([("doc_id", "min")])
+        m = {g: d for g, d in zip(firsts.column("gram").to_pylist(),
+                                  firsts.column("doc_id_min").to_pylist())}
+        docs = t.column("doc_id").to_pylist()
+        novel = [1 if m[g] == d else 0
+                 for g, d in zip(t.column("gram").to_pylist(), docs)]
+        return pa.table({"doc_id": pa.array(docs + [-1], pa.int64()),
+                         "novel": pa.array(novel + [0], pa.int64()),
+                         "n": pa.array([1] * len(docs) + [0], pa.int64())})
+
+    flagged = bucketed_group_agg(
+        documents.select_columns(["doc_id", "text"]).map_batches(
+            pair_rows, batch_format="pyarrow"),
+        lambda t: t, "gram", flag_fin, num_buckets=num_buckets)
+
+    def doc_comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("novel", "sum"), ("n", "sum")])
+        # unconditional sentinel: a zero-row combine batch must still emit
+        # a schema-bearing block (functions/shuffle.py convention)
+        return pa.table({
+            "doc_id": pa.array(g.column("doc_id").to_pylist() + [-1],
+                               pa.int64()),
+            "novel": pa.array(g.column("novel_sum").to_pylist() + [0],
+                              pa.int64()),
+            "n": pa.array(g.column("n_sum").to_pylist() + [0], pa.int64())})
+
+    def doc_fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("novel", "sum"), ("n", "sum")])
+        g = g.filter(pc.greater_equal(g.column("doc_id"), 0))
+        ns = g.column("n_sum").to_pylist()
+        nov = g.column("novel_sum").to_pylist()
+        if not ns:   # sentinel-only bucket: re-emit one sentinel row
+            return pa.table({"doc_id": pa.array([-1], pa.int64()),
+                             "n_grams": pa.array([0], pa.int64()),
+                             "novel_grams": pa.array([0], pa.int64()),
+                             "novelty": pa.array([0.0], pa.float64())})
+        rat = [round_half_away(a / b, 4) for a, b in zip(nov, ns)]
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_grams": pa.array(ns, pa.int64()),
+                         "novel_grams": pa.array(nov, pa.int64()),
+                         "novelty": pa.array(rat, pa.float64())})
+
+    out = bucketed_group_agg(flagged, doc_comb, "doc_id", doc_fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
+        batch_format="pyarrow")

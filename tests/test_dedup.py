@@ -192,3 +192,80 @@ def test_segment_dedup_crafted(ray_session):
     assert (got[2]["n_segs"], got[2]["kept_segs"]) == (2, 0)
     assert got[3]["text_clean"] == "x y z"
     assert (got[3]["n_segs"], got[3]["kept_segs"]) == (2, 1)
+
+
+def test_ed_le1_unit():
+    from raykg.ops.dedup import _ed_le1
+
+    assert _ed_le1("cold ring", "old ring")      # deletion
+    assert _ed_le1("red", "rod")                 # substitution
+    assert _ed_le1("cat", "cats")                # insertion
+    assert _ed_le1("same", "same")               # equal
+    assert not _ed_le1("ab", "ba")               # shared delete, ED 2
+    assert not _ed_le1("red", "blue")
+    assert not _ed_le1("a", "abc")               # length gap 2
+
+
+def test_fuzzy_name_pairs_crafted(ray_session):
+    """Deletion blocking must surface all three ED-1 shapes (substitution,
+    insertion/deletion, exact-duplicate input rows collapse first) and the
+    verify must kill shared-variant ED-2 collisions like ab/ba."""
+    from raykg.ops.dedup import fuzzy_name_pairs
+
+    names = ["red bolt", "rod bolt",   # substitution
+             "cold gear", "old gear",  # deletion
+             "ab", "ba",               # shared deletion variant, ED 2
+             "red bolt",               # duplicate row: one distinct name
+             "widget"]                 # isolated
+    ds = rd.from_arrow(pa.table({"name": pa.array(names, pa.string())}))
+    got = sorted((r["name_a"], r["name_b"])
+                 for r in fuzzy_name_pairs(ds).take_all())
+    assert got == [("cold gear", "old gear"), ("red bolt", "rod bolt")]
+
+
+def test_fuzzy_name_pairs_no_dup_pairs(ray_session):
+    """A pair sharing MANY deletion keys (equal-length, one substitution
+    shares every other-position delete) must still appear exactly once."""
+    from raykg.ops.dedup import fuzzy_name_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "name": pa.array(["abcdefgh", "abcdefgx"], pa.string())}))
+    got = fuzzy_name_pairs(ds).take_all()
+    assert [(r["name_a"], r["name_b"]) for r in got] == \
+        [("abcdefgh", "abcdefgx")]
+
+
+def test_containment_pairs_vs_oracle(ray_session):
+    """Short doc fully quoted in a long one: containment fires one
+    DIRECTION only (sub -> super); Jaccard at the same pair is 0.5.
+    Cross-source pairs must not be compared (blocking key)."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from raykg.ops.dedup import containment_pairs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["s1", "s1", "s2", "s1"], pa.string()),
+        "text": pa.array([
+            "a b c d e f",     # grams abc bcd cde def
+            "a b c d",         # grams abc bcd — subset of doc 1
+            "a b c d",         # same text, other source: no pair
+            "x y",             # single-gram fallback, disjoint
+        ], pa.string())})
+    ds = rd.from_arrow(docs)
+    got = containment_pairs(ds).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(e.oracle_sql()["containment_pairs"]).df()
+    con.close()
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True) \
+            .astype(str).values.tolist()
+
+    assert norm(got) == norm(want)
+    assert [(r.doc_sub, r.doc_super, r.containment)
+            for r in got.itertuples()] == [(2, 1, 1.0)]

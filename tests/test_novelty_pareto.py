@@ -1,0 +1,119 @@
+"""ngram_novelty and pareto_front pinned against their in-process DuckDB
+oracle SQL on crafted tables (gram reuse across docs, short-text gram
+fallback, dominated/tied skyline points)."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from raykg.ops import relational, text
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True) \
+        .astype(str).values.tolist()
+
+
+def test_ngram_novelty_vs_oracle(ray_session):
+    import __ray_entry__ as e
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",          # all grams first here
+            "alpha beta gamma epsilon",        # reuses 'alpha beta gamma'
+            "zeta eta",                        # <3 tokens: single gram
+            "alpha beta gamma delta",          # exact dup: novelty 0
+            "",                                # no grams: absent from out
+        ], pa.string())})
+    got = text.ngram_novelty(rd.from_arrow(docs), num_buckets=4).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(e.oracle_sql()["ngram_novelty"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+
+    by = {r.doc_id: r for r in got.itertuples()}
+    assert set(by) == {1, 2, 3, 4}
+    assert by[1].novelty == 1.0
+    assert by[4].novelty == 0.0                 # every gram first in doc 1
+    assert (by[3].n_grams, by[3].novel_grams) == (1, 1)
+    # doc 2: grams 'alpha beta gamma' (seen), 'beta gamma epsilon' (new)
+    assert (by[2].n_grams, by[2].novel_grams) == (2, 1)
+
+
+def test_pareto_front_vs_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    part = pa.table({
+        "p_size": pa.array([10, 10, 8, 8, 5, 12, 12, 3], pa.int64()),
+        "p_retailprice": pa.array(
+            [100.00, 90.00,    # same size: only cheaper survives
+             90.00,            # tied price, smaller size: dominated
+             80.00,            # smaller but cheaper: survives
+             80.00,            # tied price, smaller size: dominated
+             150.00, 150.00,   # duplicate pair: one row out
+             10.05],           # smallest, cheapest: survives
+            pa.float64())})
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    got = relational.pareto_front(str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    con.register("part", part)
+    want = con.sql(e.oracle_sql()["pareto_front"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+    assert sorted(zip(got.p_size, got.price_cents)) == \
+        [(3, 1005), (8, 8000), (10, 9000), (12, 15000)]
+
+
+def test_pareto_front_merge_across_blocks(ray_session, tmp_path):
+    """A point that is locally non-dominated in its block but dominated by
+    a point in ANOTHER block must be removed by the final driver scan."""
+    import pyarrow.parquet as pq
+
+    sizes, prices = [], []
+    # block-spanning fixture: many rows so read splits into >1 batch is
+    # plausible; correctness must not depend on the split either way
+    for i in range(500):
+        sizes.append(5)
+        prices.append(200.0 + i)     # all dominated by (6, 150.0)
+    sizes += [6]
+    prices += [150.0]
+    part = pa.table({"p_size": pa.array(sizes, pa.int64()),
+                     "p_retailprice": pa.array(prices, pa.float64())})
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    got = relational.pareto_front(str(tmp_path)).to_pandas()
+    assert sorted(zip(got.p_size, got.price_cents)) == [(6, 15000)]
+
+
+def test_group_quantiles_vs_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    part = pa.table({
+        "l_returnflag": pa.array(list("AAAABBB"), pa.string()),
+        "l_extendedprice": pa.array(
+            [1.00, 2.00, 3.00, 4.00,    # even n: disc pick, no midpoint
+             5.00, 5.00, 7.00],         # duplicated value mass
+            pa.float64())})
+    pq.write_table(part, str(tmp_path / "lineitem.parquet"))
+    got = relational.group_quantiles(str(tmp_path), num_buckets=4) \
+        .to_pandas()
+
+    con = duckdb.connect()
+    con.register("lineitem", part)
+    want = con.sql(e.oracle_sql()["group_quantiles"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+    by = {(r.group_key, r.q): r.value for r in got.itertuples()}
+    assert by[("A", 0.25)] == 1.0 and by[("A", 0.5)] == 2.0 \
+        and by[("A", 0.75)] == 3.0
+    assert by[("B", 0.25)] == 5.0 and by[("B", 0.5)] == 5.0 \
+        and by[("B", 0.75)] == 7.0
