@@ -966,6 +966,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_harmonic":
             lambda sf: graph.harmonic_sampled(graph.synth_graph_edges(),
                                               sources=(0, 7, 13)),
+        # sampled-source eccentricity / pseudo-diameter probe off the
+        # same multi-source BFS wavefront
+        "graph_eccentricity":
+            lambda sf: graph.eccentricity_sampled(graph.synth_graph_edges(),
+                                                  sources=(0, 7, 13)),
         # k-truss community core: synchronous triangle-support peel
         "graph_ktruss":
             lambda sf: graph.ktruss_edges(graph.synth_graph_edges(), k=4),
@@ -1461,6 +1466,16 @@ def _harmonic_sql(sources: tuple, rounds: int = 16) -> str:
     FROM st WHERE d > 0 GROUP BY node"""
 
 
+def _ecc_sql(sources: tuple, rounds: int = 16) -> str:
+    """Twin of raykg.ops.graph.eccentricity_sampled: the shared unrolled
+    forward pass, then one per-source max/count (the d=0 source row
+    counts itself in n_reached, both sides)."""
+    return _bfs_sigma_sql(sources, rounds) + """
+    SELECT s::BIGINT AS source, max(d)::BIGINT AS ecc,
+           count(*)::BIGINT AS n_reached
+    FROM st GROUP BY s"""
+
+
 def _betweenness_sql(sources: tuple, rounds: int = 16) -> str:
     """Twin of raykg.ops.graph.betweenness_sampled: the shared forward
     pass, then the integer-exact dependency recursion unrolled back DOWN
@@ -1701,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard": _jaccard_sql(2),
         "graph_betweenness": _betweenness_sql((0, 7, 13)),
         "graph_harmonic": _harmonic_sql((0, 7, 13)),
+        "graph_eccentricity": _ecc_sql((0, 7, 13)),
         "graph_ktruss": _ktruss_sql(4),
         # scaled-int exact neighbor means: float32 -> double is exact, and
         # floor(v * 1e6) / integer SUM / one final division are the same

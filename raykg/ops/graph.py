@@ -3993,3 +3993,74 @@ def ktruss_edges(edges: rd.Dataset, k: int = 4, max_rounds: int = 8,
             f"ktruss did not converge within max_rounds={max_rounds}; "
             "raise max_rounds (and regenerate the oracle's unroll bound)")
     return cur
+
+
+def eccentricity_sampled(edges: rd.Dataset, sources: tuple = (0, 7, 13),
+                         num_buckets: int = 256,
+                         max_rounds: int = 64) -> pa.Table:
+    """(source, ecc, n_reached): sampled-source eccentricity — the max
+    BFS depth and reachable-set size per sampled source, i.e. the
+    iFUB/pseudo-diameter probe (max over sources lower-bounds the graph
+    diameter) and the reachability profile monitoring uses to catch
+    partition-breaking ingestion bugs. Rides the SAME multi-source
+    BFS wavefront as :func:`harmonic_sampled` / :func:`betweenness_sampled`
+    (:func:`_frontier_bfs_sigma`, one fused exchange per round, rounds =
+    eccentricity); the per-source reduction is register-sized (one
+    (max, count) partial per source per batch), so only #sources rows
+    reach the driver.
+
+    Exact integers end to end: depths are int64 BFS levels, so the
+    DuckDB twin (the shared unrolled forward pass + one GROUP BY) is
+    bit-exact."""
+    sources = tuple(int(s) for s in sources)
+    if len(set(sources)) != len(sources):
+        raise ValueError("eccentricity sources must be distinct")
+
+    def ded_comb(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        keep = src != dst
+        pk = np.unique(src[keep] * _SHIFT + dst[keep])
+        return pa.table({"pk": np.concatenate([pk, [_SENT]])})
+
+    def ded_fin(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = np.unique(pk[pk >= 0])
+        return pa.table({"src": np.concatenate([pk // _SHIFT, [_SENT]]),
+                         "dst": np.concatenate([pk % _SHIFT, [_SENT]])})
+
+    simple = bucketed_group_agg(edges, ded_comb, "pk", ded_fin,
+                                num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("src"), 0)),
+        batch_format="pyarrow")
+    state = _frontier_bfs_sigma(simple, sources, max_rounds, num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        si, d = _np(t.column("si")), _np(t.column("d"))
+        node = _np(t.column("node"))
+        keep = (si >= 0) & (node >= 0)   # drop exchange sentinels
+        si, d = si[keep], d[keep]
+        g = pa.table({"si": pa.array(si, pa.int64()),
+                      "d": pa.array(d, pa.int64())}) \
+            .group_by("si").aggregate([("d", "max"), ("d", "count")])
+        return pa.table({"si": g.column("si"),
+                         "mx": g.column("d_max"),
+                         "cnt": g.column("d_count")})
+
+    # register-sized driver pull: #sources rows per state batch
+    parts = pa.concat_tables(
+        state.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    acc: dict = {}
+    for row in parts.to_pylist():
+        mx, cnt = acc.get(row["si"], (0, 0))
+        acc[row["si"]] = (max(mx, row["mx"]), cnt + row["cnt"])
+    out_s, out_e, out_n = [], [], []
+    for i, s in enumerate(sources):
+        mx, cnt = acc.get(i, (0, 0))
+        out_s.append(s)
+        out_e.append(mx)
+        out_n.append(cnt)
+    return pa.table({"source": pa.array(out_s, pa.int64()),
+                     "ecc": pa.array(out_e, pa.int64()),
+                     "n_reached": pa.array(out_n, pa.int64())})

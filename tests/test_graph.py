@@ -1208,3 +1208,41 @@ def test_ktruss_empty_and_nonconvergence_guard():
     import pytest as _pt
     with _pt.raises(ValueError, match="k >= 3"):
         graph.ktruss_edges(_edges([(0, 1)]), k=2)
+
+
+def test_eccentricity_tiny_and_invariance():
+    # directed path 0 -> 1 -> 2 -> 3 plus unreachable island 8 -> 9
+    pairs = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    got = graph.eccentricity_sampled(_edges(pairs), sources=(0, 3, 8),
+                                     num_buckets=4).to_pandas()
+    by = {r.source: (r.ecc, r.n_reached) for r in got.itertuples()}
+    assert by[0] == (3, 4)      # reaches 0,1,2,3; depth 3
+    assert by[3] == (0, 1)      # sink: itself only
+    assert by[8] == (1, 2)      # island edge
+
+    # brute force + duplicate-edge/partitioning invariance
+    from collections import deque
+    import collections
+    rnd = [(i % 13, (i * 5 + 2) % 13) for i in range(70)
+           if i % 13 != (i * 5 + 2) % 13]
+    a = graph.eccentricity_sampled(_edges(rnd), sources=(0, 3),
+                                   num_buckets=4).to_pandas()
+    b = graph.eccentricity_sampled(_edges(rnd + rnd).repartition(8),
+                                   sources=(0, 3),
+                                   num_buckets=16).to_pandas()
+    assert a.equals(b)
+    adj = collections.defaultdict(set)
+    for x, y in rnd:
+        adj[x].add(y)
+    for s in (0, 3):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        row = a[a.source == s].iloc[0]
+        assert row.ecc == max(dist.values())
+        assert row.n_reached == len(dist)
