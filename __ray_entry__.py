@@ -712,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front": relational.pareto_front,
         # exact distributed percentile_disc via domain-bounded histograms
         "group_quantiles": relational.group_quantiles,
+        # product-quantization codes (IVF-PQ compression step), int-exact
+        "pq_codes": lambda sf: ann.pq_codes(_emb(sf)),
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
         # DSIR hashed-n-gram importance weights (Xie et al., NeurIPS'23):
         # target = lang-ID 'en' docs, features = sha-hashed unigram buckets
@@ -2358,6 +2360,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT group_key, k / 4.0 AS q,
                    round(cents / 100.0, 2) AS value
             FROM hit WHERE rn = 1""",
+        # sha-derived integer codebook + exact int64 squared-L2 argmin,
+        # ties to the smallest centroid id (engine: argmin first index)
+        "pq_codes": """
+            WITH cent AS (
+              SELECT m, k, j,
+                     (('0x' || substr(sha256('pqc|' || m || '|' || k || '|'
+                                             || j || '|42'), 1, 8))::UBIGINT
+                      % 1000001)::BIGINT - 500000 AS c
+              FROM range(8) t1(m), range(16) t2(k), range(8) t3(j)),
+            ev AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                               * 1000000.0) AS BIGINT) AS q
+                   FROM embeddings),
+            d AS (SELECT ev.vec_id, cent.m, cent.k,
+                         sum((ev.q - cent.c) * (ev.q - cent.c)) AS dist
+                  FROM ev JOIN cent ON cent.m = ev.dim // 8
+                                   AND cent.j = ev.dim % 8
+                  GROUP BY 1, 2, 3),
+            best AS (SELECT vec_id, m, k,
+                            row_number() OVER (PARTITION BY vec_id, m
+                                               ORDER BY dist, k) AS rn
+                     FROM d)
+            SELECT vec_id, string_agg(k::VARCHAR, '_' ORDER BY m) AS pq_code
+            FROM best WHERE rn = 1 GROUP BY vec_id""",
         "unigram_logprob": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
             c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),

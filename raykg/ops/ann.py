@@ -717,3 +717,62 @@ def mmr_select(embeddings: rd.Dataset, query_id: int = 0, k: int = 8,
         "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
         "vec_id": pa.array([i for i, _ in selected], pa.int64()),
         "score": pa.array([s for _, s in selected], pa.int64())})
+
+
+@lru_cache(maxsize=16)
+def sha_pq_codebook(m_sub: int, k_cent: int, sub_dim: int,
+                    seed: int) -> np.ndarray:
+    """(m_sub, k_cent, sub_dim) int64 centroid tensor derived from sha256 —
+    the deterministic, SQL-replicable codebook family (same contract as
+    :func:`sha_planes`): entry = sha_u32('pqc|m|k|j|seed') % 1000001
+    - 500000, i.e. integers in [-5e5, 5e5] on the engine's micro-unit
+    scale. A trained codebook drops in unchanged (it is just data); the
+    sha family exists so the assignment step has a bit-exact DuckDB twin."""
+    from raykg.functions.hashing import sha_hex
+
+    flat = np.array([
+        int(sha_hex(f"pqc|{m}|{k}|{j}|{seed}")[:8], 16) % 1000001 - 500000
+        for m in range(m_sub) for k in range(k_cent)
+        for j in range(sub_dim)], np.int64)
+    return flat.reshape(m_sub, k_cent, sub_dim)
+
+
+def pq_codes(embeddings: rd.Dataset, m_sub: int = 8, k_cent: int = 16,
+             seed: int = 42) -> rd.Dataset:
+    """(vec_id, pq_code): product-quantization assignment (Jégou et al.
+    2011) — the vector split into ``m_sub`` contiguous subspaces, each
+    assigned to its nearest of ``k_cent`` codebook centroids, codes
+    '_'-joined. The compression step of an IVF-PQ ANN index: 64 floats
+    become 8 nibbles, and asymmetric-distance search scans codes instead
+    of vectors. All arithmetic is exact int64 (vectors quantized once to
+    micro-units, centroids integer by construction, squared L2 summed in
+    int64, ties to the smallest centroid id), so the DuckDB twin matches
+    bit-for-bit.
+
+    Scale shape: stateless vectorized map_batches — the codebook is
+    module-cached per process (lru_cache, same pattern as sha_planes),
+    the per-batch cost is one (n × m × k × d) int64 einsum-style
+    broadcast, and nothing leaves the batch but (vec_id, code)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("vec_id"), pa.int64())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"vec_id": ids,
+                             "pq_code": pa.array([], pa.string())})
+        dim = mat.shape[1]
+        if dim % m_sub:
+            raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+        sub = dim // m_sub
+        cb = sha_pq_codebook(m_sub, k_cent, sub, seed)      # (m, k, d)
+        q = np.floor(mat * 1_000_000.0).astype(np.int64) \
+            .reshape(len(mat), m_sub, 1, sub)               # (n, m, 1, d)
+        diff = q - cb[None, :, :, :]                        # (n, m, k, d)
+        dist = np.einsum("nmkd,nmkd->nmk", diff, diff)
+        codes = dist.argmin(axis=2)     # first occurrence = smallest k
+        joined = ["_".join(str(c) for c in row) for row in codes]
+        return pa.table({"vec_id": ids,
+                         "pq_code": pa.array(joined, pa.string())})
+
+    return embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(batch, batch_format="pyarrow")

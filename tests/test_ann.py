@@ -219,3 +219,32 @@ def test_mmr_select_diversity_and_brute_force(ray_session):
         sel.append(best)
     assert list(zip(got2.column("vec_id").to_pylist(),
                     got2.column("score").to_pylist())) == sel
+
+
+def test_pq_codes_vs_oracle_and_invariance(ray_session):
+    """PQ assignment pinned against the DuckDB twin on the real sf0.001
+    table (sha codebook + int64 L2 + smallest-id ties replicated in SQL)
+    and reshard-invariant."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from raykg.ops.ann import pq_codes
+
+    got = pq_codes(_emb()).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.sql(e.oracle_sql()["pq_codes"]).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con.close()
+    assert got.vec_id.tolist() == want.vec_id.tolist()
+    assert got.pq_code.tolist() == want.pq_code.tolist()
+    # 8 subspace codes, each in [0, 16)
+    parts = got.pq_code.iloc[0].split("_")
+    assert len(parts) == 8 and all(0 <= int(p) < 16 for p in parts)
+
+    b = pq_codes(_emb().repartition(7)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert b.pq_code.tolist() == got.pq_code.tolist()
