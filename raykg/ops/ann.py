@@ -738,7 +738,8 @@ def sha_pq_codebook(m_sub: int, k_cent: int, sub_dim: int,
 
 
 def pq_codes(embeddings: rd.Dataset, m_sub: int = 8, k_cent: int = 16,
-             seed: int = 42) -> rd.Dataset:
+             seed: int = 42, codebook: np.ndarray | None = None
+             ) -> rd.Dataset:
     """(vec_id, pq_code): product-quantization assignment (Jégou et al.
     2011) — the vector split into ``m_sub`` contiguous subspaces, each
     assigned to its nearest of ``k_cent`` codebook centroids, codes
@@ -764,7 +765,8 @@ def pq_codes(embeddings: rd.Dataset, m_sub: int = 8, k_cent: int = 16,
         if dim % m_sub:
             raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
         sub = dim // m_sub
-        cb = sha_pq_codebook(m_sub, k_cent, sub, seed)      # (m, k, d)
+        cb = codebook if codebook is not None \
+            else sha_pq_codebook(m_sub, k_cent, sub, seed)  # (m, k, d)
         q = np.floor(mat * 1_000_000.0).astype(np.int64) \
             .reshape(len(mat), m_sub, 1, sub)               # (n, m, 1, d)
         diff = q - cb[None, :, :, :]                        # (n, m, k, d)
@@ -776,3 +778,131 @@ def pq_codes(embeddings: rd.Dataset, m_sub: int = 8, k_cent: int = 16,
 
     return embeddings.select_columns(["vec_id", "embedding"]) \
         .map_batches(batch, batch_format="pyarrow")
+
+
+def ann_pq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+           m_sub: int = 8, k_cent: int = 16, seed: int = 42,
+           codebook: np.ndarray | None = None) -> pa.Table:
+    """(query_id, neighbor_id, adc): top-k by asymmetric distance
+    computation over PQ codes (Jégou et al. 2011) — each query
+    precomputes an exact int64 (m × k) lookup table of squared L2 to
+    every centroid, and a database vector's distance is the sum of m
+    table lookups on its :func:`pq_codes` code, never a full-dimension
+    scan. The scan path of an IVF-PQ index; recall is bounded by the
+    quantizer (tested against :func:`ann_bruteforce`), while cost per
+    candidate drops from dim multiplies to m_sub adds.
+
+    All-integer contract: vectors and centroids quantize exactly as in
+    :func:`pq_codes`, so adc is an exact int64 and the DuckDB twin —
+    which reuses the pq assignment CTE and reads the query LUT from the
+    same per-(vec, m, k) distance relation — is bit-exact, ties to the
+    smallest neighbor_id. Scale shape: broadcast-once (q_ids, LUT)
+    via ray.put (LUT is nq × m × k int64 — register-sized), per-batch
+    local top-k, then the groupby(query_id) merge so the driver sees
+    k rows per query."""
+    q_rows = _rows_for_ids(embeddings, query_ids)
+    dim = len(q_rows[0]["embedding"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    cb = codebook if codebook is not None \
+        else sha_pq_codebook(m_sub, k_cent, sub, seed)      # (m, k, d)
+    q_ids = sorted(r["vec_id"] for r in q_rows)
+    q_by = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in q_rows}
+    qq = np.floor(np.stack([q_by[i] for i in q_ids]) * 1_000_000.0) \
+        .astype(np.int64).reshape(len(q_ids), m_sub, 1, sub)
+    lut = np.einsum("qmkd,qmkd->qmk", qq - cb[None], qq - cb[None])
+    q_ref = ray.put((q_ids, lut))
+    marange = np.arange(m_sub)
+
+    class PartialADC:
+        def __init__(self):
+            self.q_ids, self.lut = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(),
+                           dtype=np.int64)
+            mat = np.array(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            out_q, out_n, out_d = [], [], []
+            if len(ids):
+                q = np.floor(mat * 1_000_000.0).astype(np.int64) \
+                    .reshape(len(mat), m_sub, 1, sub)
+                diff = q - cb[None]
+                codes = np.einsum("nmkd,nmkd->nmk", diff, diff) \
+                    .argmin(axis=2)                         # (n, m)
+                for qi, qid in enumerate(self.q_ids):
+                    dist = self.lut[qi][marange[None, :], codes].sum(1)
+                    mask = ids != qid
+                    cand, cd = ids[mask], dist[mask]
+                    top = min(len(cand), k)
+                    if not top:
+                        continue
+                    sel = np.lexsort((cand, cd))[:top]
+                    out_q.extend([qid] * top)
+                    out_n.extend(cand[sel].tolist())
+                    out_d.extend(cd[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "adc": pa.array(out_d, pa.int64())})
+
+    partial = embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(PartialADC, batch_format="pyarrow",
+                     concurrency=(1, 8), batch_size=4096)
+
+    def topk(t: pa.Table) -> pa.Table:
+        d = t.column("adc").to_numpy(zero_copy_only=False)
+        nids = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((nids, d))
+        _, first = np.unique(nids[sel], return_index=True)
+        sel = sel[np.sort(first)][:k]
+        return pa.table({
+            "query_id": t.column("query_id").take(pa.array(sel)),
+            "neighbor_id": pa.array(nids[sel]),
+            "adc": pa.array(d[sel], pa.int64())})
+
+    merged = partial.groupby("query_id").map_groups(topk,
+                                                    batch_format="pyarrow")
+    out = pa.Table.from_pylist(merged.take_all(), schema=pa.schema([
+        ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("adc", pa.int64())]))
+    return out.sort_by([("query_id", "ascending"), ("adc", "ascending"),
+                        ("neighbor_id", "ascending")])
+
+
+def pq_train_codebook(embeddings: rd.Dataset, m_sub: int = 8,
+                      k_cent: int = 16, sample: int = 512,
+                      iters: int = 10) -> np.ndarray:
+    """(m_sub, k_cent, sub_dim) int64 TRAINED codebook: per-subspace
+    Lloyd's k-means on the first ``sample`` vec_ids (PQ codebooks are
+    universally trained on a sample — Jégou et al. use 10^5 of 10^9; the
+    deterministic prefix keeps it reshard/resume-stable), run in float64
+    on the driver (sample × dim is register-sized by construction) and
+    quantized ONCE to the engine's micro-unit int64 scale at the end.
+    Init = first k distinct subvectors; empty clusters keep their
+    centroid. Drop-in for the ``codebook=`` parameter of
+    :func:`pq_codes` / :func:`ann_pq` — the trained mode has no SQL twin
+    (iterative float means, same status as ann_ivf_kmeans) and is
+    recall-tested against :func:`ann_bruteforce` instead."""
+    rows = _rows_for_ids(embeddings, list(range(sample)))
+    mat = np.stack([np.asarray(r["embedding"], np.float64)
+                    for r in sorted(rows, key=lambda r: r["vec_id"])])
+    dim = mat.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    out = np.zeros((m_sub, k_cent, sub), np.float64)
+    for m in range(m_sub):
+        x = mat[:, m * sub:(m + 1) * sub]
+        cent = x[:k_cent].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_cent):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        out[m] = cent
+    return np.floor(out * 1_000_000.0).astype(np.int64)

@@ -248,3 +248,44 @@ def test_pq_codes_vs_oracle_and_invariance(ray_session):
     b = pq_codes(_emb().repartition(7)).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert b.pq_code.tolist() == got.pq_code.tolist()
+
+
+def test_ann_pq_vs_oracle_and_recall(ray_session):
+    """ADC top-k pinned against the DuckDB twin (exact int64 adc) and
+    recall-sanity-checked against brute force."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from raykg.ops.ann import ann_bruteforce, ann_pq
+
+    got = ann_pq(_emb(), QUERIES, k=5)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.sql(e.oracle_sql()["ann_pq"]).df()
+    con.close()
+    gp = got.to_pandas().sort_values(["query_id", "adc", "neighbor_id"]) \
+        .reset_index(drop=True)
+    want = want.sort_values(["query_id", "adc", "neighbor_id"]) \
+        .reset_index(drop=True)
+    assert gp.values.tolist() == want.values.tolist()
+
+    # the sha codebook is the ORACLE mode (bit-exact but random); recall
+    # goes through the production pattern — TRAINED codebook + ADC
+    # shortlist that an exact rerank would consume (PQ's standard role;
+    # on this structureless random-unit-vector table measured r@5-in-
+    # top-20: 8x16 sha 0.20, 8x16 trained 0.48, 16x16 trained 0.80)
+    from raykg.ops.ann import pq_train_codebook
+
+    cb = pq_train_codebook(_emb(), m_sub=16, k_cent=16)
+    trained = ann_pq(_emb(), QUERIES, k=20, m_sub=16, k_cent=16,
+                     codebook=cb)
+    exact = _pairs(ann_bruteforce(_emb(), QUERIES, k=5))
+    shortlist = _pairs(trained)
+    assert len(shortlist & exact) / len(exact) >= 0.5
+    # trained mode is deterministic (sample prefix + fixed iters) and
+    # partitioning-invariant
+    again = ann_pq(_emb().repartition(5), QUERIES, k=20, m_sub=16,
+                   k_cent=16, codebook=cb)
+    assert got.num_rows > 0 and again.equals(trained)
