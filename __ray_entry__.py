@@ -819,6 +819,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fast":
             lambda sf: dedup.simhash(_docs(sf), hash_family="fast"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
+        # GLOBAL exact Jaccard join (prefix filtering, no blocking key,
+        # no false negatives) — the scale-exact twin of the blocked
+        # all-pairs op above and the probabilistic LSH op
+        "set_similarity_join":
+            lambda sf: dedup.set_similarity_join(_docs(sf)),
         # asymmetric Broder containment: short doc quoted inside long one
         "containment_pairs": lambda sf: dedup.containment_pairs(_docs(sf)),
         # SymSpell deletion-blocked edit-distance-1 similarity join
@@ -2937,6 +2942,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    lpad(lower(to_hex(sh::UBIGINT)), 16, '0') AS simhash_hex
             FROM v""",
+        # the engine side is prefix-filtered (SSJoin); the oracle is the
+        # brute-force global quadratic the filter must reproduce exactly
+        "set_similarity_join": f"""
+            WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
+            SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+            FROM p WHERE jac >= 0.6""",
         "ngram_jaccard_pairs": f"""
             WITH g AS (SELECT doc_id, source, {_GRAMS} AS grams FROM documents),
             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

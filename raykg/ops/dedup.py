@@ -22,10 +22,12 @@ Scale notes (these run at 100 TB, not just on the fixtures):
 
 from __future__ import annotations
 
+from fractions import Fraction
 from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -190,26 +192,36 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
     pairs = exploded.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
 
-    # --- join back to the (doc_id, grams) table, expressed as the engine's
-    # bucketed shuffle pattern (functions/shuffle.py) rather than Acero hash
-    # joins: grams are list<string> (Acero rejects list payloads) and two
-    # Dataset.joins cost ~6 s of aggregator-actor setup at fixture scale.
-    # Stage A shuffles pair-sides and grams together on doc_id and attaches
-    # each side's grams; stage B shuffles on the pair key and combines the
-    # two sides into one exact-Jaccard verdict. A pair surfacing from
-    # several bands is deduped IN stage B (side-keyed dict), so no separate
-    # distinct shuffle is needed. Grams bytes cross the wire once for the
-    # corpus + once per pair side — never once per band.
+    return _exact_jaccard_verify(pairs, sigs, jaccard_threshold,
+                                 num_partitions)
+
+
+def _exact_jaccard_verify(pairs: rd.Dataset, grams_ds: rd.Dataset,
+                          jaccard_threshold: float,
+                          num_partitions: int = 8) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    a (doc_id, grams list<string>) table, expressed as the engine's
+    bucketed shuffle pattern (functions/shuffle.py) rather than Acero hash
+    joins: grams are list<string> (Acero rejects list payloads) and two
+    Dataset.joins cost ~6 s of aggregator-actor setup at fixture scale.
+    Stage A shuffles pair-sides and grams together on doc_id and attaches
+    each side's grams; stage B shuffles on the pair key and combines the
+    two sides into one exact-Jaccard verdict. A pair surfacing from
+    several candidate buckets is deduped IN stage B (side-keyed dict), so
+    no separate distinct shuffle is needed. Grams bytes cross the wire
+    once for the corpus + once per pair side — never once per candidate
+    source bucket. Rows with a negative doc_a are upstream sentinels and
+    are dropped here. Output: (doc_a, doc_b, jaccard>=threshold, 4 dp)."""
     from raykg.functions.shuffle import bucketed_group_agg
 
     SEP = "\x1f"    # gram separator inside the packed string
     PSEP = "\x1e"   # pair-key separator ("a\x1eb")
 
     def pair_side_rows(t: pa.Table) -> pa.Table:
-        # per-batch dedup of (pair, side) rows thins band duplicates early
+        # per-batch dedup of (pair, side) rows thins duplicates early
         a = t.column("doc_a").to_pylist()
         b = t.column("doc_b").to_pylist()
-        seen = sorted({(x, y) for x, y in zip(a, b)})
+        seen = sorted({(x, y) for x, y in zip(a, b) if x >= 0})
         doc = [str(x) for x, _ in seen] + [str(y) for _, y in seen]
         pk = [f"{x}{PSEP}{y}" for x, y in seen] * 2
         side = [0] * len(seen) + [1] * len(seen)
@@ -227,7 +239,7 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
                          "grams": pa.array(gs, pa.string())})
 
     tagged = pairs.map_batches(pair_side_rows, batch_format="pyarrow") \
-        .union(sigs.map_batches(gram_rows, batch_format="pyarrow"))
+        .union(grams_ds.map_batches(gram_rows, batch_format="pyarrow"))
 
     def attach(t: pa.Table) -> pa.Table:
         docs = t.column("doc").to_pylist()
@@ -1039,3 +1051,171 @@ def fuzzy_name_pairs(names: rd.Dataset, col: str = "name",
         .map_batches(
             lambda t: t.filter(pc.not_equal(t.column("name_a"), "\x00S")),
             batch_format="pyarrow")
+
+
+def set_similarity_join(documents: rd.Dataset, gram: int = 3,
+                        threshold: float = 0.6,
+                        num_buckets: int = 256,
+                        max_prefix_bucket: int = 10_000) -> rd.Dataset:
+    """GLOBAL exact Jaccard similarity join via prefix filtering (SSJoin /
+    PPJoin — Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008): the
+    scale-exact complement to :func:`ngram_jaccard_pairs` (which bounds its
+    quadratic with a partition key) and to :func:`lsh_candidate_pairs`
+    (which trades recall for scan volume). No blocking key and NO false
+    negatives: under one global gram ordering (ascending document
+    frequency, gram text as tiebreak), any pair with J(x, y) >= t must
+    share at least one gram inside each side's prefix — the first
+    |x| - ceil(t*|x|) + 1 grams — so candidates are generated only inside
+    prefix-gram buckets, which the rarity ordering keeps small (a doc's
+    prefix is its RAREST grams; hot boilerplate grams sort last and rarely
+    enter any prefix). ``threshold`` is converted to an exact Fraction so
+    the prefix length and size filter never lose a pair to float rounding.
+
+    Dataflow — three bucketed exchanges plus the shared verify tail:
+      1. key=gram: exact global document frequency attach;
+      2. key=doc_id: per-doc rarity sort, prefix selection;
+      3. key=prefix gram: size-filtered candidate pairs
+         (t*|x| <= |y| <= |x|/t, else J >= t is impossible), capped per
+         bucket at ``max_prefix_bucket`` docs WITH a warning;
+      4. :func:`_exact_jaccard_verify` — grams cross the wire twice total.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t, 4 dp.
+    """
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
+
+    def add_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        if any(d < 0 for d in ids):
+            raise ValueError(
+                "set_similarity_join: negative doc_id collides with the "
+                "sentinel convention (functions/shuffle.py docstring)")
+        gl = [_grams(s, gram) for s in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "grams": pa.array(gl, pa.list_(pa.string()))})
+
+    grams_ds = documents.select_columns(["doc_id", "text"]) \
+        .map_batches(add_grams, batch_format="pyarrow").materialize()
+
+    # --- exchange 1 (key=gram): explode in the combiner, attach the exact
+    # global df in the finalize (every occurrence of a gram hashes to the
+    # same bucket, so the within-bucket count IS the global count).
+    def explode(t: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        gs: list[str] = []
+        ns: list[int] = []
+        for d, lst in zip(t.column("doc_id").to_pylist(),
+                          t.column("grams").to_pylist()):
+            for g in lst:
+                docs.append(d)
+                gs.append(g)
+                ns.append(len(lst))
+        # sentinel: a batch of only empty-gram docs would emit zero rows;
+        # "" cannot be a real gram (grams join non-empty tokens)
+        docs.append(-1)
+        gs.append("")
+        ns.append(0)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        counts = t.group_by("gram").aggregate([("doc_id", "count")])
+        pos = pc.index_in(t.column("gram"), counts.column("gram"))
+        df = pc.take(counts.column("doc_id_count"), pos)
+        out = pa.table({"gram": t.column("gram"),
+                        "doc_id": t.column("doc_id"),
+                        "n": t.column("n"),
+                        "df": pc.cast(df, pa.int64())})
+        sent = pa.table({"gram": pa.array([""], pa.string()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "n": pa.array([0], pa.int64()),
+                         "df": pa.array([0], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    with_df = bucketed_group_agg(grams_ds, explode, "gram", attach_df,
+                                 num_buckets=num_buckets)
+
+    # --- exchange 2 (key=doc_id): per-doc rarity sort + prefix selection.
+    def select_prefix(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        if t.num_rows:
+            order = pc.sort_indices(t, sort_keys=[
+                ("doc_id", "ascending"), ("df", "ascending"),
+                ("gram", "ascending")])
+            t = t.take(order)
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+            ns = t.column("n").to_numpy(zero_copy_only=False)
+            # segment offsets per doc; rank of each row inside its segment
+            change = np.empty(len(docs), np.bool_)
+            change[0] = True
+            np.not_equal(docs[1:], docs[:-1], out=change[1:])
+            seg_start = np.maximum.accumulate(
+                np.where(change, np.arange(len(docs)), 0))
+            rank = np.arange(len(docs)) - seg_start
+            # prefix length p = n - ceil(t*n) + 1, ceil in exact integers
+            ceil_tn = -((-t_num * ns) // t_den)
+            keep = rank < (ns - ceil_tn + 1)
+            t = t.filter(pa.array(keep))
+        out = pa.table({"gram": t.column("gram"),
+                        "doc_id": t.column("doc_id"),
+                        "n": t.column("n")})
+        sent = pa.table({"gram": pa.array([""], pa.string()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "n": pa.array([0], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    prefixes = bucketed_group_agg(with_df, lambda t: t, "doc_id",
+                                  select_prefix, num_buckets=num_buckets)
+
+    # --- exchange 3 (key=prefix gram): size-filtered candidate pairs.
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        a_col: list[int] = []
+        b_col: list[int] = []
+        if t.num_rows:
+            order = pc.sort_indices(t, sort_keys=[
+                ("gram", "ascending"), ("n", "ascending"),
+                ("doc_id", "ascending")])
+            t = t.take(order)
+            grams_np = t.column("gram").to_pylist()
+            docs = t.column("doc_id").to_pylist()
+            ns = t.column("n").to_pylist()
+            start = 0
+            for i in range(1, len(grams_np) + 1):
+                if i == len(grams_np) or grams_np[i] != grams_np[start]:
+                    seg_docs = docs[start:i]
+                    seg_ns = ns[start:i]
+                    capped = _cap_block(seg_docs, grams_np[start],
+                                        max_prefix_bucket,
+                                        "set_similarity_join")
+                    if capped is not None:
+                        keep = set(capped)
+                        sel = [k for k, d in enumerate(seg_docs)
+                               if d in keep]
+                        seg_docs = [seg_docs[k] for k in sel]
+                        seg_ns = [seg_ns[k] for k in sel]
+                    # sizes ascend: for j > k need n_k * t_den >= t_num * n_j
+                    for k in range(len(seg_docs)):
+                        for j in range(k + 1, len(seg_docs)):
+                            if seg_ns[k] * t_den < t_num * seg_ns[j]:
+                                break   # sizes only grow from here
+                            a, b = seg_docs[k], seg_docs[j]
+                            if a != b:
+                                a_col.append(min(a, b))
+                                b_col.append(max(a, b))
+                    start = i
+        a_col.append(-1)    # sentinel, dropped by _exact_jaccard_verify
+        b_col.append(-1)
+        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
+                         "doc_b": pa.array(b_col, pa.int64())})
+
+    cands = bucketed_group_agg(prefixes, lambda t: t, "gram", gen_pairs,
+                               num_buckets=num_buckets)
+
+    return _exact_jaccard_verify(cands, grams_ds, threshold,
+                                 num_partitions=max(8, num_buckets // 32))

@@ -269,3 +269,82 @@ def test_containment_pairs_vs_oracle(ray_session):
     assert norm(got) == norm(want)
     assert [(r.doc_sub, r.doc_super, r.containment)
             for r in got.itertuples()] == [(2, 1, 1.0)]
+
+
+def _brute_jaccard_pairs(texts: dict[int, str], gram: int, t: float):
+    from raykg.ops.dedup import _grams
+    g = {d: set(_grams(s, gram)) for d, s in texts.items()}
+    out = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not g[a] or not g[b]:
+                continue
+            jac = len(g[a] & g[b]) / len(g[a] | g[b])
+            if jac >= t:
+                out.append((a, b, round(jac, 4)))
+    return sorted(out)
+
+
+def test_set_similarity_join_matches_bruteforce(ray_session):
+    """Prefix filtering must reproduce the brute-force global quadratic
+    EXACTLY (no false negatives, no extras) — including pairs straddling
+    different 'source' partitions (which the blocked op would miss), an
+    identical pair, a just-at-threshold pair, and sub-gram-length docs."""
+    from raykg.ops.dedup import set_similarity_join
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = {
+        0: base,
+        1: base,                                      # identical -> 1.0
+        2: base + " tonight",                         # near-dup
+        3: "completely different words entirely unrelated content here",
+        4: "the quick brown fox jumps over the lazy dog",  # high overlap
+        5: "short one",                               # < gram tokens
+        6: "short one",                               # identical tiny pair
+        7: "",                                        # empty -> no grams
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    }))
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in set_similarity_join(docs, threshold=0.5,
+                                              num_buckets=16).take_all())
+    want = _brute_jaccard_pairs(texts, 3, 0.5)
+    assert got == want
+    assert (0, 1, 1.0) in got          # identical docs survive
+    assert (5, 6, 1.0) in got          # sub-gram-length identical pair
+
+
+def test_set_similarity_join_threshold_is_exact(ray_session):
+    """Fraction-exact prefix length: a pair EXACTLY at the threshold is
+    kept (>=, not >), which a float-rounded ceil(t*n) can silently lose."""
+    from raykg.ops.dedup import set_similarity_join
+    # grams(a) = 10 distinct 3-grams, grams(b) shares exactly 6 of them and
+    # adds none -> J = 6/10 = 0.6 exactly at threshold 0.6
+    a_toks = [f"w{i}" for i in range(12)]            # 10 distinct 3-grams
+    b_toks = a_toks[:8]                              # 6 shared 3-grams
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([" ".join(a_toks), " ".join(b_toks)], pa.string()),
+    }))
+    got = set_similarity_join(docs, threshold=0.6,
+                              num_buckets=8).take_all()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] \
+        == [(0, 1, 0.6)]
+
+
+def test_set_similarity_join_hot_prefix_capped(ray_session, caplog):
+    """A degenerate corpus where one gram lands in EVERY doc's prefix must
+    cap with a logged warning, not go quadratic."""
+    from raykg.ops.dedup import set_similarity_join
+    n = 40
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["alpha beta gamma delta"] * n, pa.string()),
+    }))
+    with caplog.at_level(logging.WARNING, logger="raykg"):
+        pairs = set_similarity_join(docs, threshold=0.9, num_buckets=8,
+                                    max_prefix_bucket=10).take_all()
+    assert len(pairs) == 45                     # C(10,2), smallest ids
+    assert all(p["doc_a"] < 10 and p["doc_b"] < 10 for p in pairs)
