@@ -716,6 +716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": lambda sf: ann.pq_codes(_emb(sf)),
         # asymmetric-distance top-k over the PQ codes (the IVF-PQ scan)
         "ann_pq": lambda sf: ann.ann_pq(_emb(sf), [0, 1, 2, 3, 4]),
+        # the composed IVF-PQ scan path: coarse probe pruning + ADC codes
+        "ann_ivfpq": lambda sf: ann.ann_ivfpq(_emb(sf), [0, 1, 2, 3, 4]),
         "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
         # DSIR hashed-n-gram importance weights (Xie et al., NeurIPS'23):
         # target = lang-ID 'en' docs, features = sha-hashed unigram buckets
@@ -2417,6 +2419,54 @@ def oracle_sql() -> dict[str, str]:
             adc AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
                            sum(qd.dist)::BIGINT AS adc
                     FROM code c JOIN d qd ON qd.m = c.m AND qd.k = c.k
+                    WHERE qd.vec_id IN (0, 1, 2, 3, 4)
+                      AND c.vec_id <> qd.vec_id
+                    GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, adc FROM adc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, neighbor_id) <= 5""",
+        # IVF-PQ: the ann_ivf coarse assignment/probe CTEs restrict which
+        # candidates enter the ann_pq ADC relation
+        "ann_ivfpq": """
+            WITH cent AS (
+              SELECT m, k, j,
+                     (('0x' || substr(sha256('pqc|' || m || '|' || k || '|'
+                                             || j || '|42'), 1, 8))::UBIGINT
+                      % 1000001)::BIGINT - 500000 AS c
+              FROM range(8) t1(m), range(16) t2(k), range(8) t3(j)),
+            ev AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                               * 1000000.0) AS BIGINT) AS q
+                   FROM embeddings),
+            d AS MATERIALIZED (SELECT ev.vec_id, cent.m, cent.k,
+                         sum((ev.q - cent.c) * (ev.q - cent.c)) AS dist
+                  FROM ev JOIN cent ON cent.m = ev.dim // 8
+                                   AND cent.j = ev.dim % 8
+                  GROUP BY 1, 2, 3),
+            code AS (SELECT vec_id, m, k FROM d
+                     QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                                ORDER BY dist, k) = 1),
+            cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                   FROM embeddings WHERE vec_id < 16),
+            sims AS (SELECT e.vec_id, cc.cid,
+                            list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   cc.ce) AS s
+                     FROM embeddings e, cc),
+            assign AS (SELECT vec_id, cid FROM sims
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cid) = 1),
+            qprobe AS (SELECT vec_id AS query_id, cid FROM sims
+                       WHERE vec_id IN (0, 1, 2, 3, 4)
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cid) <= 4),
+            adc AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           sum(qd.dist)::BIGINT AS adc
+                    FROM code c
+                    JOIN d qd ON qd.m = c.m AND qd.k = c.k
+                    JOIN assign a ON a.vec_id = c.vec_id
+                    JOIN qprobe qp ON qp.cid = a.cid
+                                  AND qp.query_id = qd.vec_id
                     WHERE qd.vec_id IN (0, 1, 2, 3, 4)
                       AND c.vec_id <> qd.vec_id
                     GROUP BY 1, 2)

@@ -906,3 +906,116 @@ def pq_train_codebook(embeddings: rd.Dataset, m_sub: int = 8,
                     cent[c] = x[mask].mean(0)
         out[m] = cent
     return np.floor(out * 1_000_000.0).astype(np.int64)
+
+
+def ann_ivfpq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+              nlist: int = 16, nprobe: int = 4, m_sub: int = 8,
+              k_cent: int = 16, seed: int = 42,
+              codebook: np.ndarray | None = None) -> pa.Table:
+    """(query_id, neighbor_id, adc): the full IVF-PQ scan path (Jégou et
+    al. 2011, §IV) — coarse inverted-list pruning AND per-candidate code
+    lookups in one pass. Each database vector is assigned to its nearest
+    coarse centroid (the deterministic quantizer of :func:`ann_ivf`:
+    centroids = embeddings of vec_id < nlist, cosine, ties to the smaller
+    centroid id) and PQ-encoded under the exact int64 contract of
+    :func:`pq_codes`; a query probes only its ``nprobe`` nearest lists and
+    pays m_sub ADD-lookups per surviving candidate instead of a
+    full-dimension scan. This is the composition FAISS ships as IndexIVFPQ
+    (flat encoding — no residual, which would break the integer-exact
+    oracle), and it cuts BOTH terms of scan cost: candidates by
+    ~nprobe/nlist, per-candidate work by dim/m_sub.
+
+    Scale shape: the (q_ids, probe sets, LUT) tuple is broadcast once via
+    ray.put (register-sized: nq × m × k int64), assignment + encoding +
+    scan are one stateless vectorized pass per batch, and the distributed
+    top-k merge ships k rows per query to the driver. Recall bounded by
+    quantizer × probe coverage (tested against :func:`ann_bruteforce`);
+    the DuckDB twin composes the ann_ivf assignment CTEs with the ann_pq
+    ADC relation and is bit-exact on adc (ties to smaller neighbor_id)."""
+    cent_rows = _rows_for_ids(embeddings, list(range(nlist)))
+    cent_by = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+               for r in cent_rows}
+    coarse = _unit(np.stack([cent_by[i] for i in sorted(cent_by)]))
+    cent_ids = np.arange(len(coarse))
+
+    q_rows = _rows_for_ids(embeddings, query_ids)
+    dim = len(q_rows[0]["embedding"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    cb = codebook if codebook is not None \
+        else sha_pq_codebook(m_sub, k_cent, sub, seed)      # (m, k, d)
+    q_ids = sorted(r["vec_id"] for r in q_rows)
+    q_by = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in q_rows}
+    q_mat = _unit(np.stack([q_by[i] for i in q_ids]))
+    q_cent_sims = q_mat @ coarse.T
+    probes = {}
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((cent_ids, -q_cent_sims[qi]))[:nprobe]
+        probes[qid] = cent_ids[order]
+    qq = np.floor(np.stack([q_by[i] for i in q_ids]) * 1_000_000.0) \
+        .astype(np.int64).reshape(len(q_ids), m_sub, 1, sub)
+    lut = np.einsum("qmkd,qmkd->qmk", qq - cb[None], qq - cb[None])
+    ref = ray.put((q_ids, probes, lut, coarse, cent_ids))
+    marange = np.arange(m_sub)
+
+    class IVFPQScan:
+        def __init__(self):
+            (self.q_ids, self.probes, self.lut, self.coarse,
+             self.cent_ids) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(), np.int64)
+            out_q, out_n, out_d = [], [], []
+            if len(ids):
+                raw = np.array(batch.column("embedding").to_pylist(),
+                               np.float64)
+                sims_c = _unit(raw) @ self.coarse.T
+                order = np.lexsort(
+                    (self.cent_ids[None, :].repeat(len(ids), 0), -sims_c),
+                    axis=1)[:, 0]
+                assigned = self.cent_ids[order]
+                q = np.floor(raw * 1_000_000.0).astype(np.int64) \
+                    .reshape(len(raw), m_sub, 1, sub)
+                diff = q - cb[None]
+                codes = np.einsum("nmkd,nmkd->nmk", diff, diff) \
+                    .argmin(axis=2)                         # (n, m)
+                for qi, qid in enumerate(self.q_ids):
+                    mask = np.isin(assigned, self.probes[qid]) & (ids != qid)
+                    if not mask.any():
+                        continue
+                    dist = self.lut[qi][marange[None, :],
+                                        codes[mask]].sum(1)
+                    cand = ids[mask]
+                    sel = np.lexsort((cand, dist))[:min(len(cand), k)]
+                    out_q.extend([qid] * len(sel))
+                    out_n.extend(cand[sel].tolist())
+                    out_d.extend(dist[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "adc": pa.array(out_d, pa.int64())})
+
+    partial = embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(IVFPQScan, batch_format="pyarrow",
+                     concurrency=(1, 8), batch_size=4096)
+
+    def topk(t: pa.Table) -> pa.Table:
+        d = t.column("adc").to_numpy(zero_copy_only=False)
+        nids = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((nids, d))
+        _, first = np.unique(nids[sel], return_index=True)
+        sel = sel[np.sort(first)][:k]
+        return pa.table({
+            "query_id": t.column("query_id").take(pa.array(sel)),
+            "neighbor_id": pa.array(nids[sel]),
+            "adc": pa.array(d[sel], pa.int64())})
+
+    merged = partial.groupby("query_id").map_groups(topk,
+                                                    batch_format="pyarrow")
+    out = pa.Table.from_pylist(merged.take_all(), schema=pa.schema([
+        ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("adc", pa.int64())]))
+    return out.sort_by([("query_id", "ascending"), ("adc", "ascending"),
+                        ("neighbor_id", "ascending")])

