@@ -661,6 +661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "sliding_event_stats": relational.sliding_event_stats,
         "sessionize": relational.sessionize,
+        # gaps-and-islands interval merge: per-user union coverage of
+        # value-minute event intervals
+        "interval_coverage": relational.interval_coverage,
+        # exact order-statistic window: trailing-5 rolling median per user
+        "rolling_median": relational.rolling_median,
         # first-touch funnel: strict-order earliest-after-bound chain
         "funnel_stages": relational.funnel_stages,
         "asof_last_click": relational.asof_last_click,
@@ -1947,6 +1952,41 @@ def oracle_sql() -> dict[str, str]:
               ON r.user_id = l.user_id
              AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
             GROUP BY 1, 2""",
+        "interval_coverage": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                              epoch_us(ts)
+                              + greatest(0, CAST(floor(value*60 + 0.5)
+                                                 AS BIGINT)) * 1000000 AS f
+                       FROM events),
+            w AS (SELECT user_id, s, f,
+                         max(f) OVER (PARTITION BY user_id ORDER BY s, f
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM e),
+            isl AS (SELECT user_id, s, f,
+                           CASE WHEN pmax IS NULL OR s > pmax
+                                THEN 1 ELSE 0 END AS brk
+                    FROM w),
+            g AS (SELECT user_id, s, f,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY s, f
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                  FROM isl),
+            per AS (SELECT user_id, island, max(f) - min(s) AS cov
+                    FROM g GROUP BY 1, 2)
+            SELECT user_id, count(*)::BIGINT AS n_islands,
+                   sum(cov)::BIGINT AS covered_us
+            FROM per GROUP BY 1""",
+        "rolling_median": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+                       FROM events)
+            SELECT event_id, user_id,
+                   round(quantile_cont(c, 0.5) OVER (
+                         PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                         / 100.0, 4) AS roll_med
+            FROM e""",
         "sessionize": """
             SELECT user_id, count(*) AS n_events,
                    (1 + sum(CASE WHEN prev_ts IS NOT NULL

@@ -1775,3 +1775,147 @@ def group_quantiles(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("group_key"), "")),
         batch_format="pyarrow")
+
+
+def interval_coverage(sf_dir: str, num_buckets: int = 256) -> rd.Dataset:
+    """Per user: merged-interval (gaps-and-islands) statistics over the
+    event stream, where each event opens an interval of ``value`` minutes
+    — (user_id, n_islands, covered_us). Two events whose intervals
+    overlap or touch belong to one island; coverage is the union length
+    of each island in microseconds. The classic interval-merge problem
+    (SQL: MAX window + island sum), done scale-shaped: users hash into
+    ``num_buckets`` uniform buckets, the shuffle exchanges on the
+    small-int bucket key, and each bucket runs ONE vectorized pass.
+
+    The per-bucket pass needs a GROUPED running max (interval ends are
+    not monotone when durations vary): with segments contiguous after
+    the sort, cummax(end + seg_id * BIG) - seg_id * BIG restarts the
+    accumulation at every segment boundary exactly, because BIG exceeds
+    the whole end-value range, so no earlier segment can dominate a
+    later one. All arithmetic stays int64 (ends rebased to min 0;
+    seg_id * BIG <= n_rows * range fits comfortably).
+
+    Durations floor(value*60 + 0.5) seconds, clamped at 0, mirroring the
+    DuckDB twin expression exactly."""
+    import numpy as np
+
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        unit = t.schema.field("ts").type.unit
+        per_us = {"s": 10**6, "ms": 10**3, "us": 1}[unit]
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_islands": pa.array([], pa.int64()),
+                             "covered_us": pa.array([], pa.int64())})
+        s = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) * per_us
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        dur = np.maximum(np.floor(val * 60.0 + 0.5).astype(np.int64), 0) \
+            * 1_000_000
+        f = s + dur
+        n = len(uid)
+        is_start = np.empty(n, np.bool_)
+        is_start[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=is_start[1:])
+        seg_id = np.cumsum(is_start) - 1
+        base = f.min()
+        big = (f.max() - base) + 1
+        cm = np.maximum.accumulate((f - base) + seg_id * big) \
+            - seg_id * big + base          # grouped running max of f
+        # island break: first event of a user, or start past the running
+        # max of all PRIOR ends in the segment (exclusive prefix)
+        brk = is_start.copy()
+        brk[1:] |= (~is_start[1:]) & (s[1:] > cm[:-1])
+        isl_start = np.flatnonzero(brk)
+        isl_end = np.concatenate((isl_start[1:], [n])) - 1
+        cov = cm[isl_end] - s[isl_start]   # island union = max end - min s
+        # islands -> users: user segment boundaries within the island list
+        isl_uid = uid[isl_start]
+        u_start = np.flatnonzero(np.concatenate(
+            ([True], isl_uid[1:] != isl_uid[:-1])))
+        n_islands = np.diff(np.concatenate((u_start, [len(isl_uid)])))
+        covered = np.add.reduceat(cov, u_start)
+        return pa.table({
+            "user_id": pa.array(isl_uid[u_start], pa.int64()),
+            "n_islands": pa.array(n_islands, pa.int64()),
+            "covered_us": pa.array(covered, pa.int64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
+        .select_columns(["user_id", "n_islands", "covered_us"])
+
+
+def rolling_median(sf_dir: str, window: int = 5,
+                   num_buckets: int = 256) -> rd.Dataset:
+    """Per event: exact rolling median of ``value`` over the trailing
+    ``window`` events of the same user (expanding below ``window``),
+    ordered by (ts, event_id) — (event_id, user_id, roll_med). The
+    order-statistic window SQL expresses as ``quantile_cont(0.5) OVER
+    (... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Exactness contract: values quantize to int64 cents
+    (floor(value*100 + 0.5)); the median of <= window small ints is
+    exact in float64 (the even-count midpoint (a+b)/2 is an exact
+    binary op on integers), so round(cents/100, 4) is bit-identical to
+    the DuckDB twin — no interpolation-order hazard.
+
+    Scale shape: user-bucketed exchange, then one vectorized pass per
+    bucket — the trailing window materializes as ``window`` lagged
+    columns (NaN where the lag crosses a user boundary) and a single
+    np.nanmedian over axis 1; no per-row Python, no per-user groups."""
+    import numpy as np
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.functions.shuffle import crc_bucket_array
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", crc_bucket_array(
+            pc.cast(t.column("user_id"), pa.int64()), num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "roll_med": pa.array([], pa.float64())})
+        eid = pc.cast(t.column("event_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64).astype(np.float64)
+        is_start = np.empty(n, np.bool_)
+        is_start[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=is_start[1:])
+        seg_start = np.maximum.accumulate(
+            np.where(is_start, np.arange(n), 0))
+        cols = np.full((n, window), np.nan)
+        idx = np.arange(n)
+        for lag in range(window):
+            valid = idx - lag >= seg_start
+            cols[valid, lag] = cents[idx[valid] - lag]
+        med = np.nanmedian(cols, axis=1) / 100.0
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "roll_med": pa.array(
+                [round_half_away(m, 4) for m in med], pa.float64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
+        .select_columns(["event_id", "user_id", "roll_med"])

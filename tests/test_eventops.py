@@ -380,3 +380,63 @@ def test_retention_cohorts_matches_duckdb(ray_session, tmp_path):
     # cohort w0+1: user 3; two same-week events at W+2 count once
     assert by[(w0 + 1, 0)] == 1
     assert by[(w0 + 1, 1)] == 1
+
+
+def test_interval_coverage_matches_duckdb(ray_session, tmp_path):
+    """Gaps-and-islands on the crafted corpus (overlapping, touching and
+    disjoint value-minute intervals per user) vs the SQL twin, plus a
+    hand-checked island: user 3's three error events at 0/25/30 with
+    1-minute durations are three separate islands."""
+    sf = _sf_dir(tmp_path)
+    got = relational.interval_coverage(sf).to_pandas()
+    assert _norm(got) == _norm(_oracle("interval_coverage"))
+    u3 = got[got.user_id == 3].iloc[0]
+    # all five user-3 events are 1.0-minute intervals at 0,20,25,27,30:
+    # islands {0}, {20,25,27,30}? 20+1<25 -> no; check: [20,21],[25,26],
+    # [27,28],[30,31] all disjoint -> 5 islands, 5 minutes covered
+    assert u3.n_islands == 5
+    assert u3.covered_us == 5 * 60 * 1_000_000
+
+
+def test_interval_coverage_variable_durations(ray_session, tmp_path):
+    """Non-monotone interval ends (a LONG interval swallowing later short
+    ones) — the case a sessionize-style gap test cannot catch and the
+    grouped-cummax exists for."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 9: 60-min interval at t=0 swallows events at 10 and 30
+        # (their short intervals end before the first one does), then a
+        # disjoint event at 120
+        (0, 0, 9, 60.0), (1, 10, 9, 1.0), (2, 30, 9, 1.0),
+        (3, 120, 9, 5.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(minutes=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = relational.interval_coverage(str(tmp_path)).to_pandas()
+    assert got.n_islands.tolist() == [2]
+    # island 1 = [0, 60] min (61 would need touching; ends at minute 60),
+    # island 2 = [120, 125] min -> 65 minutes total
+    assert got.covered_us.tolist() == [65 * 60 * 1_000_000]
+
+
+def test_rolling_median_matches_duckdb(ray_session, tmp_path):
+    """Exact trailing-5 rolling median vs quantile_cont window, including
+    the expanding prefix (windows of 1..4) and equal-timestamp ordering
+    by event_id."""
+    sf = _sf_dir(tmp_path)
+    got = relational.rolling_median(sf).to_pandas()
+    assert _norm(got) == _norm(_oracle("rolling_median"))
+    # expanding prefix sanity: user 1's first two events -> median of one
+    # value, then of two (the midpoint)
+    by_eid = got.set_index("event_id").roll_med
+    assert by_eid[0] == 1.0
+    assert by_eid[1] == 1.0
