@@ -909,6 +909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: graph.degree_stats(graph.synth_graph_edges()),
         "graph_triangles":
             lambda sf: graph.triangle_counts(graph.synth_graph_edges()),
+        # directed-closure motif census: feed-forward vs cyclic triangles
+        "graph_triad_motifs":
+            lambda sf: graph.triad_motifs(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
         # weight-proportional integer PageRank (sha edge weights)
@@ -1642,6 +1645,17 @@ def oracle_sql() -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT n AS node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY n""",
+        # transitive triples counted once per middle; 3-cycles once per
+        # cycle (the three-way join sees all 3 rotations)
+        "graph_triad_motifs": _graph_sql() + """,
+            tr AS (SELECT count(*) AS c FROM g e1
+                   JOIN g e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+                   JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            cyc AS (SELECT count(*) AS c FROM g e1
+                    JOIN g e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+                    JOIN g e3 ON e3.src = e2.dst AND e3.dst = e1.src)
+            SELECT (SELECT c FROM tr)::BIGINT AS n_transitive,
+                   ((SELECT c FROM cyc) // 3)::BIGINT AS n_cyclic""",
         "graph_clustering": _graph_sql() + """,
             und AS (SELECT DISTINCT least(src, dst) AS a,
                                     greatest(src, dst) AS b

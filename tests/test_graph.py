@@ -1246,3 +1246,33 @@ def test_eccentricity_tiny_and_invariance():
         row = a[a.source == s].iloc[0]
         assert row.ecc == max(dist.values())
         assert row.n_reached == len(dist)
+
+
+def test_triad_motifs_crafted(ray_session):
+    """Directed-closure census on a hand-built graph: one pure transitive
+    triangle, one pure 3-cycle, a reciprocal pair (no triad), a
+    reciprocal-plus-apex cluster (two transitive closures), duplicate and
+    self-loop edges that the distinct pass must drop. Cross-checked
+    against an in-test brute force over the distinct edge set."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raykg.ops.graph import triad_motifs
+
+    e = [(0, 1), (1, 2), (0, 2), (0, 1),          # transitive + dup
+         (3, 4), (4, 5), (5, 3),                  # 3-cycle
+         (6, 6),                                  # self-loop (dropped)
+         (7, 8), (8, 7),                          # reciprocal, no triad
+         (9, 10), (10, 9), (10, 11), (9, 11)]     # two transitive closures
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64())}))
+    row = triad_motifs(edges, num_buckets=16).take_all()[0]
+
+    es = {(a, b) for a, b in e if a != b}
+    n_tr = sum(1 for a, b in es for c in range(12)
+               if c != a and (b, c) in es and (a, c) in es)
+    n_cy = sum(1 for a, b in es for c in range(12)
+               if c != a and (b, c) in es and (c, a) in es) // 3
+    assert (row["n_transitive"], row["n_cyclic"]) == (n_tr, n_cy) == (3, 1)
