@@ -717,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front": relational.pareto_front,
         # exact distributed percentile_disc via domain-bounded histograms
         "group_quantiles": relational.group_quantiles,
+        # Hampel-rule robust stats: median, MAD, |x-med| > 3*MAD counts
+        "robust_group_stats": relational.robust_group_stats,
         # product-quantization codes (IVF-PQ compression step), int-exact
         "pq_codes": lambda sf: ann.pq_codes(_emb(sf)),
         # asymmetric-distance top-k over the PQ codes (the IVF-PQ scan)
@@ -2403,6 +2405,43 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact percentile_disc: least cents with cum*4 >= k*n —
         # the engine's searchsorted pick written as a window scan (no
         # reliance on quantile_disc's index convention)
+        "robust_group_stats": """
+            WITH h AS (SELECT o_orderpriority AS group_key,
+                              floor(o_totalprice*100 + 0.5)::BIGINT AS cents,
+                              count(*)::BIGINT AS c
+                       FROM orders GROUP BY 1, 2),
+            cum AS (SELECT group_key, cents, c,
+                           sum(c) OVER (PARTITION BY group_key
+                                        ORDER BY cents) AS cum,
+                           sum(c) OVER (PARTITION BY group_key) AS n
+                    FROM h),
+            med AS (SELECT group_key, cents AS m, n FROM cum
+                    WHERE cum * 2 >= n
+                    QUALIFY row_number() OVER (PARTITION BY group_key
+                                               ORDER BY cents) = 1),
+            devh AS (SELECT h.group_key, abs(h.cents - med.m) AS d,
+                            sum(h.c)::BIGINT AS c
+                     FROM h JOIN med USING (group_key) GROUP BY 1, 2),
+            dcum AS (SELECT group_key, d, c,
+                            sum(c) OVER (PARTITION BY group_key
+                                         ORDER BY d) AS cum,
+                            sum(c) OVER (PARTITION BY group_key) AS n
+                     FROM devh),
+            mad AS (SELECT group_key, d AS md FROM dcum
+                    WHERE cum * 2 >= n
+                    QUALIFY row_number() OVER (PARTITION BY group_key
+                                               ORDER BY d) = 1),
+            outc AS (SELECT devh.group_key,
+                            coalesce(sum(devh.c) FILTER (
+                                WHERE devh.d > 3 * mad.md), 0)::BIGINT
+                                AS n_outliers
+                     FROM devh JOIN mad USING (group_key) GROUP BY 1)
+            SELECT med.group_key, med.n::BIGINT AS n,
+                   round(med.m / 100.0, 4) AS median,
+                   round(mad.md / 100.0, 4) AS mad,
+                   outc.n_outliers
+            FROM med JOIN mad USING (group_key)
+                 JOIN outc USING (group_key)""",
         "group_quantiles": """
             WITH h AS (SELECT l_returnflag AS group_key,
                               floor(l_extendedprice*100 + 0.5)::BIGINT

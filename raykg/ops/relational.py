@@ -1919,3 +1919,83 @@ def rolling_median(sf_dir: str, window: int = 5,
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
         .select_columns(["event_id", "user_id", "roll_med"])
+
+
+def robust_group_stats(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
+    """(group_key, n, median, mad, n_outliers): robust per-group location
+    and spread of o_totalprice per o_orderpriority — median, the median
+    absolute deviation, and the count of rows with |x - median| > 3*MAD
+    (the Hampel outlier rule; ~4.5 sigma on normal data, but unlike a
+    z-score it cannot be dragged by the outliers it is hunting).
+
+    The second-order statistic (a median OF deviations FROM a median)
+    needs no second exchange: like :func:`group_quantiles`, rows collapse
+    to a domain-bounded (cents -> count) histogram per group, and the
+    deviation distribution is a pure reindexing of that SAME histogram
+    (|cents - med| with the same counts), so median, MAD and the outlier
+    count all come out of one finalize. All comparisons are integer
+    (percentile_disc semantics, cum*2 >= n), so the DuckDB twin matches
+    bit-for-bit; the two reported dollar values round once at the end."""
+    import numpy as np
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def comb(t: pa.Table) -> pa.Table:
+        cents = pa.array(np.floor(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64),
+            pa.int64())
+        g = pa.table({"group_key": t.column("o_orderpriority"),
+                      "cents": cents}) \
+            .group_by(["group_key", "cents"]).aggregate([([], "count_all")])
+        # sentinel: "" cannot occur (priorities are '1-URGENT'.. style)
+        return pa.table({
+            "group_key": pa.array(
+                g.column("group_key").to_pylist() + [""], pa.string()),
+            "cents": pa.array(g.column("cents").to_pylist() + [0],
+                              pa.int64()),
+            "n": pa.array(g.column("count_all").to_pylist() + [0],
+                          pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["group_key", "cents"]).aggregate([("n", "sum")])
+        keys, ns, meds, mads, outs = [], [], [], [], []
+        for key in sorted(set(g.column("group_key").to_pylist())):
+            if key == "":
+                continue
+            sub = g.filter(pc.equal(g.column("group_key"), key))
+            cents = np.asarray(sub.column("cents").to_pylist(), np.int64)
+            cnt = np.asarray(sub.column("n_sum").to_pylist(), np.int64)
+            order = np.argsort(cents)
+            cents, cnt = cents[order], cnt[order]
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            if n == 0:
+                continue
+            med = int(cents[np.searchsorted(cum * 2, n)])
+            # deviation histogram: same counts, reindexed; symmetric
+            # cents collide so merge by reduceat over sorted devs
+            dev = np.abs(cents - med)
+            dorder = np.argsort(dev, kind="stable")
+            dev, dcnt = dev[dorder], cnt[dorder]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], dev[1:] != dev[:-1])))
+            udev = dev[starts]
+            ucnt = np.add.reduceat(dcnt, starts)
+            dcum = np.cumsum(ucnt)
+            mad = int(udev[np.searchsorted(dcum * 2, n)])
+            keys.append(key)
+            ns.append(n)
+            meds.append(round_half_away(med / 100.0, 4))
+            mads.append(round_half_away(mad / 100.0, 4))
+            outs.append(int(ucnt[udev > 3 * mad].sum()))
+        return pa.table({"group_key": pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "median": pa.array(meds, pa.float64()),
+                         "mad": pa.array(mads, pa.float64()),
+                         "n_outliers": pa.array(outs, pa.int64())})
+
+    return bucketed_group_agg(ds, comb, "group_key", fin,
+                              num_buckets=num_buckets)

@@ -117,3 +117,37 @@ def test_group_quantiles_vs_oracle(ray_session, tmp_path):
         and by[("A", 0.75)] == 3.0
     assert by[("B", 0.25)] == 5.0 and by[("B", 0.5)] == 5.0 \
         and by[("B", 0.75)] == 7.0
+
+
+def test_robust_group_stats_crafted(ray_session, tmp_path):
+    """Hampel rule on crafted groups: MAD immune to the outlier it flags
+    (group A), MAD=0 degenerate mass (group B: any deviation is an
+    outlier), even-count disc median (group C). Pinned against the twin."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    orders = pa.table({
+        "o_orderpriority": pa.array(
+            ["A"] * 7 + ["B"] * 5 + ["C"] * 4, pa.string()),
+        "o_totalprice": pa.array(
+            [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 500.0,   # A: one outlier
+             5.0, 5.0, 5.0, 5.0, 9.0,                     # B: MAD = 0
+             1.0, 2.0, 3.0, 4.0],                         # C: even n
+            pa.float64())})
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = relational.robust_group_stats(str(tmp_path), num_buckets=4) \
+        .to_pandas()
+
+    con = duckdb.connect()
+    con.register("orders", orders)
+    want = con.sql(e.oracle_sql()["robust_group_stats"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
+    by = {r.group_key: r for r in got.itertuples()}
+    # A: median 13, devs {0,1,1,2,2,3,487} -> MAD 2, outliers: 487 > 6
+    assert (by["A"].median, by["A"].mad, by["A"].n_outliers) == (13.0, 2.0, 1)
+    # B: median 5, MAD 0, the single 9 is an outlier (4 > 0)
+    assert (by["B"].median, by["B"].mad, by["B"].n_outliers) == (5.0, 0.0, 1)
+    # C: even n disc median = 2 (cum*2 >= n at the 2nd of 4)
+    assert by["C"].median == 2.0 and by["C"].n_outliers == 0
