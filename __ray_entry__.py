@@ -1006,6 +1006,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_mentions":
             lambda sf: graph.co_mention_edges(
                 _flagship_exact_result().triples),
+        # position-discounted entity prominence (integer lead-mention
+        # weights), exact distinct-doc counts
+        "kg_entity_salience":
+            lambda sf: graph.entity_salience(
+                _flagship_exact_result().triples),
         # incremental crawl append: 300 docs ingested + committed, then a
         # 100-doc delta linked WITHOUT re-linking the first 300; the result
         # must hash-match the same one-statement batch oracle
@@ -1785,6 +1790,16 @@ def oracle_sql() -> dict[str, str]:
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
+        "kg_entity_salience": "WITH t AS ("
+            + flagship_exact_sql(what="triples") + """),
+            occ AS (SELECT doc_id, obj AS uri, span_offset FROM t
+                    UNION ALL
+                    SELECT doc_id, subj, span_offset FROM t
+                    WHERE subj NOT LIKE 'sdpg.gr/Document/%')
+            SELECT uri, count(*)::BIGINT AS n_mentions,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   sum(1000000 // (1 + span_offset))::BIGINT AS salience
+            FROM occ GROUP BY uri""",
         "kg_entity_pagerank": _entity_pagerank_sql(3),
         "kg_entity_pagerank_weighted": _entity_pagerank_sql(
             3, weighted=True),

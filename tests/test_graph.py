@@ -1276,3 +1276,32 @@ def test_triad_motifs_crafted(ray_session):
     n_cy = sum(1 for a, b in es for c in range(12)
                if c != a and (b, c) in es and (c, a) in es) // 3
     assert (row["n_transitive"], row["n_cyclic"]) == (n_tr, n_cy) == (3, 1)
+
+
+def test_entity_salience_crafted(ray_session):
+    """Integer lead-mention weights: offset 0 -> 1e6, offset 1 -> 5e5,
+    offset 999999 -> 1; doc-subject rows contribute their object only;
+    multiplicity kept for n_mentions/salience, docs deduped for n_docs."""
+    from raykg.ops.graph import entity_salience
+
+    D = "sdpg.gr/Document/d"
+    E1, E2 = "sdpg.gr/Person/aaa", "sdpg.gr/City/bbb"
+    t = pa.table({
+        "subj": pa.array([D + "1", D + "1", E1, D + "2"], pa.string()),
+        "pred": pa.array(["mentions"] * 4, pa.string()),
+        "obj": pa.array([E1, E1, E2, E1], pa.string()),
+        "doc_id": pa.array(["d1", "d1", "d1", "d2"], pa.string()),
+        "span_offset": pa.array([0, 1, 3, 999999], pa.int32()),
+    })
+    got = {r["uri"]: r for r in
+           entity_salience(rd.from_arrow(t), num_buckets=8).take_all()}
+    # E1: obj mentions at offsets 0, 1 (d1) and 999999 (d2), PLUS the
+    # entity-subject row at offset 3 (non-Document subj counts for the
+    # subject uri too, mirroring _doc_entity_rows / the SQL twin)
+    assert got[E1]["n_mentions"] == 4
+    assert got[E1]["n_docs"] == 2
+    assert got[E1]["salience"] == 1_000_000 + 500_000 + 250_000 + 1
+    # E2: one obj mention at offset 3
+    assert got[E2]["n_mentions"] == 1
+    assert got[E2]["n_docs"] == 1
+    assert got[E2]["salience"] == 250_000
