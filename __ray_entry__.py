@@ -700,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": lambda sf: text.token_stats(_docs(sf)),
         "quality_score": lambda sf: text.quality_score(_docs(sf)),
+        # Flesch-Kincaid grade (vowel-group syllables, [.!?]+ sentences)
+        "readability": lambda sf: text.readability(_docs(sf)),
         "lang_id": lambda sf: text.lang_id(_docs(sf)),
         "fingerprint": lambda sf: text.fingerprint(_docs(sf)),
         "inverted_index": lambda sf: text.inverted_index(_docs(sf)),
@@ -751,6 +753,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-level training-data ops
         "neardup_keep": lambda sf: corpus.neardup_keep(_docs(sf)),
         "neardup_components": lambda sf: corpus.neardup_components(_docs(sf)),
+        # production dedup policy: keep the highest-quality member of
+        # each near-dup component, not the smallest id
+        "neardup_keep_best":
+            lambda sf: corpus.neardup_keep_best(_docs(sf)),
         # same output via alternating star contraction (O(log^2 n) rounds,
         # diameter-independent — the long-chain-graph scale path)
         "neardup_components_star": lambda sf: corpus.neardup_components(
@@ -2581,6 +2587,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, adc FROM adc
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY adc, neighbor_id) <= 5""",
+        "readability": f"""
+            WITH w AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            syl AS (SELECT doc_id,
+                           count(*)::BIGINT AS words,
+                           sum(greatest(1, len(regexp_extract_all(
+                               lower(w), '[aeiouy]+'))))::BIGINT AS syls
+                    FROM w GROUP BY 1),
+            s AS (SELECT doc_id,
+                         greatest(1, len(regexp_extract_all(
+                             text, '[.!?]+')))::BIGINT AS sents
+                  FROM documents)
+            SELECT syl.doc_id,
+                   round(0.39 * (words::DOUBLE / sents)
+                         + 11.8 * (syls::DOUBLE / words) - 15.59, 4)
+                       AS fk_grade
+            FROM syl JOIN s USING (doc_id)""",
         "unigram_logprob": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
             c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
@@ -2844,6 +2866,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
             SELECT node AS doc_id, min(label) AS component
             FROM reach GROUP BY 1""",
+        "neardup_keep_best": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            vp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.6),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM vp
+                  UNION ALL SELECT doc_b, doc_a FROM vp),
+            nodes AS (SELECT DISTINCT a AS node FROM e),
+            reach(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node),
+            comp AS (SELECT node AS doc_id, min(label) AS component
+                     FROM reach GROUP BY 1),
+            q AS (SELECT doc_id,
+                         round(0.4 * least(1.0, len(toks) / 60.0)
+                               + 0.3 * (1.0 - len(list_filter(toks,
+                                     t -> t IN ('the', 'a')))
+                                     / len(toks)::DOUBLE)
+                               + 0.3 * (len(list_distinct(toks))
+                                     / len(toks)::DOUBLE), 4) AS quality
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+                  WHERE len(toks) > 0),
+            best AS (SELECT comp.doc_id
+                     FROM comp JOIN q USING (doc_id)
+                     QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY quality DESC, comp.doc_id) = 1)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+            UNION ALL SELECT doc_id FROM best""",
         "bottomk_sample": """
             SELECT doc_id,
                    substr(sha256('sample|42|' || doc_id::VARCHAR), 1, 16)

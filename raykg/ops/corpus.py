@@ -1655,3 +1655,129 @@ def dense_string_ids(ds: rd.Dataset, col: str,
                          "id": pa.array(ids, pa.int64())})
 
     return positioned.map_batches(assign, batch_format="pyarrow")
+
+
+def neardup_keep_best(documents: rd.Dataset, num_buckets: int = 1024,
+                      **lsh_kwargs) -> rd.Dataset:
+    """(doc_id) keep-list that keeps the HIGHEST-QUALITY member of every
+    near-dup component instead of the smallest id — the production dedup
+    policy (crawl snapshots: keep the cleanest capture, not the first):
+    components from :func:`neardup_components` (min-id over verified
+    MinHash-LSH pairs), quality from
+    :func:`raykg.ops.text.quality_score`, winner = max quality with ties
+    to the smaller doc_id; documents in no component keep themselves.
+
+    Fully distributed: three bucketed exchanges after the component pass
+    — (1) doc-keyed attach of quality to component rows, (2)
+    component-keyed argmax, (3) doc-keyed keep-set union (corpus rows vs
+    member rows vs winner rows) — the keep/drop sets never land on the
+    driver, same discipline as :func:`neardup_keep`."""
+    from raykg.ops.text import quality_score
+
+    comps = neardup_components(documents, **lsh_kwargs)
+    quality = quality_score(documents)
+
+    # exchange 1 (key=doc_id): attach quality to component memberships
+    def comp_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        if t.num_rows and pc.min(ids).as_py() < 0:
+            raise ValueError("neardup_keep_best requires non-negative "
+                             "doc ids (-1 is the internal sentinel)")
+        return pa.table({
+            "doc_id": pa.concat_arrays([ids.combine_chunks(),
+                                        pa.array([-1], pa.int64())]),
+            "component": pa.concat_arrays([
+                pc.cast(t.column("component"), pa.int64())
+                .combine_chunks(), pa.array([-1], pa.int64())]),
+            "quality": pa.array([None] * (t.num_rows + 1), pa.float64())})
+
+    def quality_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "component": pa.array([-1] * t.num_rows, pa.int64()),
+            "quality": t.column("quality")})
+
+    def attach_quality(t: pa.Table) -> pa.Table:
+        qmap: dict[int, float] = {}
+        for d, c, q in zip(t.column("doc_id").to_pylist(),
+                           t.column("component").to_pylist(),
+                           t.column("quality").to_pylist()):
+            if c == -1 and q is not None:
+                qmap[d] = q
+        out_d, out_c, out_q = [], [], []
+        for d, c in zip(t.column("doc_id").to_pylist(),
+                        t.column("component").to_pylist()):
+            if c >= 0:
+                out_d.append(d)
+                out_c.append(c)
+                out_q.append(qmap.get(d, 0.0))
+        out_d.append(-1)
+        out_c.append(-1)
+        out_q.append(0.0)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "component": pa.array(out_c, pa.int64()),
+                         "quality": pa.array(out_q, pa.float64())})
+
+    membered = bucketed_group_agg(
+        comps.map_batches(comp_rows, batch_format="pyarrow")
+        .union(quality.map_batches(quality_rows, batch_format="pyarrow")),
+        lambda t: t, "doc_id", attach_quality, num_buckets=num_buckets)
+
+    # exchange 2 (key=component): argmax quality, ties -> smaller doc_id
+    def argmax(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("component"), 0))
+        best: dict[int, tuple] = {}
+        for d, c, q in zip(t.column("doc_id").to_pylist(),
+                           t.column("component").to_pylist(),
+                           t.column("quality").to_pylist()):
+            cur = best.get(c)
+            if cur is None or (-q, d) < cur:
+                best[c] = (-q, d)
+        wins = sorted(d for _, d in best.values())
+        return pa.table({"doc_id": pa.array(wins + [-1], pa.int64()),
+                         "winner": pa.array([1] * (len(wins) + 1),
+                                            pa.int8())})
+
+    winners = bucketed_group_agg(membered, lambda t: t, "component",
+                                 argmax, num_buckets=num_buckets)
+
+    # exchange 3 (key=doc_id): corpus minus members plus winners
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({"doc_id": ids,
+                         "member": pa.array([0] * t.num_rows, pa.int8()),
+                         "winner": pa.array([0] * t.num_rows, pa.int8())})
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks()
+        ids = pa.concat_arrays([ids, pa.array([-1], pa.int64())])
+        return pa.table({"doc_id": ids,
+                         "member": pa.array([1] * len(ids), pa.int8()),
+                         "winner": pa.array([0] * len(ids), pa.int8())})
+
+    def winner_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "member": pa.array([0] * t.num_rows, pa.int8()),
+                         "winner": t.column("winner")})
+
+    tagged = documents.select_columns(["doc_id"]) \
+        .map_batches(corpus_rows, batch_format="pyarrow") \
+        .union(comps.map_batches(member_rows, batch_format="pyarrow")) \
+        .union(winners.map_batches(winner_rows, batch_format="pyarrow"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("member", "max"),
+                                            ("winner", "max")])
+        keep = pc.or_(pc.equal(g.column("member_max"), 0),
+                      pc.equal(g.column("winner_max"), 1))
+        ids = g.filter(keep).column("doc_id")
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return pa.table({"doc_id": pa.concat_arrays(
+            [ids, pa.array([-1], pa.int64())])})
+
+    out = bucketed_group_agg(tagged, lambda t: t, "doc_id", fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
+        batch_format="pyarrow")

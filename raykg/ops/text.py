@@ -1306,3 +1306,38 @@ def ngram_novelty(documents: rd.Dataset, gram: int = 3,
     return out.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
         batch_format="pyarrow")
+
+
+_VOWEL_GROUPS = re.compile(r"[aeiouy]+")
+_SENT_BREAKS = re.compile(r"[.!?]+")
+
+
+def readability(documents: rd.Dataset) -> rd.Dataset:
+    """(doc_id, fk_grade): Flesch-Kincaid grade level,
+    0.39*(words/sentences) + 11.8*(syllables/words) - 15.59 — the
+    classic corpus-filtering readability feature (syllables approximated
+    as maximal vowel-group runs [aeiouy]+ per lowercased token, floored
+    at 1 per word; sentences = [.!?]+ runs, floored at 1). Zero-token
+    documents emit no row (grade undefined), matching the SQL twin's
+    inner join. Stateless vectorizable map; the two regexes compile once
+    at module import, not per batch."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_ids, grades = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(s)
+            words = len(toks)
+            if words == 0:
+                continue
+            syls = sum(max(1, len(_VOWEL_GROUPS.findall(w.lower())))
+                       for w in toks)
+            sents = max(1, len(_SENT_BREAKS.findall(s)))
+            doc_ids.append(d)
+            grades.append(round_half_away(
+                0.39 * (words / sents) + 11.8 * (syls / words) - 15.59, 4))
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "fk_grade": pa.array(grades, pa.float64())})
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow")

@@ -348,3 +348,32 @@ def test_set_similarity_join_hot_prefix_capped(ray_session, caplog):
                                     max_prefix_bucket=10).take_all()
     assert len(pairs) == 45                     # C(10,2), smallest ids
     assert all(p["doc_a"] < 10 and p["doc_b"] < 10 for p in pairs)
+
+
+def test_neardup_keep_best_prefers_quality(ray_session):
+    """Three near-identical docs where the HIGHEST doc_id has the best
+    quality (longest, most distinct tokens) must keep that one — the
+    policy neardup_keep (min-id) cannot express — while the unrelated
+    singleton keeps itself."""
+    from raykg.ops.corpus import neardup_keep, neardup_keep_best
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 7], pa.int64()),
+        "text": pa.array([
+            base + " the the the the the the",          # stop-heavy
+            base + " the the the the the the",          # dup of 0
+            base + " phi chi psi omega aleph bet",      # cleanest twin
+            "completely different content here now",    # singleton
+        ], pa.string()),
+    }))
+    kept = sorted(r["doc_id"] for r in
+                  neardup_keep_best(docs, num_buckets=16).take_all())
+    assert 7 in kept                       # singleton keeps itself
+    # docs 0/1/2 near-dup: winner must be 2 (highest quality), NOT 0
+    assert kept == [2, 7], kept
+    # contrast with the min-id policy
+    kept_min = sorted(r["doc_id"] for r in
+                      neardup_keep(docs, num_buckets=16).take_all())
+    assert kept_min == [0, 7], kept_min
