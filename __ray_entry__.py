@@ -920,6 +920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # directed-closure motif census: feed-forward vs cyclic triangles
         "graph_triad_motifs":
             lambda sf: graph.triad_motifs(graph.synth_graph_edges()),
+        # Luby MIS under a fixed sha priority (deterministic greedy)
+        "graph_mis":
+            lambda sf: graph.maximal_independent_set(
+                graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
         # weight-proportional integer PageRank (sha edge weights)
@@ -1498,6 +1502,49 @@ def _harmonic_sql(sources: tuple, rounds: int = 16) -> str:
     FROM st WHERE d > 0 GROUP BY node"""
 
 
+def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Twin of raykg.ops.graph.maximal_independent_set: Luby rounds under
+    the fixed sha priority (prio(v) = (sha8 % 2^31)*2^31 + v), unrolled
+    with MATERIALIZED per-round CTEs (the graph_betweenness discipline —
+    without it the round-over-round references inline exponentially).
+    ``rounds`` must exceed the fixture graph's settle count (measured 4;
+    8 gives deterministic headroom — extra rounds are empty sets)."""
+
+    def prio(col: str) -> str:
+        return (f"((('0x' || substr(sha256('mis|{seed}|' || {col}"
+                f"::VARCHAR), 1, 8))::UBIGINT % 2147483648)::BIGINT"
+                f" * 2147483648 + {col})")
+
+    sql = _graph_sql() + """,
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM g WHERE src <> dst),
+    e0 AS MATERIALIZED (SELECT a, b FROM und
+                        UNION ALL SELECT b, a FROM und),
+    n0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM e0)"""
+    for r in range(rounds):
+        sql += f""",
+    m{r} AS MATERIALIZED (SELECT a AS v, min({prio('b')}) AS mn
+                          FROM e{r} GROUP BY 1),
+    w{r} AS MATERIALIZED (
+      SELECT n.v FROM n{r} n LEFT JOIN m{r} m ON m.v = n.v
+      WHERE m.v IS NULL OR {prio('n.v')} < m.mn),
+    d{r} AS MATERIALIZED (
+      SELECT v FROM w{r}
+      UNION SELECT e.b AS v FROM e{r} e JOIN w{r} w ON e.a = w.v),
+    n{r + 1} AS MATERIALIZED (
+      SELECT v FROM n{r} WHERE v NOT IN (SELECT v FROM d{r})),
+    e{r + 1} AS MATERIALIZED (
+      SELECT a, b FROM e{r}
+      WHERE a NOT IN (SELECT v FROM d{r})
+        AND b NOT IN (SELECT v FROM d{r}))"""
+    union = " UNION ".join(
+        [f"SELECT v FROM w{r}" for r in range(rounds)]
+        + [f"SELECT v FROM n{rounds}"])
+    return sql + f"""
+    SELECT v::BIGINT AS node FROM ({union})"""
+
+
 def _ecc_sql(sources: tuple, rounds: int = 16) -> str:
     """Twin of raykg.ops.graph.eccentricity_sampled: the shared unrolled
     forward pass, then one per-source max/count (the d=0 source row
@@ -1660,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corners GROUP BY n""",
         # transitive triples counted once per middle; 3-cycles once per
         # cycle (the three-way join sees all 3 rotations)
+        "graph_mis": _mis_sql(),
         "graph_triad_motifs": _graph_sql() + """,
             tr AS (SELECT count(*) AS c FROM g e1
                    JOIN g e2 ON e2.src = e1.dst AND e2.dst <> e1.src

@@ -4267,3 +4267,260 @@ def entity_salience(triples: rd.Dataset, num_buckets: int = 256
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("uri"), "")),
         batch_format="pyarrow")
+
+
+def _mis_prio(nodes: np.ndarray, seed: int) -> np.ndarray:
+    """Unique int64 Luby priority per node: (sha8 % 2^31) * 2^31 + node —
+    sha-ordered, node-id tiebreak, collision-free (node < 2^31 asserted
+    upstream), < 2^62 so int64-safe. DuckDB twin:
+    (('0x'||substr(sha256('mis|seed|'||v),1,8))::UBIGINT % 2147483648)
+    * 2147483648 + v."""
+    return np.fromiter(
+        ((sha_int(f"mis|{seed}|{int(v)}") % (1 << 31)) * (1 << 31) + int(v)
+         for v in nodes), np.int64, count=len(nodes))
+
+
+def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
+                            max_iters: int = 48,
+                            num_buckets: int = 256) -> rd.Dataset:
+    """(node,) — THE maximal independent set selected by Luby's algorithm
+    (Luby 1986) under a FIXED sha-derived priority order: each round,
+    every undecided node whose priority is a strict local minimum among
+    its undecided neighbors joins the set and knocks its neighbors out;
+    isolated undecided nodes join unconditionally. With fixed priorities
+    this is exactly the greedy MIS in priority order, so the output is
+    deterministic and the DuckDB twin (the same rounds unrolled with
+    MATERIALIZED per-round CTEs, the graph_betweenness discipline)
+    matches bit-for-bit. Rounds = O(log n) w.h.p. — the textbook
+    symmetry-breaking primitive behind distributed coloring/matching.
+
+    Scale shape: three bucketed exchanges per round, nothing node-sized
+    on the driver —
+      1. node-keyed: local-min test over the undecided adjacency; the
+         winner's bucket holds its full neighbor list, so winner AND
+         knocked-out rows come out of the same finalize;
+      2. node-keyed: dead-set semi-join tagging each edge row and
+         filtering the undecided-node set;
+      3. pk-keyed: an edge survives iff neither endpoint row was tagged.
+    Priorities recompute from sha anywhere (broadcast-free); at 100 TB
+    swap the per-node Python sha for the vectorized fast family (the
+    hash_family pattern in ops/dedup.py)."""
+    # undirected distinct simple graph, packed keys
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError("maximal_independent_set: node ids must be "
+                             "< 2^31 (packed-pair key / priority layout)")
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
+                                        pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        return pa.table({"pk": pa.array(
+            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
+
+    und_edges = bucketed_group_agg(edges, canon, "pk", distinct,
+                                   num_buckets=num_buckets).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = pk[pk >= 0]
+        return pa.table({"node": pa.array(np.concatenate(
+            [np.unique(np.concatenate([pk // _SHIFT, pk % _SHIFT]))
+             if len(pk) else np.empty(0, np.int64), [_SENT]]), pa.int64())})
+
+    def node_distinct(t: pa.Table) -> pa.Table:
+        n = np.unique(_np(t.column("node")))
+        return pa.table({"node": pa.array(
+            np.concatenate([n[n >= 0], [_SENT]]), pa.int64())})
+
+    und_nodes = bucketed_group_agg(und_edges, node_rows, "node",
+                                   node_distinct,
+                                   num_buckets=num_buckets).materialize()
+
+    mis_parts: list[rd.Dataset] = []
+    rounds = 0
+    while rounds < max_iters:
+        rounds += 1
+        n_edges = int(und_edges.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((_np(t.column("pk")) >= 0).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        if n_edges <= 0:
+            break
+
+        # --- exchange 1: local-min winners + their knocked-out neighbors
+        def adj_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            a, b = pk // _SHIFT, pk % _SHIFT
+            return pa.table({
+                "node": pa.array(np.concatenate([a, b, [_SENT]]),
+                                 pa.int64()),
+                "other": pa.array(np.concatenate([b, a, [_SENT]]),
+                                  pa.int64())})
+
+        def local_min(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            other = _np(t.column("other"))[keep]
+            out_node: list[np.ndarray] = []
+            out_role: list[np.ndarray] = []
+            if len(node):
+                order = np.argsort(node, kind="stable")
+                node, other = node[order], other[order]
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], node[1:] != node[:-1])))
+                prio_self = _mis_prio(node[starts], seed)
+                min_nb = np.minimum.reduceat(_mis_prio(other, seed), starts)
+                winners = node[starts][prio_self < min_nb]
+                out_node.append(winners)
+                out_role.append(np.ones(len(winners), np.int64))
+                # knocked-out neighbors: others in each winner's segment
+                wset = set(winners.tolist())
+                wmask = np.isin(node, np.array(sorted(wset), np.int64)) \
+                    if wset else np.zeros(len(node), np.bool_)
+                dead = np.unique(other[wmask])
+                out_node.append(dead)
+                out_role.append(np.full(len(dead), 2, np.int64))
+            out_node.append(np.array([_SENT], np.int64))
+            out_role.append(np.array([0], np.int64))
+            return pa.table({"node": pa.array(np.concatenate(out_node),
+                                              pa.int64()),
+                             "role": pa.array(np.concatenate(out_role),
+                                              pa.int64())})
+
+        verdicts = bucketed_group_agg(
+            und_edges.map_batches(adj_rows, batch_format="pyarrow"),
+            lambda t: t, "node", local_min,
+            num_buckets=num_buckets).materialize()
+
+        winners = verdicts.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.filter(pc.equal(t.column("role"), 1))
+                .column("node").combine_chunks(),
+                pa.array([_SENT], pa.int64())])}),
+            batch_format="pyarrow")
+        mis_parts.append(winners.materialize())
+
+        # --- exchange 2: dead-set semi-join over edge rows + node set
+        def edge_side_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            a, b = pk // _SHIFT, pk % _SHIFT
+            return pa.table({
+                "node": pa.array(np.concatenate([a, b, [_SENT]]),
+                                 pa.int64()),
+                "pk": pa.array(np.concatenate([pk, pk, [-2]]), pa.int64()),
+                "role": pa.array(np.full(2 * len(pk) + 1, 3, np.int64),
+                                 pa.int64())})
+
+        def und_node_rows(t: pa.Table) -> pa.Table:
+            n = _np(t.column("node"))
+            n = n[n >= 0]
+            return pa.table({
+                "node": pa.array(np.concatenate([n, [_SENT]]), pa.int64()),
+                "pk": pa.array(np.full(len(n) + 1, -2, np.int64),
+                               pa.int64()),
+                "role": pa.array(np.full(len(n) + 1, 4, np.int64),
+                                 pa.int64())})
+
+        def dead_tag(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            pk = _np(t.column("pk"))[keep]
+            role = _np(t.column("role"))[keep]
+            dead = np.unique(node[(role == 1) | (role == 2)])
+            is_dead = np.isin(node, dead)
+            # edge rows: (pk, kill); surviving und-node rows: (node,)
+            em = role == 3
+            out_pk = pk[em]
+            out_kill = is_dead[em].astype(np.int64)
+            nm = (role == 4) & ~is_dead
+            surv = node[nm]
+            return pa.table({
+                "pk": pa.array(np.concatenate(
+                    [out_pk, np.full(len(surv), -3, np.int64), [-2]]),
+                    pa.int64()),
+                "kill": pa.array(np.concatenate(
+                    [out_kill, np.zeros(len(surv), np.int64), [0]]),
+                    pa.int64()),
+                "node": pa.array(np.concatenate(
+                    [np.full(len(out_pk), _SENT, np.int64), surv,
+                     [_SENT]]), pa.int64())})
+
+        tagged = bucketed_group_agg(
+            und_edges.map_batches(edge_side_rows, batch_format="pyarrow")
+            .union(verdicts.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "pk": pa.array([-2] * t.num_rows, pa.int64()),
+                    "role": t.column("role")}),
+                batch_format="pyarrow"))
+            .union(und_nodes.map_batches(und_node_rows,
+                                         batch_format="pyarrow")),
+            lambda t: t, "node", dead_tag,
+            num_buckets=num_buckets).materialize()
+
+        und_nodes = tagged.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.filter(pc.greater_equal(t.column("node"), 0))
+                .column("node").combine_chunks(),
+                pa.array([_SENT], pa.int64())])}),
+            batch_format="pyarrow").materialize()
+
+        # --- exchange 3: an edge survives iff no endpoint row was killed
+        def alive(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            keep = pk >= 0
+            pk = pk[keep]
+            kill = _np(t.column("kill"))[keep]
+            order = np.argsort(pk, kind="stable")
+            pk, kill = pk[order], kill[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], pk[1:] != pk[:-1]))) if len(pk) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(kill, starts) if len(pk) else \
+                np.empty(0, np.int64)
+            out = pk[starts][mx == 0] if len(pk) else pk
+            return pa.table({"pk": pa.array(
+                np.concatenate([out, [_SENT]]), pa.int64())})
+
+        und_edges = bucketed_group_agg(
+            tagged.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("pk"), -3))
+                .select(["pk", "kill"]),
+                batch_format="pyarrow"),
+            lambda t: t, "pk", alive, num_buckets=num_buckets).materialize()
+    else:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "maximal_independent_set: round budget %d exhausted with "
+            "edges remaining — output may not be maximal; raise "
+            "max_iters", max_iters)
+    import logging
+
+    logging.getLogger("raykg").info(
+        "maximal_independent_set: settled after %d rounds", rounds)
+
+    # isolated undecided survivors join the set
+    mis_parts.append(und_nodes)
+    out = mis_parts[0]
+    for p in mis_parts[1:]:
+        out = out.union(p)
+    return bucketed_group_agg(
+        out, lambda t: t, "node",
+        lambda t: pa.table({"node": pa.array(np.concatenate(
+            [np.unique(_np(t.column("node"))[_np(t.column("node")) >= 0]),
+             [_SENT]]), pa.int64())}),
+        num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
+        batch_format="pyarrow")

@@ -1305,3 +1305,29 @@ def test_entity_salience_crafted(ray_session):
     assert got[E2]["n_mentions"] == 1
     assert got[E2]["n_docs"] == 1
     assert got[E2]["salience"] == 250_000
+
+
+def test_maximal_independent_set_properties(ray_session):
+    """Independence + maximality on a crafted graph (path, triangle,
+    pendant pair, plus a duplicate and reversed edge the distinct pass
+    must collapse), and determinism across num_buckets — the sha
+    priority order fixes THE greedy MIS, not just some MIS."""
+    from raykg.ops.graph import maximal_independent_set
+
+    e = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8),
+         (1, 0), (0, 1)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64())}))
+    mis = sorted(r["node"] for r in
+                 maximal_independent_set(edges, num_buckets=8).take_all())
+    es = {(a, b) for a, b in e} | {(b, a) for a, b in e}
+    assert all((a, b) not in es for a in mis for b in mis if a != b)
+    nodes = {n for p in e for n in p}
+    assert all(n in mis or any((n, m) in es for m in mis) for n in nodes)
+    # exactly one of each triangle corner, one of the pendant pair
+    assert len([n for n in mis if n in (4, 5, 6)]) == 1
+    assert len([n for n in mis if n in (7, 8)]) == 1
+    mis2 = sorted(r["node"] for r in
+                  maximal_independent_set(edges, num_buckets=32).take_all())
+    assert mis == mis2
