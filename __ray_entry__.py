@@ -924,6 +924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mis":
             lambda sf: graph.maximal_independent_set(
                 graph.synth_graph_edges()),
+        # greedy maximal matching by sha edge priority (coarsening
+        # primitive)
+        "graph_matching":
+            lambda sf: graph.maximal_matching(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
         # weight-proportional integer PageRank (sha edge weights)
@@ -1545,6 +1549,42 @@ def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
     SELECT v::BIGINT AS node FROM ({union})"""
 
 
+def _matching_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Twin of raykg.ops.graph.maximal_matching: greedy matching by the
+    fixed sha edge priority, rounds unrolled MATERIALIZED. An edge wins a
+    round iff it is the (h, pk)-argmin at BOTH endpoints."""
+    sql = _graph_sql() + f""",
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM g WHERE src <> dst),
+    me0 AS MATERIALIZED (
+      SELECT a, b, a * 2147483648 + b AS pk,
+             ('0x' || substr(sha256('mm|{seed}|' ||
+                 (a * 2147483648 + b)::VARCHAR), 1, 8))::UBIGINT::BIGINT
+                 AS h
+      FROM und)"""
+    for r in range(rounds):
+        sql += f""",
+    nom{r} AS MATERIALIZED (
+      SELECT pk FROM (SELECT a AS v, pk, h FROM me{r}
+                      UNION ALL SELECT b, pk, h FROM me{r})
+      QUALIFY row_number() OVER (PARTITION BY v ORDER BY h, pk) = 1),
+    w{r} AS MATERIALIZED (
+      SELECT pk FROM nom{r} GROUP BY pk HAVING count(*) = 2),
+    d{r} AS MATERIALIZED (
+      SELECT pk // 2147483648 AS v FROM w{r}
+      UNION SELECT pk % 2147483648 FROM w{r}),
+    me{r + 1} AS MATERIALIZED (
+      SELECT a, b, pk, h FROM me{r}
+      WHERE a NOT IN (SELECT v FROM d{r})
+        AND b NOT IN (SELECT v FROM d{r}))"""
+    union = " UNION ALL ".join(f"SELECT pk FROM w{r}" for r in range(rounds))
+    return sql + f"""
+    SELECT (pk // 2147483648)::BIGINT AS node_a,
+           (pk % 2147483648)::BIGINT AS node_b
+    FROM ({union})"""
+
+
 def _ecc_sql(sources: tuple, rounds: int = 16) -> str:
     """Twin of raykg.ops.graph.eccentricity_sampled: the shared unrolled
     forward pass, then one per-source max/count (the d=0 source row
@@ -1708,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         # transitive triples counted once per middle; 3-cycles once per
         # cycle (the three-way join sees all 3 rotations)
         "graph_mis": _mis_sql(),
+        "graph_matching": _matching_sql(),
         "graph_triad_motifs": _graph_sql() + """,
             tr AS (SELECT count(*) AS c FROM g e1
                    JOIN g e2 ON e2.src = e1.dst AND e2.dst <> e1.src

@@ -4524,3 +4524,195 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
         num_buckets=num_buckets).map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("node"), 0)),
         batch_format="pyarrow")
+
+
+def maximal_matching(edges: rd.Dataset, seed: int = 42,
+                     max_iters: int = 48,
+                     num_buckets: int = 256) -> rd.Dataset:
+    """(node_a, node_b) — THE maximal matching selected greedily by a
+    fixed sha-derived edge priority (the distributed-matching round of
+    Luby-style symmetry breaking; the multilevel-partitioning coarsening
+    primitive — METIS pairs vertices exactly this way): each round, an
+    edge joins the matching iff its (priority, pk) is the strict minimum
+    among ALL edges sharing either endpoint — i.e. it is the argmin at
+    BOTH endpoints — then its two vertices leave the graph. Fixed
+    priorities make this the sequential greedy matching in priority
+    order: deterministic, and the DuckDB twin (rounds unrolled with
+    MATERIALIZED CTEs) matches bit-for-bit.
+
+    Scale shape per round, nothing node-sized on the driver:
+      1. node-keyed: per-vertex argmin over incident edges
+         ((h, pk) lexicographic, h = sha of the packed pair key);
+      2. pk-keyed: an edge wins iff BOTH its endpoints nominated it
+         (count of nomination rows == 2); winners emit their endpoints
+         as dead;
+      3. node-keyed + pk-keyed survival, same semi-join shape as
+         :func:`maximal_independent_set`."""
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError("maximal_matching: node ids must be < 2^31 "
+                             "(packed-pair key)")
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
+                                        pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        return pa.table({"pk": pa.array(
+            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
+
+    und_edges = bucketed_group_agg(edges, canon, "pk", distinct,
+                                   num_buckets=num_buckets).materialize()
+
+    def edge_prio(pk: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (sha_int(f"mm|{seed}|{int(p)}") for p in pk),
+            np.int64, count=len(pk))
+
+    matched_parts: list[rd.Dataset] = []
+    rounds = 0
+    while rounds < max_iters:
+        rounds += 1
+        n_edges = int(und_edges.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((_np(t.column("pk")) >= 0).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        if n_edges <= 0:
+            break
+
+        # --- exchange 1: per-vertex argmin nomination
+        def side_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            h = edge_prio(pk)
+            return pa.table({
+                "node": pa.array(np.concatenate(
+                    [pk // _SHIFT, pk % _SHIFT, [_SENT]]), pa.int64()),
+                "pk": pa.array(np.concatenate([pk, pk, [-2]]), pa.int64()),
+                "h": pa.array(np.concatenate([h, h, [0]]), pa.int64())})
+
+        def nominate(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            pk = _np(t.column("pk"))[keep]
+            h = _np(t.column("h"))[keep]
+            if len(node):
+                order = np.lexsort((pk, h, node))
+                node, pk = node[order], pk[order]
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], node[1:] != node[:-1])))
+                pk = pk[starts]
+            else:
+                pk = np.empty(0, np.int64)
+            return pa.table({"pk": pa.array(
+                np.concatenate([pk, [_SENT]]), pa.int64())})
+
+        noms = bucketed_group_agg(
+            und_edges.map_batches(side_rows, batch_format="pyarrow"),
+            lambda t: t, "node", nominate, num_buckets=num_buckets)
+
+        # --- exchange 2: winner iff nominated by both endpoints
+        def winners_fin(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            pk.sort()
+            if len(pk):
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], pk[1:] != pk[:-1])))
+                cnt = np.diff(np.concatenate([starts, [len(pk)]]))
+                win = pk[starts][cnt == 2]
+            else:
+                win = pk
+            return pa.table({"pk": pa.array(
+                np.concatenate([win, [_SENT]]), pa.int64())})
+
+        winners = bucketed_group_agg(noms, lambda t: t, "pk", winners_fin,
+                                     num_buckets=num_buckets).materialize()
+        matched_parts.append(winners)
+
+        # --- exchange 3: drop edges incident to matched vertices
+        def dead_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            return pa.table({
+                "node": pa.array(np.concatenate(
+                    [pk // _SHIFT, pk % _SHIFT, [_SENT]]), pa.int64()),
+                "pk": pa.array(np.full(2 * len(pk) + 1, -2, np.int64),
+                               pa.int64())})
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            return pa.table({
+                "node": pa.array(np.concatenate(
+                    [pk // _SHIFT, pk % _SHIFT, [_SENT]]), pa.int64()),
+                "pk": pa.array(np.concatenate([pk, pk, [-2]]), pa.int64())})
+
+        def kill_tag(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            pk = _np(t.column("pk"))[keep]
+            dead = np.unique(node[pk == -2])
+            em = pk >= 0
+            return pa.table({
+                "pk": pa.array(np.concatenate([pk[em], [-2]]), pa.int64()),
+                "kill": pa.array(np.concatenate(
+                    [np.isin(node[em], dead).astype(np.int64), [0]]),
+                    pa.int64())})
+
+        tagged = bucketed_group_agg(
+            und_edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(winners.map_batches(dead_rows, batch_format="pyarrow")),
+            lambda t: t, "node", kill_tag, num_buckets=num_buckets)
+
+        def alive(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            keep = pk >= 0
+            pk = pk[keep]
+            kill = _np(t.column("kill"))[keep]
+            order = np.argsort(pk, kind="stable")
+            pk, kill = pk[order], kill[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], pk[1:] != pk[:-1]))) if len(pk) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(kill, starts) if len(pk) else \
+                np.empty(0, np.int64)
+            out = pk[starts][mx == 0] if len(pk) else pk
+            return pa.table({"pk": pa.array(
+                np.concatenate([out, [_SENT]]), pa.int64())})
+
+        und_edges = bucketed_group_agg(tagged, lambda t: t, "pk", alive,
+                                       num_buckets=num_buckets) \
+            .materialize()
+    else:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "maximal_matching: round budget %d exhausted with edges "
+            "remaining — matching may not be maximal; raise max_iters",
+            max_iters)
+
+    out = matched_parts[0] if matched_parts else und_edges
+    for p in matched_parts[1:]:
+        out = out.union(p)
+
+    def decode(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = pk[pk >= 0]
+        return pa.table({
+            "node_a": pa.array(pk // _SHIFT, pa.int64()),
+            "node_b": pa.array(pk % _SHIFT, pa.int64())})
+
+    if not matched_parts:
+        return und_edges.map_batches(
+            lambda t: pa.table({"node_a": pa.array([], pa.int64()),
+                                "node_b": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    return out.map_batches(decode, batch_format="pyarrow")

@@ -1331,3 +1331,29 @@ def test_maximal_independent_set_properties(ray_session):
     mis2 = sorted(r["node"] for r in
                   maximal_independent_set(edges, num_buckets=32).take_all())
     assert mis == mis2
+
+
+def test_maximal_matching_properties(ray_session):
+    """Vertex-disjointness + maximality + edge membership on a crafted
+    graph, determinism across bucket counts, duplicate/reverse edges
+    collapsed."""
+    from raykg.ops.graph import maximal_matching
+
+    e = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8), (1, 0)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64())}))
+    m = sorted((r["node_a"], r["node_b"]) for r in
+               maximal_matching(edges, num_buckets=8).take_all())
+    used = [n for p in m for n in p]
+    assert len(used) == len(set(used))            # vertex-disjoint
+    es = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    assert all(p in es for p in m)                # real edges only
+    un = {n for p in es for n in p} - set(used)
+    assert not any(a in un and b in un for a, b in es)   # maximal
+    # triangle contributes exactly one pair, pendant pair matches itself
+    assert (7, 8) in m
+    assert len([p for p in m if set(p) <= {4, 5, 6}]) == 1
+    m2 = sorted((r["node_a"], r["node_b"]) for r in
+                maximal_matching(edges, num_buckets=32).take_all())
+    assert m == m2
