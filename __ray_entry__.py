@@ -655,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "revenue_by_priority": relational.revenue_by_priority,
+        # TPC-H Q5 shape: broadcast dimension chain + fact-fact shuffle
+        # join + post-join nation correlation
+        "local_supplier_revenue": relational.local_supplier_revenue,
         "majority_nation_per_segment": relational.majority_nation_per_segment,
         "top_orders": relational.top_orders,
         "event_type_counts": relational.event_type_counts,
@@ -2020,6 +2023,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 4) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY 1, 2""",
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name""",
         "revenue_by_nation": """
             SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

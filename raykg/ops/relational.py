@@ -1999,3 +1999,120 @@ def robust_group_stats(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
 
     return bucketed_group_agg(ds, comb, "group_key", fin,
                               num_buckets=num_buckets)
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           date_from: str = "1996-01-01",
+                           date_to: str = "1998-01-01",
+                           num_partitions: int = 16) -> pa.Table:
+    """TPC-H Q5 shape — (n_name, revenue): revenue from lineitems whose
+    SUPPLIER and ordering CUSTOMER sit in the same nation of ``region``,
+    for orders in [date_from, date_to). The most join-intensive pipeline
+    in the suite, shaped for scale the way a 100 TB run would be:
+
+    - region ⋈ nation ⋈ supplier and the customer→nation map are
+      DIMENSION sides: read once on the driver (register/branch-office
+      sized), pushed to workers as ONE ray.put broadcast, applied inside
+      vectorized map_batches — never a shuffle;
+    - the two FACT tables meet in a hash-partitioned shuffle join
+      (lineitem ⋈ orders on orderkey) — the only all-to-all, and both
+      sides arrive pre-filtered (date range on orders, region's
+      suppliers on lineitem) and pre-projected to 2-3 columns, so the
+      exchange carries a fraction of either table;
+    - the c_nationkey = s_nationkey correlation resolves AFTER the join
+      as a vectorized equality on two attached small-int columns;
+    - revenue partials per nation merge through small_key_agg
+      (nations-per-region sized), float sums rounded once at the end
+      (the revenue_by_priority contract)."""
+    import datetime as dt
+
+    import numpy as np
+    import ray
+
+    nation = _read_small(sf_dir, "nation")
+    reg = _read_small(sf_dir, "region")
+    rkey = {r: k for k, r in zip(reg.column("r_regionkey").to_pylist(),
+                                 reg.column("r_name").to_pylist())}[region]
+    n_in = {k: n for k, n, rk in zip(nation.column("n_nationkey").to_pylist(),
+                                     nation.column("n_name").to_pylist(),
+                                     nation.column("n_regionkey").to_pylist())
+            if rk == rkey}
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    s_map = {s: n for s, n in zip(supp.column("s_suppkey").to_pylist(),
+                                  supp.column("s_nationkey").to_pylist())
+             if n in n_in}
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    c_map = {c: n for c, n in zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_nationkey").to_pylist())
+             if n in n_in}
+    dims = ray.put((s_map, c_map))
+    t_lo = dt.datetime.fromisoformat(date_from)
+    t_hi = dt.datetime.fromisoformat(date_to)
+
+    # plain task functions, NOT actor pools: Dataset.join spawns its own
+    # long-lived aggregator actors, and an actor pool upstream of a join
+    # deadlocks them on a CPU-capped cluster (see bench _init_ray note).
+    # ray.get on the broadcast ref is served from the local object store
+    # after the first fetch per worker process.
+    def order_side(t: pa.Table) -> pa.Table:
+        c_map = ray.get(dims)[1]
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
+                                     pa.scalar(t_lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(t_hi)))
+        t = t.filter(m)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        cn = np.fromiter((c_map.get(int(c), -1) for c in ck),
+                         np.int64, count=len(ck))
+        keep = cn >= 0
+        return pa.table({
+            "o_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "cust_nation": pa.array(cn[keep], pa.int64())})
+
+    def line_side(t: pa.Table) -> pa.Table:
+        s_map = ray.get(dims)[0]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = np.fromiter((s_map.get(int(s), -1) for s in sk),
+                         np.int64, count=len(sk))
+        keep = sn >= 0
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))) \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "l_orderkey": pa.array(
+                t.column("l_orderkey").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "supp_nation": pa.array(sn[keep], pa.int64()),
+            "rev": pa.array(rev, pa.float64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "cust_nation" not in t.column_names:     # schema-less guard
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        t = t.filter(pc.equal(t.column("cust_nation"),
+                              t.column("supp_nation")))
+        g = t.group_by("supp_nation").aggregate([("rev", "sum")])
+        return pa.table({"nk": g.column("supp_nation"),
+                         "rev": g.column("rev_sum")})
+
+    tot = small_key_agg(joined.map_batches(partial, batch_format="pyarrow"),
+                        _sum_combine(["nk"], ["rev"]))
+    names = pa.array([n_in[k] for k in tot.column("nk").to_pylist()],
+                     pa.string())
+    out = pa.table({"n_name": names,
+                    "revenue": _rha(tot.column("rev"), 2)})
+    return out.sort_by([("n_name", "ascending")])

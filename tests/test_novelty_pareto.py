@@ -151,3 +151,76 @@ def test_robust_group_stats_crafted(ray_session, tmp_path):
     assert (by["B"].median, by["B"].mad, by["B"].n_outliers) == (5.0, 0.0, 1)
     # C: even n disc median = 2 (cum*2 >= n at the 2nd of 4)
     assert by["C"].median == 2.0 and by["C"].n_outliers == 0
+
+
+def test_local_supplier_revenue_correlation(ray_session, tmp_path):
+    """The c_nationkey = s_nationkey correlation must drop the lineitem
+    whose supplier nation differs from the customer's, the date filter
+    must drop the out-of-range order, and the off-region nation must not
+    appear at all. Pinned against the twin."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    def w(name, table):
+        pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+    w("region", pa.table({"r_regionkey": pa.array([0, 2], pa.int64()),
+                          "r_name": pa.array(["AFRICA", "ASIA"],
+                                             pa.string())}))
+    w("nation", pa.table({
+        "n_nationkey": pa.array([10, 11, 20], pa.int64()),
+        "n_name": pa.array(["JAPAN", "CHINA", "KENYA"], pa.string()),
+        "n_regionkey": pa.array([2, 2, 0], pa.int64())}))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+        "s_nationkey": pa.array([10, 11, 20], pa.int64()),
+        "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64())}))
+    w("customer", pa.table({
+        "c_custkey": pa.array([100, 101], pa.int64()),
+        "c_name": pa.array(["c100", "c101"], pa.string()),
+        "c_nationkey": pa.array([10, 20], pa.int64()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["A", "B"], pa.string())}))
+    T = dt.datetime
+    w("orders", pa.table({
+        "o_orderkey": pa.array([1000, 1001, 1002], pa.int64()),
+        "o_custkey": pa.array([100, 100, 101], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array(
+            [T(1996, 6, 1), T(1999, 6, 1), T(1996, 6, 1)],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3, pa.string())}))
+    # order 1000 (JAPAN customer): one JAPAN-supplier line (kept, 100),
+    # one CHINA-supplier line (dropped: correlation); order 1001 kept
+    # by keys but out of date range; order 1002 KENYA customer (off
+    # region, dropped)
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array([1000, 1000, 1001, 1002], pa.int64()),
+        "l_partkey": pa.array([1] * 4, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 4, pa.float64()),
+        "l_extendedprice": pa.array([200.0, 300.0, 400.0, 500.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.5, 0.0, 0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 4, pa.string()),
+        "l_linestatus": pa.array(["O"] * 4, pa.string()),
+        "l_shipdate": pa.array([T(1996, 6, 2)] * 4, pa.timestamp("us"))}))
+
+    got = relational.local_supplier_revenue(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [["JAPAN", 100.0]]
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "customer", "orders",
+              "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.sql(e.oracle_sql()["local_supplier_revenue"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
