@@ -881,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans":
             lambda sf: ann.ann_ivf_kmeans(_emb(sf), [0, 1, 2, 3, 4], k=5),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(_emb(sf)),
+        # per-dimension moment profile (collapse/anisotropy diagnostic)
+        "embedding_dim_stats":
+            lambda sf: ann.embedding_dim_stats(_emb(sf)),
         # Johnson-Lindenstrauss sha-sign random projection (dim reduction)
         "random_projection": lambda sf: ann.random_projection(_emb(sf)),
         # corpus-wide similarity graph: exact baseline + LSH-bucketed
@@ -1027,6 +1030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weights), exact distinct-doc counts
         "kg_entity_salience":
             lambda sf: graph.entity_salience(
+                _flagship_exact_result().triples),
+        # per-predicate cardinality profile (KG QA readout)
+        "kg_relation_stats":
+            lambda sf: graph.relation_stats(
                 _flagship_exact_result().triples),
         # incremental crawl append: 300 docs ingested + committed, then a
         # 100-doc delta linked WITHOUT re-linking the first 300; the result
@@ -1888,6 +1895,13 @@ def oracle_sql() -> dict[str, str]:
                     ON a.doc_id = b.doc_id AND a.uri < b.uri)
             SELECT ent_a, ent_b, count(*)::BIGINT AS n_docs
             FROM p GROUP BY 1, 2""",
+        "kg_relation_stats": "WITH t AS ("
+            + flagship_exact_sql(what="triples") + """)
+            SELECT pred, count(*)::BIGINT AS n_triples,
+                   count(DISTINCT subj)::BIGINT AS n_subj,
+                   count(DISTINCT obj)::BIGINT AS n_obj,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM t GROUP BY pred""",
         "kg_entity_salience": "WITH t AS ("
             + flagship_exact_sql(what="triples") + """),
             occ AS (SELECT doc_id, obj AS uri, span_offset FROM t
@@ -2589,6 +2603,19 @@ def oracle_sql() -> dict[str, str]:
             FROM hit WHERE rn = 1""",
         # sha-derived integer codebook + exact int64 squared-L2 argmin,
         # ties to the smallest centroid id (engine: argmin first index)
+        "embedding_dim_stats": """
+            WITH ev AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                    * 1000000.0) AS BIGINT) AS q
+                        FROM embeddings)
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+                   round((sum(q)::DOUBLE / count(*)) / 1000000.0, 6)
+                       AS mean,
+                   round(((sum(q*q) * count(*) - sum(q) * sum(q))::DOUBLE
+                          / (count(*)::DOUBLE * count(*)))
+                         / 1000000000000.0, 6) AS var,
+                   min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q
+            FROM ev GROUP BY 1""",
         "pq_codes": """
             WITH cent AS (
               SELECT m, k, j,

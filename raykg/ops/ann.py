@@ -1019,3 +1019,76 @@ def ann_ivfpq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
         ("adc", pa.int64())]))
     return out.sort_by([("query_id", "ascending"), ("adc", "ascending"),
                         ("neighbor_id", "ascending")])
+
+
+def embedding_dim_stats(embeddings: rd.Dataset) -> pa.Table:
+    """(dim, n, mean, var, min_q, max_q): exact per-dimension moment
+    profile of the embedding column — the anisotropy / dimension-collapse
+    diagnostic (a dim whose variance ~ 0 carries no information; a mean
+    far from 0 signals an uncentered model). Values quantize once to
+    int64 micro-units (the pq_codes contract) and the four moment
+    registers per dimension are EXACT integers — per-batch int64 partials
+    widened to Python ints for the cross-batch merge (the
+    numeric_correlation_matrix HUGEINT analog) — so mean and population
+    variance are each ONE float expression over merged registers and the
+    DuckDB twin is bit-exact; min/max stay in raw micro-units.
+
+    Scale shape: a per-batch combiner reduces each batch to dim register
+    rows; the driver pull is register-sized (dim x n_batches) regardless
+    of corpus size."""
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        q = np.floor(mat * 1_000_000.0).astype(np.int64)
+        dims = np.arange(q.shape[1], dtype=np.int64)
+        return pa.table({
+            "dim": pa.array(dims, pa.int64()),
+            "n": pa.array(np.full(q.shape[1], q.shape[0], np.int64)),
+            "s": pa.array([str(int(x)) for x in q.sum(axis=0)],
+                          pa.string()),
+            "s2": pa.array([str(sum((q[:, d] * q[:, d]).tolist()))
+                            for d in range(q.shape[1])], pa.string()),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64())})
+
+    parts = pa.concat_tables(
+        embeddings.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+
+    acc: dict[int, list] = {}
+    for row in parts.to_pylist():
+        d = row["dim"]
+        cur = acc.get(d)
+        if cur is None:
+            acc[d] = [row["n"], int(row["s"]), int(row["s2"]),
+                      row["mn"], row["mx"]]
+        else:
+            cur[0] += row["n"]
+            cur[1] += int(row["s"])
+            cur[2] += int(row["s2"])
+            cur[3] = min(cur[3], row["mn"])
+            cur[4] = max(cur[4], row["mx"])
+    from raykg.functions.hashing import round_half_away
+
+    dims = sorted(acc)
+    out_mean, out_var = [], []
+    for d in dims:
+        n, s, s2, _, _ = acc[d]
+        out_mean.append(round_half_away((float(s) / n) / 1_000_000.0, 6))
+        out_var.append(round_half_away(
+            (float(s2 * n - s * s) / (float(n) * n))
+            / 1_000_000_000_000.0, 6))
+    return pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "n": pa.array([acc[d][0] for d in dims], pa.int64()),
+        "mean": pa.array(out_mean, pa.float64()),
+        "var": pa.array(out_var, pa.float64()),
+        "min_q": pa.array([acc[d][3] for d in dims], pa.int64()),
+        "max_q": pa.array([acc[d][4] for d in dims], pa.int64())})

@@ -4716,3 +4716,74 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
                                 "node_b": pa.array([], pa.int64())}),
             batch_format="pyarrow")
     return out.map_batches(decode, batch_format="pyarrow")
+
+
+def relation_stats(triples: rd.Dataset, num_buckets: int = 64
+                   ) -> rd.Dataset:
+    """(pred, n_triples, n_subj, n_obj, n_docs): the per-predicate
+    cardinality profile of the constructed KG — triple count plus exact
+    distinct subject/object/document counts. The standard KG QA readout:
+    a predicate with n_obj ~ 1 is a constant (suspicious), one with
+    n_subj ~ n_triples is functional, and n_docs localizes provenance.
+
+    One pred-keyed bucketed exchange: the per-batch combiner emits
+    DISTINCT (pred, kind, value) rows for the three distinct-count kinds
+    plus an exact per-batch triple-count register, so the exchange
+    carries per-batch-distinct rows, never raw triples re-keyed three
+    ways."""
+    def comb(t: pa.Table) -> pa.Table:
+        pred = t.column("pred").to_pylist()
+        subj = t.column("subj").to_pylist()
+        obj = t.column("obj").to_pylist()
+        doc = t.column("doc_id").to_pylist()
+        counts: dict[str, int] = {}
+        rows: set[tuple] = set()
+        for p, s, o, d in zip(pred, subj, obj, doc):
+            counts[p] = counts.get(p, 0) + 1
+            rows.add((p, 0, s))
+            rows.add((p, 1, o))
+            rows.add((p, 2, d))
+        out_p = [r[0] for r in rows] + list(counts)
+        out_k = [r[1] for r in rows] + [3] * len(counts)
+        out_v = [r[2] for r in rows] + [str(c) for c in counts.values()]
+        out_p.append("")            # sentinel; predicates are non-empty
+        out_k.append(3)
+        out_v.append("0")
+        return pa.table({"pred": pa.array(out_p, pa.string()),
+                         "kind": pa.array(out_k, pa.int64()),
+                         "val": pa.array(out_v, pa.string())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("pred"), ""))
+        stats: dict[str, list] = {}
+        seen: set[tuple] = set()
+        for p, k, v in zip(t.column("pred").to_pylist(),
+                           t.column("kind").to_pylist(),
+                           t.column("val").to_pylist()):
+            cur = stats.setdefault(p, [0, 0, 0, 0])
+            if k == 3:
+                cur[3] += int(v)
+            elif (p, k, v) not in seen:
+                seen.add((p, k, v))
+                cur[k] += 1
+        preds = sorted(stats)
+        out = pa.table({
+            "pred": pa.array(preds, pa.string()),
+            "n_triples": pa.array([stats[p][3] for p in preds],
+                                  pa.int64()),
+            "n_subj": pa.array([stats[p][0] for p in preds], pa.int64()),
+            "n_obj": pa.array([stats[p][1] for p in preds], pa.int64()),
+            "n_docs": pa.array([stats[p][2] for p in preds], pa.int64())})
+        sent = pa.table({
+            "pred": pa.array([""], pa.string()),
+            "n_triples": pa.array([0], pa.int64()),
+            "n_subj": pa.array([0], pa.int64()),
+            "n_obj": pa.array([0], pa.int64()),
+            "n_docs": pa.array([0], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    out = bucketed_group_agg(triples, comb, "pred", fin,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("pred"), "")),
+        batch_format="pyarrow")

@@ -338,3 +338,27 @@ def test_ann_ivfpq_vs_oracle_and_pruning(ray_session):
         probe = set(cent_ids[np.lexsort(
             (cent_ids, -qsims[rec["query_id"]]))[:4]].tolist())
         assert assigned[rec["neighbor_id"]] in probe
+
+
+def test_embedding_dim_stats_crafted(ray_session):
+    """Exact micro-unit moments on a hand-computable table: a constant
+    dimension (var 0), a symmetric one (mean 0), floor quantization."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raykg.ops.ann import embedding_dim_stats
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[0.5, -1.0], [0.5, 1.0], [0.5, -2.0], [0.5, 2.0]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 0], pa.int32())}))
+    got = embedding_dim_stats(emb).to_pylist()
+    d0, d1 = got[0], got[1]
+    assert (d0["dim"], d0["n"], d0["mean"], d0["var"]) == (0, 4, 0.5, 0.0)
+    assert d0["min_q"] == d0["max_q"] == 500_000
+    assert (d1["mean"], d1["min_q"], d1["max_q"]) == (0.0, -2_000_000,
+                                                      2_000_000)
+    assert d1["var"] == 2.5   # E[x^2] = (1+1+4+4)/4

@@ -1357,3 +1357,25 @@ def test_maximal_matching_properties(ray_session):
     m2 = sorted((r["node_a"], r["node_b"]) for r in
                 maximal_matching(edges, num_buckets=32).take_all())
     assert m == m2
+
+
+def test_relation_stats_crafted(ray_session):
+    """Exact distinct counts per predicate: repeated triples inflate
+    n_triples only; subjects/objects/docs dedupe."""
+    from raykg.ops.graph import relation_stats
+
+    t = pa.table({
+        "subj": pa.array(["s1", "s1", "s2", "s1"], pa.string()),
+        "pred": pa.array(["p", "p", "p", "q"], pa.string()),
+        "obj": pa.array(["o1", "o1", "o1", "o2"], pa.string()),
+        "doc_id": pa.array(["d1", "d2", "d1", "d1"], pa.string()),
+        "span_offset": pa.array([0, 1, 2, 3], pa.int32()),
+    })
+    got = {r["pred"]: r for r in
+           relation_stats(rd.from_arrow(t), num_buckets=8).take_all()}
+    p = got["p"]
+    assert (p["n_triples"], p["n_subj"], p["n_obj"], p["n_docs"]) \
+        == (3, 2, 1, 2)
+    q = got["q"]
+    assert (q["n_triples"], q["n_subj"], q["n_obj"], q["n_docs"]) \
+        == (1, 1, 1, 1)
