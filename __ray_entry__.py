@@ -934,6 +934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # primitive)
         "graph_matching":
             lambda sf: graph.maximal_matching(graph.synth_graph_edges()),
+        # Jones-Plassmann greedy coloring in the same priority order
+        "graph_coloring":
+            lambda sf: graph.greedy_coloring(graph.synth_graph_edges()),
         "graph_pagerank":
             lambda sf: graph.pagerank(graph.synth_graph_edges(), iters=3),
         # weight-proportional integer PageRank (sha edge weights)
@@ -1559,6 +1562,52 @@ def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
     SELECT v::BIGINT AS node FROM ({union})"""
 
 
+def _coloring_sql(rounds: int = 18, seed: int = 42) -> str:
+    """Twin of raykg.ops.graph.greedy_coloring: Jones-Plassmann rounds
+    under the shared sha priority, unrolled MATERIALIZED. ``rounds`` must
+    exceed the fixture's longest decreasing-priority path (measured 16;
+    18 gives headroom — extra rounds color nothing). Candidate colors
+    range(0, 64) safely exceeds max degree + 1 on the fixture family."""
+
+    def prio(col: str) -> str:
+        return (f"((('0x' || substr(sha256('mis|{seed}|' || {col}"
+                f"::VARCHAR), 1, 8))::UBIGINT % 2147483648)::BIGINT"
+                f" * 2147483648 + {col})")
+
+    sql = _graph_sql() + """,
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM g WHERE src <> dst),
+    e AS MATERIALIZED (SELECT a, b FROM und
+                       UNION ALL SELECT b, a FROM und),
+    vs AS MATERIALIZED (SELECT DISTINCT a AS v FROM e),
+    cand AS MATERIALIZED (SELECT unnest(range(0, 64)) AS c),
+    col0 AS MATERIALIZED (SELECT v AS node, 0::BIGINT AS color
+                          FROM vs WHERE 1 = 0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    u{r} AS MATERIALIZED (
+      SELECT v FROM vs WHERE v NOT IN (SELECT node FROM col{r - 1})),
+    rd{r} AS MATERIALIZED (
+      SELECT u.v FROM u{r} u
+      WHERE NOT EXISTS (SELECT 1 FROM e JOIN u{r} u2 ON u2.v = e.b
+                        WHERE e.a = u.v
+                          AND {prio('e.b')} < {prio('u.v')})),
+    used{r} AS MATERIALIZED (
+      SELECT rr.v, cc.color FROM rd{r} rr
+      JOIN e ON e.a = rr.v JOIN col{r - 1} cc ON cc.node = e.b),
+    mex{r} AS MATERIALIZED (
+      SELECT rr.v AS node, min(cand.c)::BIGINT AS color
+      FROM rd{r} rr CROSS JOIN cand
+      WHERE NOT EXISTS (SELECT 1 FROM used{r} us
+                        WHERE us.v = rr.v AND us.color = cand.c)
+      GROUP BY 1),
+    col{r} AS MATERIALIZED (SELECT node, color FROM col{r - 1}
+                            UNION ALL SELECT node, color FROM mex{r})"""
+    return sql + f"""
+    SELECT node::BIGINT AS node, color::BIGINT AS color FROM col{rounds}"""
+
+
 def _matching_sql(rounds: int = 8, seed: int = 42) -> str:
     """Twin of raykg.ops.graph.maximal_matching: greedy matching by the
     fixed sha edge priority, rounds unrolled MATERIALIZED. An edge wins a
@@ -1759,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         # cycle (the three-way join sees all 3 rotations)
         "graph_mis": _mis_sql(),
         "graph_matching": _matching_sql(),
+        "graph_coloring": _coloring_sql(),
         "graph_triad_motifs": _graph_sql() + """,
             tr AS (SELECT count(*) AS c FROM g e1
                    JOIN g e2 ON e2.src = e1.dst AND e2.dst <> e1.src

@@ -4787,3 +4787,166 @@ def relation_stats(triples: rd.Dataset, num_buckets: int = 64
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("pred"), "")),
         batch_format="pyarrow")
+
+
+def greedy_coloring(edges: rd.Dataset, seed: int = 42,
+                    max_iters: int = 64,
+                    num_buckets: int = 256) -> rd.Dataset:
+    """(node, color): THE greedy vertex coloring in the fixed sha
+    priority order — node v takes the smallest color unused by its
+    already-colored neighbors, and may do so only once every
+    HIGHER-priority neighbor is colored (Jones & Plassmann 1993; the
+    third symmetry-breaking primitive beside
+    :func:`maximal_independent_set` and :func:`maximal_matching`).
+    Colors <= max degree + 1; rounds = the longest strictly-decreasing
+    priority path (16 on the fixture graph), O(log n) w.h.p.
+    Deterministic, so the DuckDB twin (rounds unrolled MATERIALIZED)
+    is bit-exact.
+
+    Scale shape — ONE bucketed exchange per round, state-passing: each
+    node's bucket holds its full local state (adjacency rows with the
+    neighbor colors it has HEARD, plus one self row), inbound color
+    ANNOUNCEMENTS from the previous round update that state, a node
+    whose higher-priority neighbors are all colored decides its mex
+    locally and emits one announcement per neighbor (routed by the
+    neighbor key in the same output table), and the updated state rides
+    to the next round. No anti-join, no separate attach pass, no
+    broadcast — priorities recompute from sha inside the bucket.
+    Termination = a round that makes no announcements; the per-round
+    announcement count is a register-sized sum."""
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError("greedy_coloring: node ids must be < 2^31 "
+                             "(packed-pair key / priority layout)")
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
+                                        pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        return pa.table({"pk": pa.array(
+            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
+
+    und = bucketed_group_agg(edges, canon, "pk", distinct,
+                             num_buckets=num_buckets)
+
+    # initial state rows: adjacency (node, other, color=-1 "unheard") and
+    # one self row (node, -2, -1 "uncolored") per endpoint
+    def init_state(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        pk = pk[pk >= 0]
+        a, b = pk // _SHIFT, pk % _SHIFT
+        selfs = np.unique(np.concatenate([a, b])) if len(pk) else             np.empty(0, np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b, selfs, [_SENT]]),
+                             pa.int64()),
+            "other": pa.array(np.concatenate(
+                [b, a, np.full(len(selfs), -2, np.int64), [-3]]),
+                pa.int64()),
+            "color": pa.array(np.full(2 * len(pk) + len(selfs) + 1, -1,
+                                      np.int64), pa.int64())})
+
+    state = und.map_batches(init_state, batch_format="pyarrow")         .materialize()
+
+    rounds = 0
+    while rounds < max_iters:
+        rounds += 1
+
+        def step(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            other = _np(t.column("other"))[keep]
+            color = _np(t.column("color"))[keep]
+            o_n: list[int] = []
+            o_o: list[int] = []
+            o_c: list[int] = []
+            if len(node):
+                order = np.argsort(node, kind="stable")
+                node, other, color = (node[order], other[order],
+                                      color[order])
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], node[1:] != node[:-1])))
+                ends = np.concatenate((starts[1:], [len(node)]))
+                self_pr = _mis_prio(node[starts], seed)
+                for i, (s, e) in enumerate(zip(starts, ends)):
+                    v = int(node[s])
+                    oth = other[s:e]
+                    col = color[s:e]
+                    # fold announcements (other >= 0 rows arriving twice:
+                    # one state row color -1 + one announcement row with
+                    # the color) into per-neighbor best-known color
+                    am = oth >= 0
+                    nb, nc = oth[am], col[am]
+                    if len(nb):
+                        no = np.lexsort((-nc, nb))
+                        nb, nc = nb[no], nc[no]
+                        ns = np.flatnonzero(np.concatenate(
+                            ([True], nb[1:] != nb[:-1])))
+                        nb, nc = nb[ns], nc[ns]   # max color per nbr
+                    sm = oth == -2
+                    scolor = int(col[sm].max()) if sm.any() else -1
+                    announced = False
+                    if scolor < 0:
+                        un = nc == -1
+                        ready = True
+                        if un.any():
+                            nb_pr = _mis_prio(nb[un], seed)
+                            ready = not (nb_pr < self_pr[i]).any()
+                        if ready:
+                            used = set(nc[nc >= 0].tolist())
+                            c = 0
+                            while c in used:
+                                c += 1
+                            scolor = c
+                            announced = True
+                    # next-round state
+                    o_n.extend([v] * len(nb))
+                    o_o.extend(nb.tolist())
+                    o_c.extend(nc.tolist())
+                    o_n.append(v)
+                    o_o.append(-2)
+                    o_c.append(scolor)
+                    if announced:
+                        # one announcement per neighbor, keyed by it
+                        o_n.extend(nb.tolist())
+                        o_o.extend([v] * len(nb))
+                        o_c.extend([scolor] * len(nb))
+            o_n.append(_SENT)
+            o_o.append(-3)
+            o_c.append(-1)
+            return pa.table({"node": pa.array(o_n, pa.int64()),
+                             "other": pa.array(o_o, pa.int64()),
+                             "color": pa.array(o_c, pa.int64())})
+
+        state = bucketed_group_agg(state, lambda t: t, "node", step,
+                                   num_buckets=num_buckets).materialize()
+        # a round that decided nothing leaves no uncolored self rows
+        # reachable, i.e. no announcements: detect via remaining
+        # uncolored self rows (register-sized sum)
+        n_uncolored = int(state.map_batches(
+            lambda t: pa.table({"n": pa.array([int((
+                (_np(t.column("other")) == -2)
+                & (_np(t.column("color")) < 0)
+                & (_np(t.column("node")) >= 0)).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        if n_uncolored == 0:
+            break
+    else:
+        import logging
+
+        logging.getLogger("raykg").warning(
+            "greedy_coloring: round budget %d exhausted with uncolored "
+            "nodes remaining; raise max_iters", max_iters)
+
+    return state.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t.column("other"), -2),
+            pc.greater_equal(t.column("node"), 0)))
+        .select(["node", "color"]),
+        batch_format="pyarrow")

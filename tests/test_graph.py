@@ -1379,3 +1379,33 @@ def test_relation_stats_crafted(ray_session):
     q = got["q"]
     assert (q["n_triples"], q["n_subj"], q["n_obj"], q["n_docs"]) \
         == (1, 1, 1, 1)
+
+
+def test_greedy_coloring_matches_sequential(ray_session):
+    """The distributed Jones-Plassmann rounds must reproduce the
+    SEQUENTIAL greedy coloring in sha-priority order exactly — proper
+    coloring, identical colors, bucket-count determinism."""
+    from raykg.ops.graph import _mis_prio, greedy_coloring
+
+    e = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8), (1, 0)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64())}))
+    got = {r["node"]: r["color"] for r in
+           greedy_coloring(edges, num_buckets=8).take_all()}
+    es = {(a, b) for a, b in e if a != b} | \
+        {(b, a) for a, b in e if a != b}
+    assert all(got[a] != got[b] for a, b in es)          # proper
+    nodes = sorted({n for p in es for n in p})
+    pr = {n: int(_mis_prio(np.array([n]), 42)[0]) for n in nodes}
+    ref = {}
+    for n in sorted(nodes, key=lambda n: pr[n]):
+        used = {ref[m] for m in nodes if (n, m) in es and m in ref}
+        c = 0
+        while c in used:
+            c += 1
+        ref[n] = c
+    assert got == ref
+    got2 = {r["node"]: r["color"] for r in
+            greedy_coloring(edges, num_buckets=32).take_all()}
+    assert got2 == got
