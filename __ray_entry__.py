@@ -844,6 +844,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dedup.set_similarity_join(_docs(sf)),
         # asymmetric Broder containment: short doc quoted inside long one
         "containment_pairs": lambda sf: dedup.containment_pairs(_docs(sf)),
+        # GLOBAL exact containment join (asymmetric prefix filter, no
+        # blocking key) — the scale-exact twin of the blocked op above
+        "containment_join":
+            lambda sf: dedup.containment_join(_docs(sf)),
         # SymSpell deletion-blocked edit-distance-1 similarity join
         "fuzzy_name_pairs": lambda sf: dedup.fuzzy_name_pairs(
             rd.read_parquet(f"{sf}/part.parquet", columns=["p_name"]),
@@ -3360,6 +3364,15 @@ def oracle_sql() -> dict[str, str]:
                          / len(a.grams) AS cont
                   FROM g a JOIN g b
                     ON a.source = b.source AND a.doc_id <> b.doc_id
+                  WHERE len(a.grams) > 0)
+            SELECT doc_sub, doc_super, round(cont, 4) AS containment
+            FROM p WHERE cont >= 0.8""",
+        "containment_join": f"""
+            WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+            p AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+                         len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(a.grams) AS cont
+                  FROM g a JOIN g b ON a.doc_id <> b.doc_id
                   WHERE len(a.grams) > 0)
             SELECT doc_sub, doc_super, round(cont, 4) AS containment
             FROM p WHERE cont >= 0.8""",

@@ -198,9 +198,15 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
 
 def _exact_jaccard_verify(pairs: rd.Dataset, grams_ds: rd.Dataset,
                           jaccard_threshold: float,
-                          num_partitions: int = 8) -> rd.Dataset:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
-    a (doc_id, grams list<string>) table, expressed as the engine's
+                          num_partitions: int = 8,
+                          metric: str = "jaccard") -> rd.Dataset:
+    """Exact set-overlap verification of candidate (doc_a, doc_b) pairs
+    against a (doc_id, grams list<string>) table. ``metric="jaccard"``
+    (default) scores |A∩B|/|A∪B| on unordered pairs;
+    ``metric="containment"`` scores Broder containment |A∩B|/|A| on
+    ORDERED pairs (doc_a = the contained side; the pair key preserves
+    order, so (a,b) and (b,a) verify independently). Expressed as the
+    engine's
     bucketed shuffle pattern (functions/shuffle.py) rather than Acero hash
     joins: grams are list<string> (Acero rejects list payloads) and two
     Dataset.joins cost ~6 s of aggregator-actor setup at fixture scale.
@@ -279,13 +285,16 @@ def _exact_jaccard_verify(pairs: rd.Dataset, grams_ds: rd.Dataset,
             gs = by_pair[p]
             sx = set(gs.get(0, "").split(SEP)) if gs.get(0) else set()
             sy = set(gs.get(1, "").split(SEP)) if gs.get(1) else set()
-            union = len(sx | sy)
-            jac = len(sx & sy) / union if union else 0.0
-            if jac >= jaccard_threshold:
+            if metric == "containment":
+                score = len(sx & sy) / len(sx) if sx else 0.0
+            else:
+                union = len(sx | sy)
+                score = len(sx & sy) / union if union else 0.0
+            if score >= jaccard_threshold:
                 a, b = p.split(PSEP)
                 a_col.append(int(a))
                 b_col.append(int(b))
-                j_col.append(round_half_away(jac, 4))
+                j_col.append(round_half_away(score, 4))
         return pa.table({"doc_a": pa.array(a_col, pa.int64()),
                          "doc_b": pa.array(b_col, pa.int64()),
                          "jaccard": pa.array(j_col, pa.float64())})
@@ -1081,96 +1090,11 @@ def set_similarity_join(documents: rd.Dataset, gram: int = 3,
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t, 4 dp.
     """
-    from raykg.functions.shuffle import bucketed_group_agg
-
     frac = Fraction(str(threshold))
     t_num, t_den = frac.numerator, frac.denominator
-
-    def add_grams(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        if any(d < 0 for d in ids):
-            raise ValueError(
-                "set_similarity_join: negative doc_id collides with the "
-                "sentinel convention (functions/shuffle.py docstring)")
-        gl = [_grams(s, gram) for s in t.column("text").to_pylist()]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "grams": pa.array(gl, pa.list_(pa.string()))})
-
-    grams_ds = documents.select_columns(["doc_id", "text"]) \
-        .map_batches(add_grams, batch_format="pyarrow").materialize()
-
-    # --- exchange 1 (key=gram): explode in the combiner, attach the exact
-    # global df in the finalize (every occurrence of a gram hashes to the
-    # same bucket, so the within-bucket count IS the global count).
-    def explode(t: pa.Table) -> pa.Table:
-        docs: list[int] = []
-        gs: list[str] = []
-        ns: list[int] = []
-        for d, lst in zip(t.column("doc_id").to_pylist(),
-                          t.column("grams").to_pylist()):
-            for g in lst:
-                docs.append(d)
-                gs.append(g)
-                ns.append(len(lst))
-        # sentinel: a batch of only empty-gram docs would emit zero rows;
-        # "" cannot be a real gram (grams join non-empty tokens)
-        docs.append(-1)
-        gs.append("")
-        ns.append(0)
-        return pa.table({"gram": pa.array(gs, pa.string()),
-                         "doc_id": pa.array(docs, pa.int64()),
-                         "n": pa.array(ns, pa.int64())})
-
-    def attach_df(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
-        counts = t.group_by("gram").aggregate([("doc_id", "count")])
-        pos = pc.index_in(t.column("gram"), counts.column("gram"))
-        df = pc.take(counts.column("doc_id_count"), pos)
-        out = pa.table({"gram": t.column("gram"),
-                        "doc_id": t.column("doc_id"),
-                        "n": t.column("n"),
-                        "df": pc.cast(df, pa.int64())})
-        sent = pa.table({"gram": pa.array([""], pa.string()),
-                         "doc_id": pa.array([-1], pa.int64()),
-                         "n": pa.array([0], pa.int64()),
-                         "df": pa.array([0], pa.int64())})
-        return pa.concat_tables([out, sent])
-
-    with_df = bucketed_group_agg(grams_ds, explode, "gram", attach_df,
-                                 num_buckets=num_buckets)
-
-    # --- exchange 2 (key=doc_id): per-doc rarity sort + prefix selection.
-    def select_prefix(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
-        if t.num_rows:
-            order = pc.sort_indices(t, sort_keys=[
-                ("doc_id", "ascending"), ("df", "ascending"),
-                ("gram", "ascending")])
-            t = t.take(order)
-            docs = t.column("doc_id").to_numpy(zero_copy_only=False)
-            ns = t.column("n").to_numpy(zero_copy_only=False)
-            # segment offsets per doc; rank of each row inside its segment
-            change = np.empty(len(docs), np.bool_)
-            change[0] = True
-            np.not_equal(docs[1:], docs[:-1], out=change[1:])
-            seg_start = np.maximum.accumulate(
-                np.where(change, np.arange(len(docs)), 0))
-            rank = np.arange(len(docs)) - seg_start
-            # prefix length p = n - ceil(t*n) + 1, ceil in exact integers
-            ceil_tn = -((-t_num * ns) // t_den)
-            keep = rank < (ns - ceil_tn + 1)
-            t = t.filter(pa.array(keep))
-        out = pa.table({"gram": t.column("gram"),
-                        "doc_id": t.column("doc_id"),
-                        "n": t.column("n")})
-        sent = pa.table({"gram": pa.array([""], pa.string()),
-                         "doc_id": pa.array([-1], pa.int64()),
-                         "n": pa.array([0], pa.int64())})
-        return pa.concat_tables([out, sent])
-
-    prefixes = bucketed_group_agg(with_df, lambda t: t, "doc_id",
-                                  select_prefix, num_buckets=num_buckets)
+    grams_ds, with_df, prefixes = _prefix_pipeline(
+        documents, gram, t_num, t_den, num_buckets, "set_similarity_join")
+    from raykg.functions.shuffle import bucketed_group_agg
 
     # --- exchange 3 (key=prefix gram): size-filtered candidate pairs.
     def gen_pairs(t: pa.Table) -> pa.Table:
@@ -1219,3 +1143,195 @@ def set_similarity_join(documents: rd.Dataset, gram: int = 3,
 
     return _exact_jaccard_verify(cands, grams_ds, threshold,
                                  num_partitions=max(8, num_buckets // 32))
+
+
+def _prefix_pipeline(documents: rd.Dataset, gram: int, t_num: int,
+                     t_den: int, num_buckets: int, op_name: str):
+    """Shared prefix-filter front half (SSJoin family): returns
+    (grams_ds, with_df, prefixes) —
+    grams_ds: materialized (doc_id, grams list<string>);
+    with_df: exploded (gram, doc_id, n, df) with the EXACT global document
+    frequency attached inside one gram-keyed exchange (every occurrence of
+    a gram hashes to the same bucket, so the within-bucket count IS the
+    global count);
+    prefixes: (gram, doc_id, n) rows for each doc's rarity-ordered prefix
+    of Fraction-exact length |x| - ceil(t*|x|) + 1 (df ascending, gram
+    text as tiebreak), selected in one doc-keyed exchange."""
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def add_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        if any(d < 0 for d in ids):
+            raise ValueError(
+                f"{op_name}: negative doc_id collides with the "
+                "sentinel convention (functions/shuffle.py docstring)")
+        gl = [_grams(s, gram) for s in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "grams": pa.array(gl, pa.list_(pa.string()))})
+
+    grams_ds = documents.select_columns(["doc_id", "text"]) \
+        .map_batches(add_grams, batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        gs: list[str] = []
+        ns: list[int] = []
+        for d, lst in zip(t.column("doc_id").to_pylist(),
+                          t.column("grams").to_pylist()):
+            for g in lst:
+                docs.append(d)
+                gs.append(g)
+                ns.append(len(lst))
+        # sentinel: a batch of only empty-gram docs would emit zero rows;
+        # "" cannot be a real gram (grams join non-empty tokens)
+        docs.append(-1)
+        gs.append("")
+        ns.append(0)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        counts = t.group_by("gram").aggregate([("doc_id", "count")])
+        pos = pc.index_in(t.column("gram"), counts.column("gram"))
+        df = pc.take(counts.column("doc_id_count"), pos)
+        out = pa.table({"gram": t.column("gram"),
+                        "doc_id": t.column("doc_id"),
+                        "n": t.column("n"),
+                        "df": pc.cast(df, pa.int64())})
+        sent = pa.table({"gram": pa.array([""], pa.string()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "n": pa.array([0], pa.int64()),
+                         "df": pa.array([0], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    with_df = bucketed_group_agg(grams_ds, explode, "gram", attach_df,
+                                 num_buckets=num_buckets)
+
+    def select_prefix(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        if t.num_rows:
+            order = pc.sort_indices(t, sort_keys=[
+                ("doc_id", "ascending"), ("df", "ascending"),
+                ("gram", "ascending")])
+            t = t.take(order)
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+            ns = t.column("n").to_numpy(zero_copy_only=False)
+            change = np.empty(len(docs), np.bool_)
+            change[0] = True
+            np.not_equal(docs[1:], docs[:-1], out=change[1:])
+            seg_start = np.maximum.accumulate(
+                np.where(change, np.arange(len(docs)), 0))
+            rank = np.arange(len(docs)) - seg_start
+            # prefix length p = n - ceil(t*n) + 1, ceil in exact integers
+            ceil_tn = -((-t_num * ns) // t_den)
+            keep = rank < (ns - ceil_tn + 1)
+            t = t.filter(pa.array(keep))
+        out = pa.table({"gram": t.column("gram"),
+                        "doc_id": t.column("doc_id"),
+                        "n": t.column("n")})
+        sent = pa.table({"gram": pa.array([""], pa.string()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "n": pa.array([0], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    prefixes = bucketed_group_agg(with_df, lambda t: t, "doc_id",
+                                  select_prefix, num_buckets=num_buckets)
+    return grams_ds, with_df, prefixes
+
+
+def containment_join(documents: rd.Dataset, gram: int = 3,
+                     threshold: float = 0.8,
+                     num_buckets: int = 256,
+                     max_posting: int = 10_000) -> rd.Dataset:
+    """GLOBAL exact containment join — ordered pairs (doc_sub, doc_super)
+    with Broder containment |G(sub) ∩ G(super)| / |G(sub)| >= t and NO
+    partition blocking: the scale-exact complement to
+    :func:`containment_pairs` the way :func:`set_similarity_join` is to
+    :func:`ngram_jaccard_pairs`. The asymmetric prefix filter (the
+    containment case of Chaudhuri et al. 2006): |sub ∩ super| >=
+    ceil(t*|sub|) forces the RAREST shared gram into sub's prefix
+    (same Fraction-exact length as the Jaccard join), but the super side
+    has no prefix bound — a quote can sit anywhere — so candidates come
+    from sub-prefix grams probed against the FULL posting list of each
+    gram. Posting lists of grams that enter someone's prefix are rare by
+    construction (a prefix holds a doc's rarest grams); a degenerate hot
+    posting is capped at ``max_posting`` WITH a logged warning. Size
+    filter: |super| >= ceil(t*|sub|) (the intersection cannot exceed
+    |super|). Verification is the shared exact tail with
+    ``metric="containment"`` — grams cross the wire twice total.
+
+    Output: (doc_sub, doc_super, containment) >= t, 4 dp, both
+    directions tested independently."""
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
+    grams_ds, with_df, prefixes = _prefix_pipeline(
+        documents, gram, t_num, t_den, num_buckets, "containment_join")
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def prefix_tag(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t.column("gram"),
+                         "doc_id": t.column("doc_id"),
+                         "n": t.column("n"),
+                         "side": pa.array([0] * t.num_rows, pa.int8())})
+
+    def posting_tag(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t.column("gram"),
+                         "doc_id": t.column("doc_id"),
+                         "n": t.column("n"),
+                         "side": pa.array([1] * t.num_rows, pa.int8())})
+
+    tagged = prefixes.map_batches(prefix_tag, batch_format="pyarrow") \
+        .union(with_df.map_batches(
+            lambda t: posting_tag(t.select(["gram", "doc_id", "n"])),
+            batch_format="pyarrow"))
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        a_col: list[int] = []
+        b_col: list[int] = []
+        if t.num_rows:
+            order = pc.sort_indices(t, sort_keys=[
+                ("gram", "ascending"), ("side", "ascending"),
+                ("doc_id", "ascending")])
+            t = t.take(order)
+            grams_np = t.column("gram").to_pylist()
+            docs = t.column("doc_id").to_pylist()
+            ns = t.column("n").to_pylist()
+            sides = t.column("side").to_pylist()
+            start = 0
+            for i in range(1, len(grams_np) + 1):
+                if i == len(grams_np) or grams_np[i] != grams_np[start]:
+                    subs = [(docs[k], ns[k]) for k in range(start, i)
+                            if sides[k] == 0]
+                    sups = [(docs[k], ns[k]) for k in range(start, i)
+                            if sides[k] == 1]
+                    sup_ids = [d for d, _ in sups]
+                    capped = _cap_block(sup_ids, grams_np[start],
+                                        max_posting, "containment_join")
+                    if capped is not None:
+                        keep = set(capped)
+                        sups = [(d, n) for d, n in sups if d in keep]
+                    for sd, sn in subs:
+                        need = -((-t_num * sn) // t_den)   # ceil(t*|sub|)
+                        for pd, pn in sups:
+                            if pd != sd and pn >= need:
+                                a_col.append(sd)
+                                b_col.append(pd)
+                    start = i
+        a_col.append(-1)    # sentinel, dropped by the verify tail
+        b_col.append(-1)
+        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
+                         "doc_b": pa.array(b_col, pa.int64())})
+
+    cands = bucketed_group_agg(tagged, lambda t: t, "gram", gen_pairs,
+                               num_buckets=num_buckets)
+
+    out = _exact_jaccard_verify(cands, grams_ds, threshold,
+                                num_partitions=max(8, num_buckets // 32),
+                                metric="containment")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_sub", "doc_super", "containment"]),
+        batch_format="pyarrow")

@@ -377,3 +377,35 @@ def test_neardup_keep_best_prefers_quality(ray_session):
     kept_min = sorted(r["doc_id"] for r in
                       neardup_keep(docs, num_buckets=16).take_all())
     assert kept_min == [0, 7], kept_min
+
+
+def test_containment_join_global_and_asymmetric(ray_session):
+    """A short doc wholly quoted inside a much longer one must surface as
+    (sub, super) ONLY in that direction, ACROSS source partitions (which
+    the blocked containment_pairs cannot see), exactly matching a brute
+    force; Jaccard at the same threshold would miss it (union drowns the
+    overlap)."""
+    from raykg.ops.dedup import _grams, containment_join
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    texts = {
+        0: quote,                                  # sub
+        1: filler + " " + quote + " " + filler,    # super (quotes 0)
+        2: "entirely different content with no shared phrases at all",
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    }))
+    got = sorted((r["doc_sub"], r["doc_super"], r["containment"])
+                 for r in containment_join(docs, threshold=0.8,
+                                           num_buckets=16).take_all())
+    g = {d: set(_grams(s, 3)) for d, s in texts.items()}
+    want = sorted(
+        (a, b, round(len(g[a] & g[b]) / len(g[a]), 4))
+        for a in texts for b in texts
+        if a != b and g[a] and len(g[a] & g[b]) / len(g[a]) >= 0.8)
+    assert got == want
+    assert got and got[0][:2] == (0, 1)        # sub -> super direction
+    assert all(p[:2] != (1, 0) for p in got)   # never the reverse
