@@ -409,3 +409,53 @@ def test_containment_join_global_and_asymmetric(ray_session):
     assert got == want
     assert got and got[0][:2] == (0, 1)        # sub -> super direction
     assert all(p[:2] != (1, 0) for p in got)   # never the reverse
+
+
+def test_prefix_filter_joins_no_false_negatives_randomized(ray_session):
+    """THE correctness claim of the prefix-filter family: across seeded
+    random corpora drawn from a tiny vocabulary (forcing heavy gram
+    collisions), both global joins must equal their brute-force
+    references exactly — no false negatives from the prefix/size
+    filters, no extras."""
+    import random
+
+    from raykg.functions.hashing import round_half_away
+    from raykg.ops.dedup import (_grams, containment_join,
+                                 set_similarity_join)
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        texts = {}
+        for d in range(18):
+            L = rng.randint(0, 12)
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(L))
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)],
+                             pa.string())}))
+        g = {d: set(_grams(s, 3)) for d, s in texts.items()}
+
+        for thr in (0.5, 0.75):
+            got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                         for r in set_similarity_join(
+                             docs, threshold=thr,
+                             num_buckets=8).take_all())
+            want = sorted(
+                (a, b, round_half_away(
+                    len(g[a] & g[b]) / len(g[a] | g[b]), 4))
+                for a in texts for b in texts
+                if a < b and g[a] and g[b]
+                and len(g[a] & g[b]) / len(g[a] | g[b]) >= thr)
+            assert got == want, (seed, thr)
+
+        got_c = sorted((r["doc_sub"], r["doc_super"], r["containment"])
+                       for r in containment_join(
+                           docs, threshold=0.75,
+                           num_buckets=8).take_all())
+        want_c = sorted(
+            (a, b, round_half_away(len(g[a] & g[b]) / len(g[a]), 4))
+            for a in texts for b in texts
+            if a != b and g[a]
+            and len(g[a] & g[b]) / len(g[a]) >= 0.75)
+        assert got_c == want_c, seed
