@@ -1409,3 +1409,66 @@ def test_greedy_coloring_matches_sequential(ray_session):
     got2 = {r["node"]: r["color"] for r in
             greedy_coloring(edges, num_buckets=32).take_all()}
     assert got2 == got
+
+
+def test_symmetry_breaking_trio_randomized(ray_session):
+    """Seeded random graphs (isolated nodes, multi-component, dense
+    pockets): MIS, matching and coloring must each equal the SEQUENTIAL
+    greedy reference in sha-priority order — the round logic may change
+    scheduling, never the answer."""
+    import random
+
+    from raykg.ops.graph import (_mis_prio, greedy_coloring,
+                                 maximal_independent_set,
+                                 maximal_matching)
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        n = 30
+        pairs = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(45)})
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64())}))
+        es = {(a, b) for a, b in pairs if a != b} | \
+            {(b, a) for a, b in pairs if a != b}
+        nodes = sorted({x for p in es for x in p})
+        pr = {v: int(_mis_prio(np.array([v]), 42)[0]) for v in nodes}
+
+        # sequential greedy MIS in priority order
+        mis_ref, blocked = set(), set()
+        for v in sorted(nodes, key=lambda v: pr[v]):
+            if v not in blocked:
+                mis_ref.add(v)
+                blocked.update(u for u in nodes if (v, u) in es)
+        got = sorted(r["node"] for r in maximal_independent_set(
+            edges, num_buckets=8).take_all())
+        assert got == sorted(mis_ref), seed
+
+        # sequential greedy matching by (h, pk) edge priority
+        from raykg.functions.hashing import sha_int
+        und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+        SHIFT = 1 << 31
+        order = sorted(und, key=lambda e: (
+            sha_int(f"mm|42|{e[0] * SHIFT + e[1]}"), e[0] * SHIFT + e[1]))
+        used, m_ref = set(), []
+        for a, b in order:
+            if a not in used and b not in used:
+                used.update((a, b))
+                m_ref.append((a, b))
+        got_m = sorted((r["node_a"], r["node_b"]) for r in
+                       maximal_matching(edges, num_buckets=8).take_all())
+        assert got_m == sorted(m_ref), seed
+
+        # sequential greedy coloring in priority order
+        col_ref = {}
+        for v in sorted(nodes, key=lambda v: pr[v]):
+            usedc = {col_ref[u] for u in nodes
+                     if (v, u) in es and u in col_ref}
+            c = 0
+            while c in usedc:
+                c += 1
+            col_ref[v] = c
+        got_c = {r["node"]: r["color"] for r in
+                 greedy_coloring(edges, num_buckets=8).take_all()}
+        assert got_c == col_ref, seed
