@@ -691,6 +691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention: users by first-event week, counted in every
         # later active week (fixed epoch-anchored 7-day buckets)
         "retention_cohorts": relational.retention_cohorts,
+        # periodicity diagnostic: exact lag-k Pearson on the hourly series
+        "hourly_autocorrelation":
+            lambda sf: relational.hourly_autocorrelation(sf),
         "top_orders_per_customer": relational.top_orders_per_customer,
         # anti-join (no broadcast side) + rollup multi-level aggregate
         "customers_without_orders": relational.customers_without_orders,
@@ -2246,6 +2249,32 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / sum(count(*))
                              OVER (PARTITION BY event_type), 6) AS p
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "hourly_autocorrelation": """
+            WITH hc AS (SELECT epoch_us(date_trunc('hour', ts))
+                               // 3600000000 AS h,
+                               count(*)::BIGINT AS c
+                        FROM events GROUP BY 1),
+            bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+            spine AS (SELECT unnest(range((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds) + 1))
+                          AS h),
+            s AS (SELECT spine.h, coalesce(hc.c, 0)::BIGINT AS c
+                  FROM spine LEFT JOIN hc USING (h)),
+            lags AS (SELECT unnest([1, 2, 3, 24]) AS lag),
+            p AS (SELECT lags.lag, a.c AS x, b.c AS y
+                  FROM lags JOIN s a ON true
+                  JOIN s b ON b.h = a.h + lags.lag),
+            reg AS (SELECT lag, count(*)::BIGINT AS n,
+                           sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                           sum(x*x) AS sx2, sum(y*y) AS sy2
+                    FROM p GROUP BY 1)
+            SELECT lag, n AS n_pairs,
+                   round(CASE WHEN (n*sx2 - sx*sx) = 0
+                                OR (n*sy2 - sy*sy) = 0 THEN 0.0
+                         ELSE (n*sxy - sx*sy)
+                              / sqrt((n*sx2 - sx*sx)::DOUBLE
+                                     * (n*sy2 - sy*sy)) END, 6) AS r
+            FROM reg WHERE lag < (SELECT count(*) FROM s)""",
         "retention_cohorts": """
             WITH w AS (SELECT user_id,
                               epoch_us(ts) // 604800000000 AS wk

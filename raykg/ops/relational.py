@@ -2116,3 +2116,68 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     out = pa.table({"n_name": names,
                     "revenue": _rha(tot.column("rev"), 2)})
     return out.sort_by([("n_name", "ascending")])
+
+
+def hourly_autocorrelation(sf_dir: str,
+                           lags: tuple = (1, 2, 3, 24)) -> pa.Table:
+    """(lag, n_pairs, r): exact Pearson autocorrelation of the HOURLY
+    event-count series at the given lags — the periodicity diagnostic
+    for a stream (a strong lag-24 says daily seasonality; near-zero
+    everywhere says Poisson-ish arrivals). The series is zero-filled
+    over the full [min_hour, max_hour] range (missing hours are real
+    zeros, not missing data), matching the twin's range() spine.
+
+    Scale shape: the heavy part — collapsing billions of events to an
+    (hour -> count) series — is a distributed two-phase aggregate whose
+    exchange is bounded by the TIME RANGE, not the event count; the
+    series itself is register-sized (hours), so the lag products run on
+    the driver over exact Python ints with r as one float expression
+    (the numeric_correlation_matrix contract)."""
+    import math
+
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"hour": hour}).group_by("hour").aggregate(
+            [([], "count_all")])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour").aggregate(*_sums(["count_all"]))
+    rows = pa.concat_tables(agg.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    hours = pc.cast(pc.cast(rows.column("hour"), pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False) \
+        // 3_600_000_000
+    counts = rows.column("sum(count_all)").to_numpy(zero_copy_only=False)
+    lo, hi = int(hours.min()), int(hours.max())
+    series = np.zeros(hi - lo + 1, np.int64)
+    series[hours - lo] = counts
+
+    lag_col, n_col, r_col = [], [], []
+    for lag in lags:
+        if lag >= len(series):
+            continue
+        a = series[:-lag].tolist()
+        b = series[lag:].tolist()
+        n = len(a)
+        sx, sy = sum(a), sum(b)
+        sxy = sum(x * y for x, y in zip(a, b))
+        sx2 = sum(x * x for x in a)
+        sy2 = sum(y * y for y in b)
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        if vx == 0 or vy == 0:
+            r = 0.0
+        else:
+            r = (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+        from raykg.functions.hashing import round_half_away
+
+        lag_col.append(lag)
+        n_col.append(n)
+        r_col.append(round_half_away(r, 6))
+    return pa.table({"lag": pa.array(lag_col, pa.int64()),
+                     "n_pairs": pa.array(n_col, pa.int64()),
+                     "r": pa.array(r_col, pa.float64())})

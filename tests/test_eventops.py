@@ -440,3 +440,63 @@ def test_rolling_median_matches_duckdb(ray_session, tmp_path):
     by_eid = got.set_index("event_id").roll_med
     assert by_eid[0] == 1.0
     assert by_eid[1] == 1.0
+
+
+def test_hourly_autocorrelation_period2(ray_session, tmp_path):
+    """A strict high/low alternating hourly series: lag-1 correlation
+    must be -1, lag-2 must be +1; zero-filled gap hours count as real
+    zeros. Pinned against the twin."""
+    import pyarrow.parquet as pq
+
+    from raykg.ops.relational import hourly_autocorrelation
+
+    rows = []
+    eid = 0
+    # hours 0..9: 3 events on even hours, 1 on odd hours (never zero so
+    # the pattern is pure alternation); hour 10 intentionally ABSENT
+    # and hour 11 has 1 event -> the spine zero-fills hour 10
+    for h in range(10):
+        for _ in range(3 if h % 2 == 0 else 1):
+            rows.append((eid, T0 + dt.timedelta(hours=h, minutes=5), 1))
+            eid += 1
+    rows.append((eid, T0 + dt.timedelta(hours=11, minutes=5), 1))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = hourly_autocorrelation(str(tmp_path)).to_pandas()
+    by = {int(r.lag): r for r in got.itertuples()}
+    # series = [3,1,3,1,3,1,3,1,3,1,0,1]: anti-correlated at lag 1,
+    # correlated at lag 2 (the zero-filled hour bends both off +/-1) —
+    # assert the EXACT Pearson of the known series
+    import math
+
+    series = [3, 1, 3, 1, 3, 1, 3, 1, 3, 1, 0, 1]
+
+    def ref(lag):
+        a, b = series[:-lag], series[lag:]
+        n = len(a)
+        sx, sy = sum(a), sum(b)
+        sxy = sum(x * y for x, y in zip(a, b))
+        sx2, sy2 = sum(x * x for x in a), sum(y * y for y in b)
+        return round(
+            (n * sxy - sx * sy)
+            / math.sqrt(float(n * sx2 - sx * sx)
+                        * (n * sy2 - sy * sy)), 6)
+
+    assert by[1].r == ref(1) < 0 < ref(2) == by[2].r
+    assert by[1].n_pairs == 11 and by[2].n_pairs == 10
+    assert 24 not in by                      # lag >= series length
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(e.oracle_sql()["hourly_autocorrelation"]).df()
+    con.close()
+    assert _norm(got) == _norm(want)
