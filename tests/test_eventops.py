@@ -500,3 +500,93 @@ def test_hourly_autocorrelation_period2(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["hourly_autocorrelation"]).df()
     con.close()
     assert _norm(got) == _norm(want)
+
+
+def test_interval_coverage_randomized_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random users/timestamps/durations (including zero and
+    swallowing intervals): the grouped-cummax island pass must equal a
+    per-user brute-force interval union exactly."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from raykg.ops.relational import interval_coverage
+
+    rng = random.Random(11)
+    rows = []
+    for eid in range(400):
+        rows.append((eid,
+                     T0 + dt.timedelta(minutes=rng.randint(0, 600)),
+                     rng.randint(0, 6),
+                     rng.choice([0.0, 0.5, 2.0, 30.0, 120.0])))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {int(r.user_id): (int(r.n_islands), int(r.covered_us))
+           for r in interval_coverage(str(tmp_path)).to_pandas()
+           .itertuples()}
+
+    import math
+
+    per_user: dict = {}
+    for _, ts, u, val in rows:
+        s = int(ts.timestamp() * 1_000_000)
+        dur = max(0, math.floor(val * 60 + 0.5)) * 1_000_000
+        per_user.setdefault(u, []).append((s, s + dur))
+    want = {}
+    for u, ivs in per_user.items():
+        ivs.sort()
+        islands = []
+        for s, f in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], f)
+            else:
+                islands.append([s, f])
+        want[u] = (len(islands), sum(f - s for s, f in islands))
+    assert got == want
+
+
+def test_rolling_median_randomized_vs_pandas(ray_session, tmp_path):
+    """Seeded random per-user series: the lagged-column nanmedian pass
+    must equal pandas' expanding-then-rolling median on cents."""
+    import random
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raykg.ops.relational import rolling_median
+
+    rng = random.Random(5)
+    rows = []
+    for eid in range(300):
+        rows.append((eid, T0 + dt.timedelta(seconds=eid),
+                     rng.randint(0, 4),
+                     round(rng.uniform(0, 50), 2)))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = rolling_median(str(tmp_path)).to_pandas() \
+        .set_index("event_id").roll_med
+
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[2] for r in rows],
+        "cents": [int(r[3] * 100 + 0.5) for r in rows]})
+    ref = df.groupby("user_id")["cents"] \
+        .rolling(window=5, min_periods=1).median() \
+        .reset_index(level=0, drop=True)
+    df["want"] = (ref / 100.0).round(4)
+    for r in df.itertuples():
+        assert got[r.event_id] == r.want, r.event_id
