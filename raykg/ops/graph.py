@@ -4260,8 +4260,6 @@ def entity_salience(triples: rd.Dataset, num_buckets: int = 256
                          "salience": pa.array([0], pa.int64())})
         return pa.concat_tables([out, sent])
 
-    from raykg.functions.shuffle import bucketed_group_agg
-
     out = bucketed_group_agg(triples, comb, "uri", fin,
                              num_buckets=num_buckets)
     return out.map_batches(
@@ -4278,6 +4276,65 @@ def _mis_prio(nodes: np.ndarray, seed: int) -> np.ndarray:
     return np.fromiter(
         ((sha_int(f"mis|{seed}|{int(v)}") % (1 << 31)) * (1 << 31) + int(v)
          for v in nodes), np.int64, count=len(nodes))
+
+
+def _undirected_distinct(edges: rd.Dataset, op_name: str,
+                         num_buckets: int) -> rd.Dataset:
+    """Materialized distinct undirected simple edge set as packed int64
+    keys pk = min*2^31 + max (self-loops dropped, sentinel-bearing) —
+    the shared front of the symmetry-breaking family."""
+    def canon(t: pa.Table) -> pa.Table:
+        src, dst = _np(t.column("src")), _np(t.column("dst"))
+        _check_ids(src, dst)
+        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
+            raise ValueError(f"{op_name}: node ids must be < 2^31 "
+                             "(packed-pair key / priority layout)")
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pk = np.unique(a * _SHIFT + b)
+        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
+                                        pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        pk = np.unique(_np(t.column("pk")))
+        return pa.table({"pk": pa.array(
+            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
+
+    return bucketed_group_agg(edges, canon, "pk", distinct,
+                              num_buckets=num_buckets).materialize()
+
+
+def _count_pk(ds: rd.Dataset) -> int:
+    """Real (sentinel-free) row count of a pk dataset — one vectorized
+    register pass, not driver row shipping."""
+    return int(ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int((_np(t.column("pk")) >= 0).sum())], pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+
+
+def _surviving_edges(tagged: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """From (pk, kill) rows — two per edge, one per endpoint — keep the
+    pks where no row was killed. Shared by the MIS and matching rounds."""
+    def alive(t: pa.Table) -> pa.Table:
+        pk = _np(t.column("pk"))
+        keep = pk >= 0
+        pk = pk[keep]
+        kill = _np(t.column("kill"))[keep]
+        order = np.argsort(pk, kind="stable")
+        pk, kill = pk[order], kill[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1]))) if len(pk) else \
+            np.empty(0, np.int64)
+        mx = np.maximum.reduceat(kill, starts) if len(pk) else \
+            np.empty(0, np.int64)
+        out = pk[starts][mx == 0] if len(pk) else pk
+        return pa.table({"pk": pa.array(
+            np.concatenate([out, [_SENT]]), pa.int64())})
+
+    return bucketed_group_agg(tagged, lambda t: t, "pk", alive,
+                              num_buckets=num_buckets).materialize()
 
 
 def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
@@ -4305,27 +4362,8 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
     Priorities recompute from sha anywhere (broadcast-free); at 100 TB
     swap the per-node Python sha for the vectorized fast family (the
     hash_family pattern in ops/dedup.py)."""
-    # undirected distinct simple graph, packed keys
-    def canon(t: pa.Table) -> pa.Table:
-        src, dst = _np(t.column("src")), _np(t.column("dst"))
-        _check_ids(src, dst)
-        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
-            raise ValueError("maximal_independent_set: node ids must be "
-                             "< 2^31 (packed-pair key / priority layout)")
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        pk = np.unique(a * _SHIFT + b)
-        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
-                                        pa.int64())})
-
-    def distinct(t: pa.Table) -> pa.Table:
-        pk = np.unique(_np(t.column("pk")))
-        return pa.table({"pk": pa.array(
-            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
-
-    und_edges = bucketed_group_agg(edges, canon, "pk", distinct,
-                                   num_buckets=num_buckets).materialize()
+    und_edges = _undirected_distinct(edges, "maximal_independent_set",
+                                     num_buckets)
 
     def node_rows(t: pa.Table) -> pa.Table:
         pk = _np(t.column("pk"))
@@ -4347,11 +4385,7 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
     rounds = 0
     while rounds < max_iters:
         rounds += 1
-        n_edges = int(und_edges.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int((_np(t.column("pk")) >= 0).sum())], pa.int64())}),
-            batch_format="pyarrow").sum("n") or 0)
-        if n_edges <= 0:
+        if _count_pk(und_edges) <= 0:
             break
 
         # --- exchange 1: local-min winners + their knocked-out neighbors
@@ -4477,36 +4511,53 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
             batch_format="pyarrow").materialize()
 
         # --- exchange 3: an edge survives iff no endpoint row was killed
-        def alive(t: pa.Table) -> pa.Table:
-            pk = _np(t.column("pk"))
-            keep = pk >= 0
-            pk = pk[keep]
-            kill = _np(t.column("kill"))[keep]
-            order = np.argsort(pk, kind="stable")
-            pk, kill = pk[order], kill[order]
-            starts = np.flatnonzero(np.concatenate(
-                ([True], pk[1:] != pk[:-1]))) if len(pk) else \
-                np.empty(0, np.int64)
-            mx = np.maximum.reduceat(kill, starts) if len(pk) else \
-                np.empty(0, np.int64)
-            out = pk[starts][mx == 0] if len(pk) else pk
-            return pa.table({"pk": pa.array(
-                np.concatenate([out, [_SENT]]), pa.int64())})
-
-        und_edges = bucketed_group_agg(
+        und_edges = _surviving_edges(
             tagged.map_batches(
                 lambda t: t.filter(pc.not_equal(t.column("pk"), -3))
                 .select(["pk", "kill"]),
-                batch_format="pyarrow"),
-            lambda t: t, "pk", alive, num_buckets=num_buckets).materialize()
-    else:
-        import logging
+                batch_format="pyarrow"), num_buckets)
 
-        logging.getLogger("raykg").warning(
-            "maximal_independent_set: round budget %d exhausted with "
-            "edges remaining — output may not be maximal; raise "
-            "max_iters", max_iters)
     import logging
+
+    n_left = _count_pk(und_edges)
+    if n_left > 0:
+        # round budget exhausted with live edges: appending every
+        # undecided node would VIOLATE independence (pairs still joined
+        # by surviving edges) — keep only the edge-free undecided nodes
+        # and warn that the result may not be maximal.
+        logging.getLogger("raykg").warning(
+            "maximal_independent_set: round budget %d exhausted with %d "
+            "edges remaining — engaged undecided nodes are EXCLUDED, so "
+            "the set is independent but may not be maximal; raise "
+            "max_iters", max_iters, n_left)
+
+        def engaged_rows(t: pa.Table) -> pa.Table:
+            pk = _np(t.column("pk"))
+            pk = pk[pk >= 0]
+            return pa.table({"node": pa.array(np.concatenate(
+                [pk // _SHIFT, pk % _SHIFT, [_SENT]]), pa.int64()),
+                "tag": pa.array(np.concatenate(
+                    [np.ones(2 * len(pk), np.int64), [0]]), pa.int64())})
+
+        def free_only(t: pa.Table) -> pa.Table:
+            node = _np(t.column("node"))
+            keep = node >= 0
+            node = node[keep]
+            tag = _np(t.column("tag"))[keep]
+            engaged = np.unique(node[tag == 1])
+            und = np.unique(node[tag == 0])
+            return pa.table({"node": pa.array(np.concatenate(
+                [und[~np.isin(und, engaged)], [_SENT]]), pa.int64())})
+
+        und_nodes = bucketed_group_agg(
+            und_nodes.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "tag": pa.array([0] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+            .union(und_edges.map_batches(engaged_rows,
+                                         batch_format="pyarrow")),
+            lambda t: t, "node", free_only, num_buckets=num_buckets)
 
     logging.getLogger("raykg").info(
         "maximal_independent_set: settled after %d rounds", rounds)
@@ -4548,26 +4599,8 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
          as dead;
       3. node-keyed + pk-keyed survival, same semi-join shape as
          :func:`maximal_independent_set`."""
-    def canon(t: pa.Table) -> pa.Table:
-        src, dst = _np(t.column("src")), _np(t.column("dst"))
-        _check_ids(src, dst)
-        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
-            raise ValueError("maximal_matching: node ids must be < 2^31 "
-                             "(packed-pair key)")
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        pk = np.unique(a * _SHIFT + b)
-        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
-                                        pa.int64())})
-
-    def distinct(t: pa.Table) -> pa.Table:
-        pk = np.unique(_np(t.column("pk")))
-        return pa.table({"pk": pa.array(
-            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
-
-    und_edges = bucketed_group_agg(edges, canon, "pk", distinct,
-                                   num_buckets=num_buckets).materialize()
+    und_edges = _undirected_distinct(edges, "maximal_matching",
+                                     num_buckets)
 
     def edge_prio(pk: np.ndarray) -> np.ndarray:
         return np.fromiter(
@@ -4578,11 +4611,7 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
     rounds = 0
     while rounds < max_iters:
         rounds += 1
-        n_edges = int(und_edges.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int((_np(t.column("pk")) >= 0).sum())], pa.int64())}),
-            batch_format="pyarrow").sum("n") or 0)
-        if n_edges <= 0:
+        if _count_pk(und_edges) <= 0:
             break
 
         # --- exchange 1: per-vertex argmin nomination
@@ -4672,34 +4701,26 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
             .union(winners.map_batches(dead_rows, batch_format="pyarrow")),
             lambda t: t, "node", kill_tag, num_buckets=num_buckets)
 
-        def alive(t: pa.Table) -> pa.Table:
-            pk = _np(t.column("pk"))
-            keep = pk >= 0
-            pk = pk[keep]
-            kill = _np(t.column("kill"))[keep]
-            order = np.argsort(pk, kind="stable")
-            pk, kill = pk[order], kill[order]
-            starts = np.flatnonzero(np.concatenate(
-                ([True], pk[1:] != pk[:-1]))) if len(pk) else \
-                np.empty(0, np.int64)
-            mx = np.maximum.reduceat(kill, starts) if len(pk) else \
-                np.empty(0, np.int64)
-            out = pk[starts][mx == 0] if len(pk) else pk
-            return pa.table({"pk": pa.array(
-                np.concatenate([out, [_SENT]]), pa.int64())})
+        und_edges = _surviving_edges(tagged, num_buckets)
 
-        und_edges = bucketed_group_agg(tagged, lambda t: t, "pk", alive,
-                                       num_buckets=num_buckets) \
-            .materialize()
-    else:
+    # warn only when edges genuinely remain — a final round that clears
+    # the graph exits via the while CONDITION, not the break, so the
+    # budget-exhausted path must re-check before claiming non-maximality
+    n_left = _count_pk(und_edges)
+    if n_left > 0:
         import logging
 
         logging.getLogger("raykg").warning(
-            "maximal_matching: round budget %d exhausted with edges "
+            "maximal_matching: round budget %d exhausted with %d edges "
             "remaining — matching may not be maximal; raise max_iters",
-            max_iters)
+            max_iters, n_left)
 
-    out = matched_parts[0] if matched_parts else und_edges
+    if not matched_parts:
+        return und_edges.map_batches(
+            lambda t: pa.table({"node_a": pa.array([], pa.int64()),
+                                "node_b": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    out = matched_parts[0]
     for p in matched_parts[1:]:
         out = out.union(p)
 
@@ -4710,11 +4731,6 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
             "node_a": pa.array(pk // _SHIFT, pa.int64()),
             "node_b": pa.array(pk % _SHIFT, pa.int64())})
 
-    if not matched_parts:
-        return und_edges.map_batches(
-            lambda t: pa.table({"node_a": pa.array([], pa.int64()),
-                                "node_b": pa.array([], pa.int64())}),
-            batch_format="pyarrow")
     return out.map_batches(decode, batch_format="pyarrow")
 
 
@@ -4730,28 +4746,31 @@ def relation_stats(triples: rd.Dataset, num_buckets: int = 64
     DISTINCT (pred, kind, value) rows for the three distinct-count kinds
     plus an exact per-batch triple-count register, so the exchange
     carries per-batch-distinct rows, never raw triples re-keyed three
-    ways."""
+    ways — one vectorized Arrow group_by per batch, no per-row Python
+    (the entity_salience combiner shape)."""
     def comb(t: pa.Table) -> pa.Table:
-        pred = t.column("pred").to_pylist()
-        subj = t.column("subj").to_pylist()
-        obj = t.column("obj").to_pylist()
-        doc = t.column("doc_id").to_pylist()
-        counts: dict[str, int] = {}
-        rows: set[tuple] = set()
-        for p, s, o, d in zip(pred, subj, obj, doc):
-            counts[p] = counts.get(p, 0) + 1
-            rows.add((p, 0, s))
-            rows.add((p, 1, o))
-            rows.add((p, 2, d))
-        out_p = [r[0] for r in rows] + list(counts)
-        out_k = [r[1] for r in rows] + [3] * len(counts)
-        out_v = [r[2] for r in rows] + [str(c) for c in counts.values()]
-        out_p.append("")            # sentinel; predicates are non-empty
-        out_k.append(3)
-        out_v.append("0")
-        return pa.table({"pred": pa.array(out_p, pa.string()),
-                         "kind": pa.array(out_k, pa.int64()),
-                         "val": pa.array(out_v, pa.string())})
+        pred = t.column("pred")
+
+        def tagged(kind: int, col) -> pa.Table:
+            return pa.table({
+                "pred": pred,
+                "kind": pa.array(np.full(t.num_rows, kind, np.int64)),
+                "val": pc.cast(col, pa.string())})
+
+        dist = pa.concat_tables([
+            tagged(0, t.column("subj")),
+            tagged(1, t.column("obj")),
+            tagged(2, t.column("doc_id"))])             .group_by(["pred", "kind", "val"]).aggregate([])
+        counts = pa.table({"pred": pred}).group_by("pred")             .aggregate([([], "count_all")])
+        cnt_rows = pa.table({
+            "pred": counts.column("pred"),
+            "kind": pa.array(np.full(counts.num_rows, 3, np.int64)),
+            "val": pc.cast(counts.column("count_all"), pa.string())})
+        sent = pa.table({          # sentinel; predicates are non-empty
+            "pred": pa.array([""], pa.string()),
+            "kind": pa.array([3], pa.int64()),
+            "val": pa.array(["0"], pa.string())})
+        return pa.concat_tables([dist, cnt_rows, sent])
 
     def fin(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("pred"), ""))
@@ -4814,26 +4833,7 @@ def greedy_coloring(edges: rd.Dataset, seed: int = 42,
     broadcast — priorities recompute from sha inside the bucket.
     Termination = a round that makes no announcements; the per-round
     announcement count is a register-sized sum."""
-    def canon(t: pa.Table) -> pa.Table:
-        src, dst = _np(t.column("src")), _np(t.column("dst"))
-        _check_ids(src, dst)
-        if (src >= (1 << 31)).any() or (dst >= (1 << 31)).any():
-            raise ValueError("greedy_coloring: node ids must be < 2^31 "
-                             "(packed-pair key / priority layout)")
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        pk = np.unique(a * _SHIFT + b)
-        return pa.table({"pk": pa.array(np.concatenate([pk, [_SENT]]),
-                                        pa.int64())})
-
-    def distinct(t: pa.Table) -> pa.Table:
-        pk = np.unique(_np(t.column("pk")))
-        return pa.table({"pk": pa.array(
-            np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
-
-    und = bucketed_group_agg(edges, canon, "pk", distinct,
-                             num_buckets=num_buckets)
+    und = _undirected_distinct(edges, "greedy_coloring", num_buckets)
 
     # initial state rows: adjacency (node, other, color=-1 "unheard") and
     # one self row (node, -2, -1 "uncolored") per endpoint
@@ -4941,12 +4941,17 @@ def greedy_coloring(edges: rd.Dataset, seed: int = 42,
         import logging
 
         logging.getLogger("raykg").warning(
-            "greedy_coloring: round budget %d exhausted with uncolored "
-            "nodes remaining; raise max_iters", max_iters)
+            "greedy_coloring: round budget %d exhausted with %d nodes "
+            "uncolored — those nodes are DROPPED from the output (a -1 "
+            "placeholder is not a color); raise max_iters",
+            max_iters, n_uncolored)
 
+    # self rows with a real color only: on budget exhaustion uncolored
+    # nodes carry -1, which must never surface as a color value
     return state.map_batches(
         lambda t: t.filter(pc.and_(
-            pc.equal(t.column("other"), -2),
-            pc.greater_equal(t.column("node"), 0)))
+            pc.and_(pc.equal(t.column("other"), -2),
+                    pc.greater_equal(t.column("node"), 0)),
+            pc.greater_equal(t.column("color"), 0)))
         .select(["node", "color"]),
         batch_format="pyarrow")

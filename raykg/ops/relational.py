@@ -1788,12 +1788,14 @@ def interval_coverage(sf_dir: str, num_buckets: int = 256) -> rd.Dataset:
     small-int bucket key, and each bucket runs ONE vectorized pass.
 
     The per-bucket pass needs a GROUPED running max (interval ends are
-    not monotone when durations vary): with segments contiguous after
-    the sort, cummax(end + seg_id * BIG) - seg_id * BIG restarts the
-    accumulation at every segment boundary exactly, because BIG exceeds
-    the whole end-value range, so no earlier segment can dominate a
-    later one. All arithmetic stays int64 (ends rebased to min 0;
-    seg_id * BIG <= n_rows * range fits comfortably).
+    not monotone when durations vary). An earlier draft used the
+    cummax(end + seg_id * BIG) - seg_id * BIG offset trick, but
+    seg_id * BIG = (users per bucket) x (time range in us) overflows
+    int64 at exactly the scale this op claims (300k users x a 1-year
+    range wraps silently). Instead the running max accumulates per user
+    SEGMENT — a loop over segment slices with a vectorized accumulate
+    inside, the same per-group-loop shape as co_mention_edges' pair
+    finalize: O(n) total, all operands plain int64 microseconds.
 
     Durations floor(value*60 + 0.5) seconds, clamped at 0, mirroring the
     DuckDB twin expression exactly."""
@@ -1827,11 +1829,13 @@ def interval_coverage(sf_dir: str, num_buckets: int = 256) -> rd.Dataset:
         is_start = np.empty(n, np.bool_)
         is_start[0] = True
         np.not_equal(uid[1:], uid[:-1], out=is_start[1:])
-        seg_id = np.cumsum(is_start) - 1
-        base = f.min()
-        big = (f.max() - base) + 1
-        cm = np.maximum.accumulate((f - base) + seg_id * big) \
-            - seg_id * big + base          # grouped running max of f
+        # grouped running max of f, exact int64 at any scale: accumulate
+        # within each user segment (no cross-segment offset arithmetic)
+        cm = np.empty(n, np.int64)
+        seg_bounds = np.append(np.flatnonzero(is_start), n)
+        for si in range(len(seg_bounds) - 1):
+            lo_i, hi_i = seg_bounds[si], seg_bounds[si + 1]
+            np.maximum.accumulate(f[lo_i:hi_i], out=cm[lo_i:hi_i])
         # island break: first event of a user, or start past the running
         # max of all PRIOR ends in the segment (exclusive prefix)
         brk = is_start.copy()
