@@ -211,6 +211,41 @@ def _spawn_worker(num_cpus: int, n_docs: int) -> dict:
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}")
 
 
+def _busy_probe(seconds: float = 8.0, samples: int = 2) -> dict:
+    """Steal/nice shares measured while WE fully load the host (a throttled
+    credit bucket only reveals itself under load). Shared with
+    tools/quiet_bench.py so the probe semantics can't drift."""
+    tools_dir = os.path.join(_REPO, "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from quiet_bench import busy_probe
+
+    return busy_probe(seconds, samples=samples)
+
+
+def _wait_for_refill(max_min: float, tag: str) -> list[dict]:
+    """Block until a busy probe reads a verified-deep credit bucket
+    (steal < 4% in EVERY sub-window, nice < 2%) or the deadline expires.
+    Returns the probe history; the caller tags the record clean/dirty
+    from the last entry."""
+    deadline = time.time() + max_min * 60.0
+    history: list[dict] = []
+    while True:
+        p = _busy_probe()
+        history.append(p)
+        worst = max(s["steal"] for s in p["samples"])
+        print(f"[scaling] {tag} probe: worst-steal={worst}% "
+              f"nice={p['nice']}%", file=sys.stderr, flush=True)
+        if worst < 4.0 and p["nice"] < 2.0:
+            break
+        if time.time() > deadline:
+            print(f"[scaling] {tag} refill deadline reached — proceeding "
+                  "DIRTY", file=sys.stderr, flush=True)
+            break
+        time.sleep(90.0)
+    return history
+
+
 def main_scaling() -> None:
     # Default N=4 vs 4N=16 physical cores: on a single shared-memory machine
     # the 32-core leg saturates the socket's memory bandwidth — a cross-node
@@ -221,17 +256,31 @@ def main_scaling() -> None:
     lo_cpus = int(os.environ.get("RAYKG_SCALING_LOW", "4"))
     hi_cpus = lo_cpus * 4
     load_before = list(os.getloadavg())
-    # WIDE leg first: on the credit-throttled sandbox host the CPU-credit
-    # bucket is deepest at the start of a measurement window, and the wide
-    # leg drains it ~4x faster — running it second means it (and only it)
-    # hits the throttle, which fabricates a LOW efficiency (r4 measured
-    # 0.47 with the narrow-first order vs 0.83 clean; untouched-op controls
-    # confirmed the 16-core leg ran throttled). The legs are independent
-    # fresh processes over the same fixed input, so order cannot affect
-    # the quantity being measured — only which leg eats the dirty window.
-    hi = _spawn_worker(hi_cpus, SCALING_DOCS)
-    lo = _spawn_worker(lo_cpus, SCALING_DOCS)
+    # Each leg runs on a VERIFIED-DEEP credit bucket (round-5, per the r4
+    # advisor): a leg drains the host's CPU-credit bucket, so whichever leg
+    # runs second would otherwise eat a throttled window — narrow-second
+    # biases efficiency UP, wide-second biases it DOWN (r4 measured 0.47
+    # that way). Probing + waiting for refill between the legs removes the
+    # order sensitivity entirely instead of arguing about which bias is
+    # worse. RAYKG_REFILL_MAX_MIN caps each wait (0 disables probing).
+    refill_min = float(os.environ.get("RAYKG_REFILL_MAX_MIN", "25"))
+    order = os.environ.get("RAYKG_SCALING_ORDER", "wide_first")
+    legs = [(hi_cpus, "high"), (lo_cpus, "low")]
+    if order == "narrow_first":
+        legs.reverse()
+    results: dict[str, dict] = {}
+    probe_histories: dict[str, list] = {}
+    for i, (cpus, name) in enumerate(legs):
+        if refill_min > 0 and i > 0:
+            probe_histories[f"before_{name}"] = _wait_for_refill(
+                refill_min, f"pre-{name}-leg")
+        results[name] = _spawn_worker(cpus, SCALING_DOCS)
+    lo, hi = results["low"], results["high"]
     eff = (hi["triples_per_s"] / lo["triples_per_s"]) / (hi_cpus / lo_cpus)
+    between_clean = all(
+        max(s["steal"] for s in hist[-1]["samples"]) < 4.0
+        and hist[-1]["nice"] < 2.0
+        for hist in probe_histories.values()) if probe_histories else None
     line = {
         "metric": "scaling_efficiency",
         "value": round(eff, 4),
@@ -240,6 +289,11 @@ def main_scaling() -> None:
         "low": lo,
         "high": hi,
         "target": 0.8,
+        "order": order,
+        "between_leg_window": (
+            None if between_clean is None
+            else ("clean" if between_clean else "dirty")),
+        "between_leg_probes": probe_histories,
         # external-tenant load skews the pinned legs asymmetrically; a
         # measurement with load >~1 at start should be re-run (BASELINE.md)
         "loadavg_before": load_before,

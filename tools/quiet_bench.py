@@ -109,32 +109,43 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/quiet_bench_r4.json")
     ap.add_argument("--skip-sweep", action="store_true",
                     help="run only the scaling pair")
+    ap.add_argument("--skip-scaling", action="store_true",
+                    help="run only the full sweep")
     args = ap.parse_args()
 
-    deadline = time.time() + args.deadline_min * 60
-    probes = []
-    window = "dirty"
-    while True:
-        p = busy_probe(args.probe_seconds, samples=args.probe_samples)
-        probes.append(p)
-        print(f"probe: steal={p['steal']}% nice={p['nice']}% "
-              f"user={p['user']}% load={p['loadavg'][0]:.1f}", flush=True)
-        if p["steal"] < args.max_steal and p["nice"] < 2.0:
-            window = "clean"
-            break
-        if time.time() > deadline:
-            print("deadline reached — running DIRTY-tagged", flush=True)
-            break
-        time.sleep(args.interval)
+    def wait_clean(tag: str) -> tuple[str, list[dict]]:
+        deadline = time.time() + args.deadline_min * 60
+        probes = []
+        while True:
+            p = busy_probe(args.probe_seconds, samples=args.probe_samples)
+            probes.append(p)
+            print(f"[{tag}] probe: steal={p['steal']}% nice={p['nice']}% "
+                  f"user={p['user']}% load={p['loadavg'][0]:.1f}",
+                  flush=True)
+            if p["steal"] < args.max_steal and p["nice"] < 2.0:
+                return "clean", probes
+            if time.time() > deadline:
+                print(f"[{tag}] deadline reached — running DIRTY-tagged",
+                      flush=True)
+                return "dirty", probes
 
+            time.sleep(args.interval)
+
+    window, probes = wait_clean("pre")
     record = {"window": window, "probe": probes[-1],
               "probe_history": probes}
     # scaling first: the north-rule criterion is the most load-sensitive
-    print("running bench.py --scaling ...", flush=True)
-    record["scaling"] = _run([sys.executable, "bench.py", "--scaling"],
-                             timeout=3000)
-    record["post_scaling_loadavg"] = list(os.getloadavg())
+    if not args.skip_scaling:
+        print("running bench.py --scaling ...", flush=True)
+        record["scaling"] = _run([sys.executable, "bench.py", "--scaling"],
+                                 timeout=4800)
+        record["post_scaling_loadavg"] = list(os.getloadavg())
     if not args.skip_sweep:
+        if not args.skip_scaling:
+            # r4 lesson: the sweep started seconds after the pair drained
+            # the credit bucket and read +29% — refill before the sweep too
+            record["sweep_window"], record["sweep_probe_history"] = \
+                wait_clean("pre-sweep")
         print("running bench.py full sweep ...", flush=True)
         record["sweep"] = _run([sys.executable, "bench.py"], timeout=3600)
     tmp = args.out + ".tmp"
