@@ -2015,9 +2015,17 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     in the suite, shaped for scale the way a 100 TB run would be:
 
     - region ⋈ nation ⋈ supplier and the customer→nation map are
-      DIMENSION sides: read once on the driver (register/branch-office
-      sized), pushed to workers as ONE ray.put broadcast, applied inside
-      vectorized map_batches — never a shuffle;
+      DIMENSION sides: read once on the driver, pushed to workers as ONE
+      ray.put broadcast, applied inside vectorized map_batches — never a
+      shuffle. Scale envelope: unlike region/nation, TPC-H customer and
+      supplier grow linearly with scale factor, so this broadcast costs
+      O(|customer| + |supplier|) driver heap — ~8 B/key·2 ≈ 32 GB of
+      dict at SF 100k, which does NOT fit. Past a broadcast budget
+      (cf. canon_broadcast_limit) the customer leg must be rewritten as
+      a second hash-shuffle join (orders ⋈ customer on custkey, same
+      shape as the lineitem ⋈ orders leg below); the broadcast form is
+      kept here because it is the right plan at the benchmarked scales
+      and the shuffle twin's shape is already exercised by the fact join;
     - the two FACT tables meet in a hash-partitioned shuffle join
       (lineitem ⋈ orders on orderkey) — the only all-to-all, and both
       sides arrive pre-filtered (date range on orders, region's
