@@ -115,14 +115,30 @@ def _flagship_exact_cfg():
 _flagship_memo: dict = {}
 
 
+def _pin_result(r):
+    """Materialize a fixture-sized KGResult once at memo time. build_kg
+    deliberately leaves ``triples`` lazy (a rewrite map stage) — right for
+    one consumer at scale, but here ELEVEN kg_* consumption queries share
+    the memo, and each re-execution of the lazy stage re-spins its actor
+    pool (the r4 clean sweep measured that tax at +2-5 s per query on the
+    kg_* family). 400-doc fixture output pins in a few object-store blocks."""
+    import dataclasses
+
+    return dataclasses.replace(
+        r, triples=r.triples.materialize(), edges=r.edges.materialize(),
+        nodes=r.nodes.materialize())
+
+
 def _flagship_exact_result():
-    """One build_kg run shared by the three kg_flagship_exact_* queries."""
+    """One build_kg run shared by the kg_flagship_exact_* queries AND the
+    kg_* consumption family (co-mentions/pagerank/salience/...)."""
     if "r" not in _flagship_memo:
         from raykg import synth
         from raykg.pipelines.kg import build_kg
 
         cfg = _flagship_exact_cfg()
-        _flagship_memo["r"] = build_kg(synth.sha_documents_dataset(cfg), cfg)
+        _flagship_memo["r"] = _pin_result(
+            build_kg(synth.sha_documents_dataset(cfg), cfg))
     return _flagship_memo["r"]
 
 
@@ -299,7 +315,8 @@ def _flagship_fuzzy_result():
         from raykg.pipelines.kg import build_kg
 
         cfg = _flagship_fuzzy_cfg()
-        _flagship_memo["f"] = build_kg(synth.sha_documents_dataset(cfg), cfg)
+        _flagship_memo["f"] = _pin_result(
+            build_kg(synth.sha_documents_dataset(cfg), cfg))
     return _flagship_memo["f"]
 
 
@@ -623,11 +640,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import shutil
         import tempfile
 
+        from raykg.catalog import default_catalog
         from raykg.pipelines.kg import ingest_increment
 
         cfg_full = _flagship_exact_cfg()
         cfg_old = dataclasses.replace(cfg_full, n_docs=300)
         root = tempfile.mkdtemp(prefix="raykg_incr_")
+        # one catalog for both ingest phases: the derived vocabulary is
+        # identical at 300 and 400 docs (num_entities floor = 64), so the
+        # metadata pin and alias index build are paid once, not per phase
+        cat = default_catalog(cfg_full)
 
         def rng(c):
             return lambda lo, hi: synth.sha_documents_dataset_range(
@@ -635,12 +657,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         try:
             ingest_increment(cfg_old, root, docs_for_range=rng(cfg_old),
-                             link_only=True)
+                             link_only=True, catalog=cat)
             # pin the (fixture-sized) result before deleting the checkpoint
             # it lazily reads from — gate runs used to leak one tempdir each
             return ingest_increment(
-                cfg_full, root,
-                docs_for_range=rng(cfg_full)).triples.materialize()
+                cfg_full, root, docs_for_range=rng(cfg_full),
+                catalog=cat).triples.materialize()
         finally:
             shutil.rmtree(root, ignore_errors=True)
 

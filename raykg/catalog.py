@@ -114,6 +114,7 @@ class SynthCatalog(EntityCatalog):
 
     def __init__(self, cfg: KGConfig):
         self.cfg = cfg
+        self._meta_pin: rd.Dataset | None = None
 
     def aliases_dataset(self) -> rd.Dataset:
         from raykg import synth
@@ -127,7 +128,15 @@ class SynthCatalog(EntityCatalog):
     def metadata_dataset(self) -> rd.Dataset:
         from raykg import synth
 
-        return synth.entity_metadata_dataset(self.cfg)
+        # Pinned once per instance: a caller that shares one catalog across
+        # several _finish_kg exchanges (e.g. an append sequence's old+new
+        # ingest, or a bench process's query family) should pay the
+        # vocabulary generation pass once, not per consumption. Vocabulary
+        # is register-sized relative to the corpus by design.
+        if self._meta_pin is None:
+            self._meta_pin = synth.entity_metadata_dataset(
+                self.cfg).materialize()
+        return self._meta_pin
 
     def alias_items(self) -> list[tuple[str, int]]:
         from raykg import synth
