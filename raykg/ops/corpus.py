@@ -1471,14 +1471,22 @@ def bpe_pair_counts(documents: rd.Dataset, k: int = 30,
     from collections import Counter
 
     def pair_batch(t: pa.Table) -> pa.Table:
+        # ONE Counter pass over the whole batch: words joined with a char
+        # below the symbol alphabet (see _BPE_SEP invariant), so adjacent
+        # chars across a word boundary always contain the joiner and are
+        # dropped after the count — same exact counts as the per-word
+        # nested loop, but zip+Counter iterate in C instead of a Python
+        # dict op per character pair (the family's hot-loop rule).
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
-            for w in _tokens(s):
-                for a, b in zip(w, w[1:]):
-                    c[a + _BPE_SEP + b] += 1
+            joined = _BPE_SEP.join(_tokens(s))
+            c.update(zip(joined, joined[1:]))
+        pairs = [(a, b) for (a, b) in c
+                 if a != _BPE_SEP and b != _BPE_SEP]
         return pa.table({
-            "pair": pa.array(list(c.keys()) + [""], pa.string()),
-            "n": pa.array(list(c.values()) + [0], pa.int64())})
+            "pair": pa.array([a + _BPE_SEP + b for a, b in pairs] + [""],
+                             pa.string()),
+            "n": pa.array([c[p] for p in pairs] + [0], pa.int64())})
 
     def fin(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("pair"), ""))

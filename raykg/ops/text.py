@@ -1036,7 +1036,8 @@ def score_percentiles(documents: rd.Dataset) -> rd.Dataset:
 
 
 def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 64,
+                 hash_family: str = "sha") -> rd.Dataset:
     """(doc_id, dsir_logratio): DSIR-style importance weight per document
     — the hashed-n-gram importance-resampling signal of Xie et al.,
     "Data Selection for Language Models via Importance Resampling"
@@ -1057,17 +1058,30 @@ def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
     NF-float array, one stateless scoring map. Nothing grows with the
     corpus; NF widens to 10^5-10^6 for real runs (DSIR uses 10^4).
     Unigrams only here so the oracle stays one SQL statement; adding
-    hashed bigrams is the same partial with a second update line."""
+    hashed bigrams is the same partial with a second update line.
+
+    ``hash_family="sha"`` is that oracle contract; ``"fast"`` (production)
+    buckets by one vectorized crc32 pass per batch instead of a Python
+    sha256 per token INSTANCE — the feature hash only needs uniformity,
+    not SQL replicability, so the fast run has no DuckDB twin (decision
+    agreement pinned in tests/test_hash_family_fast.py)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    from raykg.functions.hashing import sha_int
+    from raykg.functions.hashing import crc_hash_array, sha_int
     from raykg.ops.relational import small_key_agg
 
+    if hash_family not in ("sha", "fast"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     NF = num_features
 
-    def _doc_buckets(s: str) -> list[int]:
-        return [sha_int(w) % NF for w in _tokens(s)]
+    def _tok_buckets(toks: list[str]) -> np.ndarray:
+        if hash_family == "fast":
+            return (crc_hash_array(toks) % np.uint64(NF)).astype(np.int64)
+        return np.array([sha_int(w) % NF for w in toks], np.int64)
+
+    def _doc_buckets(s: str) -> np.ndarray:
+        return _tok_buckets(_tokens(s))
 
     def partial(t: pa.Table) -> pa.Table:
         n_t = np.zeros(NF, np.int64)
@@ -1077,11 +1091,10 @@ def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
             if not toks:
                 continue
             is_target = sum(1 for w in toks if w in EN_MARKERS) >= 2
-            for w in toks:
-                b = sha_int(w) % NF
-                n_r[b] += 1
-                if is_target:
-                    n_t[b] += 1
+            bks = _tok_buckets(toks)
+            np.add.at(n_r, bks, 1)
+            if is_target:
+                np.add.at(n_t, bks, 1)
         nz = np.flatnonzero(n_r)
         if len(nz) == 0:   # typed sentinel row so zero-row blocks keep schema
             return pa.table({"b": pa.array([-1], pa.int64()),
@@ -1118,7 +1131,7 @@ def dsir_weights(documents: rd.Dataset, num_features: int = 1024,
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
             bks = _doc_buckets(s)
-            if not bks:
+            if len(bks) == 0:
                 continue
             ids.append(d)
             out.append(round_half_away(float(np.mean(w[bks])), 4))

@@ -29,7 +29,7 @@ import ray.data as rd
 
 from raykg import schema
 from raykg.config import KGConfig
-from raykg.functions.hashing import minhash_sig_sha
+from raykg.functions.hashing import fast_minhash_sigs, minhash_sig_sha
 
 
 @dataclass
@@ -40,26 +40,36 @@ class DiscoveryResult:
 
 
 def assign_clusters(nodes: rd.Dataset, cfg: KGConfig, num_tables: int,
-                    id_col: str = "uri", label_col: str = "label") -> rd.Dataset:
+                    id_col: str = "uri", label_col: str = "label",
+                    hash_family: str = "sha") -> rd.Dataset:
     """Per node: sorted property-key signature -> deterministic MinHash
-    cluster key. Pure map_batches; no state, no shuffle."""
+    cluster key. Pure map_batches; no state, no shuffle.
+
+    ``hash_family="sha"`` (default, the SQL-replicable oracle contract);
+    ``"fast"`` (production): one crc32 per property name spread through the
+    vectorized multiply-mod-Mersenne family — one numpy pass per batch
+    instead of num_tables x num_props Python sha256 calls per NODE (the
+    same tax the dedup stack eliminated in r4; nodes with equal property
+    sets get equal keys under either family, so the clustering decision
+    semantics are unchanged — pinned by tests/test_hash_family_fast.py)."""
+    if hash_family not in ("sha", "fast"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         props = batch.column("properties").to_pylist()
-        keys = []
-        for p in props:
-            names = sorted(k for k, _ in p) if isinstance(p, list) else \
-                sorted(p.keys())
-            keys.append("_".join(
-                minhash_sig_sha(names, num_tables, cfg.seed)))
+        names_per_node = [
+            sorted(k for k, _ in p) if isinstance(p, list) else
+            sorted(p.keys()) for p in props]
+        if hash_family == "fast":
+            keys = fast_minhash_sigs(names_per_node, num_tables, cfg.seed)
+        else:
+            keys = ["_".join(minhash_sig_sha(names, num_tables, cfg.seed))
+                    for names in names_per_node]
         return pa.table({
             "node_id": batch.column(id_col),
             "cluster_key": pa.array(keys, pa.string()),
             "label": batch.column(label_col),
-            "props": pa.array(
-                [sorted(k for k, _ in p) if isinstance(p, list)
-                 else sorted(p.keys()) for p in props],
-                pa.list_(pa.string())),
+            "props": pa.array(names_per_node, pa.list_(pa.string())),
         })
 
     return nodes.map_batches(sig_batch, batch_format="pyarrow")
@@ -68,10 +78,12 @@ def assign_clusters(nodes: rd.Dataset, cfg: KGConfig, num_tables: int,
 def discover_node_types(nodes: rd.Dataset, cfg: KGConfig,
                         dataset_size: int | None = None,
                         id_col: str = "uri",
-                        label_col: str = "label") -> DiscoveryResult:
+                        label_col: str = "label",
+                        hash_family: str = "sha") -> DiscoveryResult:
     n = dataset_size if dataset_size is not None else nodes.count()
     num_tables = cfg.derived_minhash_tables(n)
-    clustered = assign_clusters(nodes, cfg, num_tables, id_col, label_col)
+    clustered = assign_clusters(nodes, cfg, num_tables, id_col, label_col,
+                                hash_family=hash_family)
 
     def partial_agg(batch: pa.Table) -> pa.Table:
         """Combiner: one row per cluster_key per batch."""

@@ -142,3 +142,132 @@ def test_unknown_family_rejected(ray_session):
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_assign_clusters_fast_set_and_reshard_invariants(ray_session):
+    """The family contract schema discovery relies on: nodes with EQUAL
+    property-key sets always share a cluster key (within either family),
+    and fast keys are reshard-invariant. Cross-family partition identity
+    is deliberately NOT asserted — MinHash is a similarity sketch, so
+    near-equal sets collide with probability ~J^tables, a coin each family
+    flips with different hashes; the decision-level pin is the quality
+    parity test below."""
+    from raykg import synth
+    from raykg.config import KGConfig, NodeSynthConfig
+    from raykg.pipelines.discover import assign_clusters
+
+    nodes = synth.pg_nodes_dataset(NodeSynthConfig(n_nodes=300, noise=0.1))
+    for fam in ("sha", "fast"):
+        rows = assign_clusters(nodes, KGConfig(), num_tables=8,
+                               id_col="node_id", label_col="labels",
+                               hash_family=fam).take_all()
+        key_of_set: dict = {}
+        for r in rows:
+            s = tuple(r["props"])
+            assert key_of_set.setdefault(s, r["cluster_key"]) == \
+                r["cluster_key"], f"{fam}: equal set split across keys"
+    again = assign_clusters(nodes.repartition(5), KGConfig(), 8,
+                            id_col="node_id", label_col="labels",
+                            hash_family="fast").take_all()
+    once = assign_clusters(nodes, KGConfig(), 8,
+                           id_col="node_id", label_col="labels",
+                           hash_family="fast").take_all()
+    assert {r["node_id"]: r["cluster_key"] for r in again} == \
+        {r["node_id"]: r["cluster_key"] for r in once}
+
+
+def test_discover_fast_quality_parity(ray_session):
+    """Decision-level pin for hash_family="fast" in schema discovery: on
+    the reference's own protocol (1000 noise-corrupted nodes, 10% noise —
+    SURVEY §5), the fast path must keep recall 1.0 (every node clustered)
+    and precision within 0.05 of the sha oracle path."""
+    from raykg import synth
+    from raykg.config import KGConfig, NodeSynthConfig
+    from raykg.pipelines.discover import discover_node_types
+    from raykg.pipelines.evaluate import cluster_metrics
+
+    nodes = synth.pg_nodes_dataset(NodeSynthConfig(n_nodes=1000, noise=0.1))
+    m = {}
+    for fam in ("sha", "fast"):
+        res = discover_node_types(nodes, KGConfig(), dataset_size=1000,
+                                  id_col="node_id", label_col="labels",
+                                  hash_family=fam)
+        m[fam] = cluster_metrics(res.clustered)
+        assert m[fam]["recall"] == 1.0
+    assert m["fast"]["precision"] >= m["sha"]["precision"] - 0.05
+
+
+def test_discover_node_types_fast_end_to_end(ray_session):
+    """The full discovery pipeline under hash_family="fast" recovers the
+    same (label, required_props) schema rows as the sha oracle path."""
+    from raykg import synth
+    from raykg.config import KGConfig, NodeSynthConfig
+    from raykg.pipelines.discover import discover_node_types
+
+    nodes = synth.pg_nodes_dataset(NodeSynthConfig(n_nodes=400, noise=0.0))
+    schemas = {}
+    for fam in ("sha", "fast"):
+        res = discover_node_types(nodes, KGConfig(), dataset_size=400,
+                                  id_col="node_id", label_col="labels",
+                                  hash_family=fam)
+        schemas[fam] = sorted(
+            (t["label"], tuple(t["required_props"]), t["count"])
+            for t in res.node_types.take_all())
+    assert schemas["sha"] == schemas["fast"]
+
+
+def test_dsir_fast_semantics(ray_session):
+    """DSIR weights under the fast family: same doc coverage as sha, exact
+    duplicates score identically (same text -> same bucket multiset), and
+    values are reshard-invariant. Weight VALUES legitimately differ across
+    families (different feature-bucket assignment), so only decisions and
+    invariants are pinned — the oracle gate always runs sha."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raykg.ops.text import dsir_weights
+
+    n = 30
+    # %3==0 docs carry TWO EN markers ("the", "a") -> they are the DSIR
+    # target slice, so n_t is nonzero and the logratio actually varies
+    texts = [("the quick a fox " if i % 3 == 0 else "zug blorp qix ")
+             + f"g{i - i % 5} tail words" for i in range(n)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = {}
+    for fam in ("sha", "fast"):
+        rows = dsir_weights(docs, hash_family=fam).take_all()
+        out[fam] = {r["doc_id"]: r["dsir_logratio"] for r in rows}
+        assert all(math.isfinite(v) for v in out[fam].values())
+    assert set(out["fast"]) == set(out["sha"]) == set(range(n))
+    for i in range(n):
+        for j in range(n):
+            if texts[i] == texts[j]:
+                assert out["fast"][i] == out["fast"][j]
+    resharded = {r["doc_id"]: r["dsir_logratio"] for r in
+                 dsir_weights(docs.repartition(7),
+                              hash_family="fast").take_all()}
+    assert resharded == out["fast"]
+
+
+def test_fast_family_rejected_in_new_entry_points(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raykg.config import KGConfig
+    from raykg.ops.text import dsir_weights
+    from raykg.pipelines.discover import assign_clusters
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                   "text": pa.array(["x"], pa.string())}))
+    for fn in (lambda: dsir_weights(docs, hash_family="md5"),
+               lambda: assign_clusters(docs, KGConfig(), 4,
+                                       hash_family="md5")):
+        try:
+            fn()
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
