@@ -187,7 +187,8 @@ def doc_length_histogram(documents: rd.Dataset, bin_width: int = 16) -> pa.Table
 
 
 def unigram_logprob(documents: rd.Dataset,
-                    num_buckets: int = 256) -> rd.Dataset:
+                    num_buckets: int = 256,
+                    max_vocab: int | None = None) -> rd.Dataset:
     """(doc_id, mean_nll): mean -log2(p(token)) per document under the
     corpus's own unigram MLE — the model-free perplexity proxy used to
     rank/filter training text. Two passes: distributed token counts
@@ -195,8 +196,15 @@ def unigram_logprob(documents: rd.Dataset,
     stateless scoring map. Empty documents are omitted (no tokens to
     score), matching the SQL oracle's join semantics.
 
-    Scale envelope: the vocabulary table must fit a worker heap (truncate
-    to a top-K vocabulary with an OOV bucket past ~10^8 distinct tokens)."""
+    Scale envelope: the broadcast vocabulary table must fit a worker
+    heap. ``max_vocab=K`` bounds it — tokens outside the top-K by corpus
+    count (ties broken by token, deterministic) are rewritten to a single
+    OOV symbol whose count is the truncated tail's total mass, i.e. the
+    MLE over the OOV-rewritten token stream. The top-K selection itself
+    is distributed (sort + limit on the count dataset) so neither the
+    driver nor any worker ever holds more than K+1 vocabulary rows.
+    With ``max_vocab >= |V|`` (or None) results are byte-identical to
+    the untruncated model."""
     from collections import Counter
 
     import ray
@@ -219,22 +227,33 @@ def unigram_logprob(documents: rd.Dataset,
             count_batch, batch_format="pyarrow"),
         lambda t: t, "tok", fin, num_buckets=num_buckets)
     counts: dict[str, int] = {}
-    for row in counts_ds.take_all():
-        counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
-    total = float(sum(counts.values()))
-    ref = ray.put((counts, total))
+    if max_vocab is not None:
+        total = float(counts_ds.sum("n"))
+        top = counts_ds.sort(["n", "tok"],
+                             descending=[True, False]).limit(max_vocab)
+        for row in top.take_all():
+            counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
+        oov_n = int(total) - sum(counts.values())
+    else:
+        for row in counts_ds.take_all():
+            counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
+        total = float(sum(counts.values()))
+        oov_n = 0
+    ref = ray.put((counts, total, oov_n))
 
     import math
 
     def score(t: pa.Table) -> pa.Table:
-        cmap, tot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cmap, tot, oov = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+            else ref
         ids, out = [], []
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
             toks = _tokens(s)
             if not toks:
                 continue
-            nll = sum(-math.log2(cmap[w] / tot) for w in toks) / len(toks)
+            nll = sum(-math.log2(cmap.get(w, oov) / tot)
+                      for w in toks) / len(toks)
             ids.append(d)
             out.append(round_half_away(nll, 4))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
@@ -785,7 +804,8 @@ def tfidf_top_terms(documents: rd.Dataset,
 
 
 def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
-                   num_buckets: int = 256) -> rd.Dataset:
+                   num_buckets: int = 256,
+                   max_vocab: int | None = None) -> rd.Dataset:
     """(doc_id, mean_nll): mean -log2(p(w2|w1)) per document under the
     corpus's own bigram MLE, p(w2|w1) = c(w1 w2) / c(w1 as bigram-first)
     — the CCNet-style LM quality signal, one order up from
@@ -796,15 +816,22 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
 
     ``mode="broadcast"``: bigram + first-token count tables shipped once
     via ``ray.put``, stateless scoring map — right while the bigram
-    vocabulary fits a worker heap (it grows with corpus size, so this
-    envelope ends before 100 TB).
+    vocabulary fits a worker heap. ``max_vocab=K`` bounds that envelope:
+    tokens outside the top-K by corpus count (ties broken by token) are
+    rewritten to a single OOV symbol BEFORE bigrams are formed, so the
+    model is the exact bigram MLE over the OOV-rewritten token stream
+    (≤ (K+1)^2 bigram rows, typically far fewer) and, with
+    ``max_vocab >= |V|`` (or None), byte-identical to the untruncated
+    model. The top-K selection is distributed (bucketed count -> sort ->
+    limit); only K+1 vocabulary strings are broadcast.
 
     ``mode="join"``: NOTHING is broadcast or driver-resident — the count
     tables stay distributed and are attached to per-doc bigram rows by
     two bucketed tag-join shuffles (tag 0 = probe row, tag 1 = count
     partial, co-bucketed on the key; vectorized ``pc.index_in`` attach
     within the bucket), then a per-doc bucketed aggregate. The
-    unbounded-vocabulary scale path; tested equal to broadcast mode."""
+    unbounded-vocabulary scale path (``max_vocab`` is meaningless there
+    and rejected); tested equal to broadcast mode."""
     import math
     from collections import Counter
 
@@ -815,13 +842,45 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
     from raykg.functions.shuffle import bucketed_group_agg
 
     SEP = "\x1f"   # tokens are whitespace-split, so 0x1f never collides
+    OOV = "\x00oov\x00"   # NUL-framed: cannot equal a real split token
+
+    if max_vocab is not None and mode != "broadcast":
+        raise ValueError("bigram_logprob: max_vocab only applies to "
+                         "mode='broadcast' (the join mode is already "
+                         "unbounded-vocabulary)")
+
+    vocab_ref = None
+    if max_vocab is not None:
+        def tok_counts(t: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for s in t.column("text").to_pylist():
+                c.update(_tokens(s))
+            return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                             "n": pa.array(list(c.values()), pa.int64())})
+
+        def tok_fin(t: pa.Table) -> pa.Table:
+            g = t.group_by("tok").aggregate([("n", "sum")])
+            return pa.table({"tok": g.column("tok"),
+                             "n": g.column("n_sum")})
+
+        top = bucketed_group_agg(
+            documents.select_columns(["text"]).map_batches(
+                tok_counts, batch_format="pyarrow"),
+            lambda t: t, "tok", tok_fin, num_buckets=num_buckets
+        ).sort(["n", "tok"], descending=[True, False]).limit(max_vocab)
+        vocab_ref = ray.put(frozenset(
+            r["tok"] for r in top.take_all()))
 
     def doc_bigrams(t: pa.Table):
+        vocab = (ray.get(vocab_ref)
+                 if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref)
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
             toks = _tokens(s)
             if len(toks) < 2:
                 continue
+            if vocab is not None:
+                toks = [w if w in vocab else OOV for w in toks]
             yield d, Counter(zip(toks[:-1], toks[1:]))
 
     def probe_rows(t: pa.Table) -> pa.Table:

@@ -319,3 +319,93 @@ def test_cooccurrence_pmi_vs_reference(ray_session):
     got_1 = cooccurrence_pmi(_docs(rows), window=2, min_count=2,
                              top_k=10, num_buckets=32).take_all()
     assert [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in got_1] == got_t
+
+
+def test_unigram_logprob_max_vocab_noop_when_large(ray_session):
+    # max_vocab >= |V| must be byte-identical to the untruncated model
+    from raykg.ops.text import unigram_logprob
+
+    rows = [(i, f"w{i % 5} w{i % 3} shared") for i in range(60)]
+    full = {r["doc_id"]: r["mean_nll"] for r in
+            unigram_logprob(_docs(rows), num_buckets=8).take_all()}
+    capped = {r["doc_id"]: r["mean_nll"] for r in
+              unigram_logprob(_docs(rows, blocks=7), num_buckets=8,
+                              max_vocab=10**6).take_all()}
+    assert capped == full and len(full) == 60
+
+
+def test_unigram_logprob_max_vocab_truncation_engages(ray_session):
+    # top-2 of {a:4, b:3, c:2, d:1}: vocab={a,b}, OOV mass = 3
+    from raykg.ops.text import unigram_logprob
+
+    rows = [(1, "a a b c"), (2, "a a b b c d")]
+    got = {r["doc_id"]: r["mean_nll"] for r in
+           unigram_logprob(_docs(rows), num_buckets=8,
+                           max_vocab=2).take_all()}
+    tot = 10.0
+    p = {"a": 4 / tot, "b": 3 / tot}
+    oov = 3 / tot
+    exp = {}
+    for d, text in rows:
+        toks = text.split()
+        nll = sum(-math.log2(p.get(w, oov)) for w in toks) / len(toks)
+        exp[d] = round(nll, 4)
+    assert got == exp
+    # and it differs from the untruncated model (truncation engaged)
+    full = {r["doc_id"]: r["mean_nll"] for r in
+            unigram_logprob(_docs(rows), num_buckets=8).take_all()}
+    assert got != full
+
+
+def test_bigram_logprob_max_vocab_noop_and_truncation(ray_session):
+    from collections import Counter
+
+    from raykg.ops.text import bigram_logprob
+
+    rows = [(i, f"w{i % 6} w{i % 4} w{i % 3} end") for i in range(50)]
+    full = {r["doc_id"]: r["mean_nll"] for r in
+            bigram_logprob(_docs(rows), num_buckets=8).take_all()}
+    noop = {r["doc_id"]: r["mean_nll"] for r in
+            bigram_logprob(_docs(rows, blocks=5), num_buckets=8,
+                           max_vocab=10**6).take_all()}
+    assert noop == full and len(full) == 50
+
+    # truncation engaged: brute-force the OOV-rewritten bigram MLE
+    K = 3
+    tok_c: Counter = Counter()
+    for _, text in rows:
+        tok_c.update(text.split())
+    top = {w for w, _ in sorted(tok_c.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:K]}
+    OOV = "\x00oov\x00"
+
+    def norm(toks):
+        return [w if w in top else OOV for w in toks]
+
+    bg_c: Counter = Counter()
+    w1_c: Counter = Counter()
+    for _, text in rows:
+        toks = norm(text.split())
+        for a, b in zip(toks[:-1], toks[1:]):
+            bg_c[(a, b)] += 1
+            w1_c[a] += 1
+    exp = {}
+    for d, text in rows:
+        toks = norm(text.split())
+        pairs = list(zip(toks[:-1], toks[1:]))
+        nll = sum(-math.log2(bg_c[p] / w1_c[p[0]])
+                  for p in pairs) / len(pairs)
+        exp[d] = round(nll, 4)
+    got = {r["doc_id"]: r["mean_nll"] for r in
+           bigram_logprob(_docs(rows), num_buckets=8,
+                          max_vocab=K).take_all()}
+    assert got == exp and got != full
+
+
+def test_bigram_logprob_max_vocab_rejected_in_join_mode(ray_session):
+    import pytest
+
+    from raykg.ops.text import bigram_logprob
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        bigram_logprob(_docs([(1, "a b")]), mode="join", max_vocab=5)
