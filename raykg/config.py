@@ -119,6 +119,12 @@ class NodeSynthConfig:
     n_nodes: int = 2000
     n_edges: int = 4000
     noise: float = 0.0           # per-cell null probability (F4 protocol)
+    # Optional label mix (same order as LABEL_SIGNATURES, ~sums to 1).
+    # None = round-robin uniform (the pinned fixture default). The
+    # same-label KNOWS edge construction in gen_pg_rel_rows assumes the
+    # round-robin layout, so weighted mixes are for node-only protocols
+    # (the noise sweep).
+    label_weights: tuple | None = None
 
 
 # Per-label property signatures (FIXTURES.md F2; reference ground truth shape

@@ -410,9 +410,25 @@ def sha_documents_dataset_range(lo: int, hi: int, cfg: KGConfig,
 # ---------------------------------------------------------------------------
 
 
-def _pg_label(i: int) -> str:
+def _pg_label(i: int, weights: tuple | None = None) -> str:
+    """Round-robin by default (uniform 1/7 per label — every existing
+    fixture/oracle pins this). ``weights`` (same order as
+    LABEL_SIGNATURES, summing to ~1) switches to a deterministic
+    sha-derived weighted draw — used by tools/noise_sweep.py --ldbc-mix
+    to mirror the reference benchmark's skewed LDBC label distribution
+    (Comments/Posts dominate; the Place/Organisation identical-signature
+    collision is then population-weighted the way the reference's
+    purity numbers are)."""
     labels = tuple(LABEL_SIGNATURES.keys())
-    return labels[i % len(labels)]
+    if weights is None:
+        return labels[i % len(labels)]
+    u = int(sha_hex(f"pglabel|{i}")[:8], 16) / 16 ** 8
+    acc = 0.0
+    for lab, w in zip(labels, weights):
+        acc += w
+        if u < acc:
+            return lab
+    return labels[-1]
 
 
 def gen_pg_node_rows(indices: np.ndarray, cfg: NodeSynthConfig) -> pa.Table:
@@ -424,7 +440,7 @@ def gen_pg_node_rows(indices: np.ndarray, cfg: NodeSynthConfig) -> pa.Table:
     for i in indices:
         i = int(i)
         nid = f"n{i:08d}"
-        label = _pg_label(i)
+        label = _pg_label(i, cfg.label_weights)
         props: dict[str, str] = {}
         for p in LABEL_SIGNATURES[label]:
             if "id" not in p.lower() and cfg.noise > 0 and \

@@ -64,3 +64,24 @@ def test_distributed_generation_matches_local(ray_session):
     for doc_id, spans in zip(want.column("doc_id").to_pylist(),
                              want.column("spans").to_pylist()):
         assert by_id[doc_id] == spans
+
+
+def test_pg_nodes_label_weights():
+    # default stays round-robin (pinned by every existing fixture)
+    from collections import Counter
+
+    from raykg.config import LABEL_SIGNATURES
+
+    rr = synth.pg_nodes_table(NodeSynthConfig(n_nodes=70))
+    labels = tuple(LABEL_SIGNATURES.keys())
+    assert rr.column("labels").to_pylist()[:7] == list(labels)
+
+    # weighted mix: deterministic across calls, proportions track weights
+    w = (0.02, 0.60, 0.30, 0.06, 0.012, 0.004, 0.004)
+    a = synth.pg_nodes_table(NodeSynthConfig(n_nodes=5000, label_weights=w))
+    b = synth.pg_nodes_table(NodeSynthConfig(n_nodes=5000, label_weights=w))
+    assert a.column("labels").to_pylist() == b.column("labels").to_pylist()
+    c = Counter(a.column("labels").to_pylist())
+    assert abs(c["Comment"] / 5000 - 0.60) < 0.03
+    assert abs(c["Post"] / 5000 - 0.30) < 0.03
+    assert c["Place"] < 60 and c["Organisation"] < 60
