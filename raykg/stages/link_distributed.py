@@ -486,69 +486,121 @@ def linked_triples_distributed(documents: rd.Dataset, cfg: KGConfig,
                          catalog.aliases_dataset(), cfg, num_partitions),
         catalog.metadata_dataset(), num_partitions).materialize()
 
-    # join subject surfaces, then (for relations) object surfaces
+    # join subject surfaces (every extraction row has one), then — for
+    # RELATION rows only — object surfaces. The split BEFORE the second
+    # join is load-bearing at scale: mention/caption rows carry
+    # surface2 == "" (schema.EXTRACTIONS), so shuffling the full stream by
+    # surface2 would funnel the mention majority into the single ""-key
+    # hash partition — a multi-GiB block whose string columns overflow
+    # Arrow's int32 offsets in downstream combine_chunks (observed at 4M
+    # docs / 68M extraction rows). Relations are a small minority with
+    # real, well-spread surface2 keys, so their join stays balanced — and
+    # the mention majority never pays the second shuffle at all.
     j1 = extractions.join(resolution, join_type="left_outer",
                           num_partitions=num_partitions,
                           on=("surface",), right_on=("surface",),
                           right_suffix="_r",
                           validate_schemas=True).materialize()
+
+    REL_J1 = pa.schema([
+        ("doc_id", pa.string()), ("span_offset", pa.int32()),
+        ("pred", pa.string()), ("surface2", pa.string()),
+        ("eid", pa.string()), ("uri", pa.string())])
+    MEN_J1 = pa.schema([
+        ("doc_id", pa.string()), ("span_offset", pa.int32()),
+        ("etype", pa.string()), ("eid", pa.string()), ("uri", pa.string())])
+
+    def relations_only(t: pa.Table) -> pa.Table:
+        # project to exactly what the second join + assembly need, so the
+        # relation shuffle carries no mention columns
+        if "uri" not in t.column_names or t.num_rows == 0:
+            return REL_J1.empty_table()
+        t = t.filter(pc.equal(t.column("etype"), "relation"))
+        return t.select(REL_J1.names).cast(REL_J1)
+
+    def mentions_only(t: pa.Table) -> pa.Table:
+        if "uri" not in t.column_names or t.num_rows == 0:
+            return MEN_J1.empty_table()
+        t = t.filter(pc.not_equal(t.column("etype"), "relation"))
+        return t.select(MEN_J1.names).cast(MEN_J1)
+
     res2 = resolution.map_batches(
         lambda t: t.rename_columns(["surface2", "eid2", "uri2"]),
         batch_format="pyarrow")
-    j2 = j1.join(res2, join_type="left_outer",
-                 num_partitions=num_partitions,
-                 on=("surface2",), right_on=("surface2",),
-                 right_suffix="_r2", validate_schemas=True)
+    j2 = j1.map_batches(relations_only, batch_format="pyarrow") \
+        .join(res2, join_type="left_outer",
+              num_partitions=num_partitions,
+              on=("surface2",), right_on=("surface2",),
+              right_suffix="_r2", validate_schemas=True)
 
-    def assemble(t: pa.Table) -> pa.Table:
-        """Vectorized triple assembly over the joined extraction stream —
-        the same index_in/filter shape as stages/link.py assemble_linked,
-        except URIs and entity ids arrive pre-joined as string columns:
-        every per-row mapping is an Arrow take/filter, and the corpus-sized
-        stream is never iterated row-by-row in Python."""
-        if "uri" not in t.column_names or "uri2" not in t.column_names:
+    # bounded batches: Ray slices blocks zero-copy to this row count, so
+    # combine_chunks below always operates far under the int32 offset limit
+    # even if an upstream partition came out skewed
+    ASSEMBLE_ROWS = 262_144
+
+    def assemble_relations(t: pa.Table) -> pa.Table:
+        """Vectorized relation-triple assembly — the same filter shape as
+        stages/link.py assemble_linked, except URIs and entity ids arrive
+        pre-joined as string columns; the stream is never iterated
+        row-by-row in Python."""
+        if "uri2" not in t.column_names or t.num_rows == 0:
             return LINKED_TRIPLES.empty_table()
         uri1 = t.column("uri").combine_chunks()
-        eid1 = t.column("eid").combine_chunks()
         uri2 = t.column("uri2").combine_chunks()
-        eid2 = t.column("eid2").combine_chunks()
-        etype = t.column("etype").combine_chunks()
-        is_rel = pc.equal(etype, "relation")
-
-        doc_col = pc.cast(t.column("doc_id").combine_chunks(), pa.string())
-        off_col = pc.cast(t.column("span_offset").combine_chunks(),
-                          pa.int32())
-        pred_col = pc.cast(t.column("pred").combine_chunks(), pa.string())
-
-        rel_keep = pc.fill_null(pc.and_kleene(
-            is_rel, pc.and_kleene(pc.is_valid(uri1), pc.is_valid(uri2))),
-            False)
-        rel_t = pa.Table.from_arrays(
-            [uri1.filter(rel_keep), pred_col.filter(rel_keep),
-             uri2.filter(rel_keep), doc_col.filter(rel_keep),
-             off_col.filter(rel_keep), eid1.filter(rel_keep),
-             eid2.filter(rel_keep)],
+        keep = pc.fill_null(
+            pc.and_kleene(pc.is_valid(uri1), pc.is_valid(uri2)), False)
+        return pa.Table.from_arrays(
+            [uri1.filter(keep),
+             pc.cast(t.column("pred").combine_chunks(),
+                     pa.string()).filter(keep),
+             uri2.filter(keep),
+             pc.cast(t.column("doc_id").combine_chunks(),
+                     pa.string()).filter(keep),
+             pc.cast(t.column("span_offset").combine_chunks(),
+                     pa.int32()).filter(keep),
+             t.column("eid").combine_chunks().filter(keep),
+             t.column("eid2").combine_chunks().filter(keep)],
             schema=LINKED_TRIPLES)
 
-        men_keep = pc.fill_null(
-            pc.and_kleene(pc.invert(is_rel), pc.is_valid(uri1)), False)
-        m_doc = doc_col.filter(men_keep)
+    def assemble_mentions(t: pa.Table) -> pa.Table:
+        """Mention/caption rows become (document URI) -[mentions]-> entity
+        triples straight from the subject join — no second shuffle."""
+        if "uri" not in t.column_names or t.num_rows == 0:
+            return LINKED_TRIPLES.empty_table()
+        uri1 = t.column("uri").combine_chunks()
+        keep = pc.fill_null(pc.is_valid(uri1), False)
+        m_doc = pc.cast(t.column("doc_id").combine_chunks(),
+                        pa.string()).filter(keep)
         uniq_docs = pc.unique(m_doc)
         doc_uris = pa.array(
             [mint_uri("Document", d) for d in uniq_docs.to_pylist()],
             pa.string())
         m_subj = doc_uris.take(pc.index_in(m_doc, value_set=uniq_docs))
-        m_pred = pc.if_else(pc.equal(etype.filter(men_keep), "caption"),
-                            MEDIA_PREDICATE, "mentions")
+        m_pred = pc.if_else(
+            pc.equal(t.column("etype").combine_chunks().filter(keep),
+                     "caption"),
+            MEDIA_PREDICATE, "mentions")
         n_men = len(m_doc)
-        men_t = pa.Table.from_arrays(
-            [m_subj, pc.cast(m_pred, pa.string()), uri1.filter(men_keep),
-             m_doc, off_col.filter(men_keep),
-             pa.array([""] * n_men, pa.string()), eid1.filter(men_keep)],
+        return pa.Table.from_arrays(
+            [m_subj, pc.cast(m_pred, pa.string()), uri1.filter(keep),
+             m_doc,
+             pc.cast(t.column("span_offset").combine_chunks(),
+                     pa.int32()).filter(keep),
+             pa.array([""] * n_men, pa.string()),
+             t.column("eid").combine_chunks().filter(keep)],
             schema=LINKED_TRIPLES)
 
-        if rel_t.num_rows == 0 and men_t.num_rows == 0:
-            return LINKED_TRIPLES.empty_table()
-        return pa.concat_tables([rel_t, men_t])
-
-    return j2.map_batches(assemble, batch_format="pyarrow")
+    rel_triples = j2.map_batches(assemble_relations, batch_format="pyarrow",
+                                 batch_size=ASSEMBLE_ROWS).materialize()
+    men_triples = j1.map_batches(mentions_only, batch_format="pyarrow") \
+        .map_batches(assemble_mentions, batch_format="pyarrow",
+                     batch_size=ASSEMBLE_ROWS).materialize()
+    # union of two MATERIALIZED branches: executes as pure block
+    # concatenation (both inputs are InputDataBuffers). A streaming union
+    # here wedged the executor at 4M docs — UnionOperator held every queued
+    # bundle against the resource manager's budget while both upstream maps
+    # sat output-backpressured on it, so nothing could finish. The
+    # materialize boundary matches the join-isolation discipline documented
+    # above (and build_kg materializes the linked stream right after
+    # anyway, so this adds no extra pass).
+    return rel_triples.union(men_triples)
