@@ -2008,7 +2008,8 @@ def robust_group_stats(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
 def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
                            date_from: str = "1996-01-01",
                            date_to: str = "1998-01-01",
-                           num_partitions: int = 16) -> pa.Table:
+                           num_partitions: int = 16,
+                           dim_broadcast_limit: int = 2_000_000) -> pa.Table:
     """TPC-H Q5 shape — (n_name, revenue): revenue from lineitems whose
     SUPPLIER and ordering CUSTOMER sit in the same nation of ``region``,
     for orders in [date_from, date_to). The most join-intensive pipeline
@@ -2019,13 +2020,15 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
       ray.put broadcast, applied inside vectorized map_batches — never a
       shuffle. Scale envelope: unlike region/nation, TPC-H customer and
       supplier grow linearly with scale factor, so this broadcast costs
-      O(|customer| + |supplier|) driver heap — ~8 B/key·2 ≈ 32 GB of
-      dict at SF 100k, which does NOT fit. Past a broadcast budget
-      (cf. canon_broadcast_limit) the customer leg must be rewritten as
-      a second hash-shuffle join (orders ⋈ customer on custkey, same
-      shape as the lineitem ⋈ orders leg below); the broadcast form is
-      kept here because it is the right plan at the benchmarked scales
-      and the shuffle twin's shape is already exercised by the fact join;
+      O(|customer| + |supplier|) driver heap, which does NOT fit past
+      SF ~10k. The envelope is now CODED, not just documented: when the
+      customer row count (parquet metadata, no scan) exceeds
+      ``dim_broadcast_limit``, the customer leg is rewritten as a second
+      hash-shuffle join (orders ⋈ customer on custkey, same shape as the
+      lineitem ⋈ orders leg below) and the customer table never reaches
+      the driver. Both plans produce the identical table (pinned by
+      tests forcing ``dim_broadcast_limit=0``); the broadcast form stays
+      the default because it is the right plan at the benchmarked scales;
     - the two FACT tables meet in a hash-partitioned shuffle join
       (lineitem ⋈ orders on orderkey) — the only all-to-all, and both
       sides arrive pre-filtered (date range on orders, region's
@@ -2053,10 +2056,17 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     s_map = {s: n for s, n in zip(supp.column("s_suppkey").to_pylist(),
                                   supp.column("s_nationkey").to_pylist())
              if n in n_in}
-    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    c_map = {c: n for c, n in zip(cust.column("c_custkey").to_pylist(),
-                                  cust.column("c_nationkey").to_pylist())
-             if n in n_in}
+    # customer-leg plan selection: row count comes from parquet metadata
+    # (no scan); above the budget the customer table never reaches the
+    # driver and the attach becomes a hash-shuffle join instead
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    if n_cust <= dim_broadcast_limit:
+        cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        c_map = {c: n for c, n in zip(cust.column("c_custkey").to_pylist(),
+                                      cust.column("c_nationkey").to_pylist())
+                 if n in n_in}
+    else:
+        c_map = None
     dims = ray.put((s_map, c_map))
     t_lo = dt.datetime.fromisoformat(date_from)
     t_hi = dt.datetime.fromisoformat(date_to)
@@ -2099,9 +2109,58 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
             "supp_nation": pa.array(sn[keep], pa.int64()),
             "rev": pa.array(rev, pa.float64())})
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(order_side, batch_format="pyarrow")
+    if c_map is not None:
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_side, batch_format="pyarrow")
+    else:
+        # distributed customer leg: nation membership is register-sized
+        # (nations of one region) so it stays a closure; the custkey →
+        # nation attach is a hash join, and the result materializes so the
+        # fact join below runs as the DAG's only JoinOperator (stacked
+        # join aggregators deadlock on CPU-capped clusters — see
+        # stages/link_distributed.py)
+        region_nations = pa.array(sorted(n_in), pa.int64())
+
+        def cust_side(t: pa.Table) -> pa.Table:
+            nk = pc.cast(t.column("c_nationkey"), pa.int64())
+            keep = pc.is_in(nk, value_set=region_nations)
+            return pa.table({
+                "c_custkey": pc.cast(t.column("c_custkey"),
+                                     pa.int64()).filter(keep),
+                "cust_nation": nk.filter(keep)})
+
+        def order_filter(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
+                                         pa.scalar(t_lo)),
+                        pc.less(t.column("o_orderdate"), pa.scalar(t_hi)))
+            t = t.filter(m)
+            return pa.table({
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64())})
+
+        cust_ds = _read(sf_dir, "customer",
+                        ["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_side, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_filter, batch_format="pyarrow") \
+            .join(cust_ds, join_type="inner",
+                  num_partitions=num_partitions,
+                  on=("o_custkey",), right_on=("c_custkey",)) \
+            .map_batches(
+                lambda t: t.select(["o_orderkey", "cust_nation"])
+                if "cust_nation" in t.column_names
+                else pa.schema([("o_orderkey", pa.int64()),
+                                ("cust_nation", pa.int64())]).empty_table(),
+                # explicit batch_size: the join emits SCHEMA-LESS zero-row
+                # blocks for empty partitions, and map_batches skips the
+                # UDF on zero-row blocks entirely — but with a batch_size
+                # the batcher coalesces blocks, dissolving the empties, so
+                # every surviving block carries this projection's schema
+                # (the second join rejects schema-less right-side blocks)
+                batch_format="pyarrow",
+                batch_size=262_144).materialize()
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount"]) \

@@ -216,6 +216,13 @@ def test_local_supplier_revenue_correlation(ray_session, tmp_path):
     got = relational.local_supplier_revenue(str(tmp_path)).to_pandas()
     assert got.values.tolist() == [["JAPAN", 100.0]]
 
+    # the distributed customer leg (dim_broadcast_limit exceeded -> the
+    # custkey->nation attach becomes a hash join and the customer table
+    # never reaches the driver) must produce the identical table
+    got_join = relational.local_supplier_revenue(
+        str(tmp_path), dim_broadcast_limit=0).to_pandas()
+    assert got_join.values.tolist() == got.values.tolist()
+
     con = duckdb.connect()
     for t in ("region", "nation", "supplier", "customer", "orders",
               "lineitem"):
