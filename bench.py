@@ -233,10 +233,14 @@ def _wait_for_refill(max_min: float, tag: str) -> list[dict]:
     while True:
         p = _busy_probe()
         history.append(p)
+        # both criteria over EVERY sub-window (p["nice"] alone is the
+        # worst-STEAL sub-window's share, which can miss a nice-priority
+        # tenant that burned a different sub-window)
         worst = max(s["steal"] for s in p["samples"])
+        worst_nice = max(s["nice"] for s in p["samples"])
         print(f"[scaling] {tag} probe: worst-steal={worst}% "
-              f"nice={p['nice']}%", file=sys.stderr, flush=True)
-        if worst < 4.0 and p["nice"] < 2.0:
+              f"worst-nice={worst_nice}%", file=sys.stderr, flush=True)
+        if worst < 4.0 and worst_nice < 2.0:
             break
         if time.time() > deadline:
             print(f"[scaling] {tag} refill deadline reached — proceeding "
@@ -265,6 +269,11 @@ def main_scaling() -> None:
     # worse. RAYKG_REFILL_MAX_MIN caps each wait (0 disables probing).
     refill_min = float(os.environ.get("RAYKG_REFILL_MAX_MIN", "25"))
     order = os.environ.get("RAYKG_SCALING_ORDER", "wide_first")
+    if order not in ("wide_first", "narrow_first"):
+        # a typo here would silently run wide-first while RECORDING the
+        # typo string as the order — fail loudly instead
+        raise ValueError(f"RAYKG_SCALING_ORDER must be 'wide_first' or "
+                         f"'narrow_first', got {order!r}")
     legs = [(hi_cpus, "high"), (lo_cpus, "low")]
     if order == "narrow_first":
         legs.reverse()
@@ -279,7 +288,7 @@ def main_scaling() -> None:
     eff = (hi["triples_per_s"] / lo["triples_per_s"]) / (hi_cpus / lo_cpus)
     between_clean = all(
         max(s["steal"] for s in hist[-1]["samples"]) < 4.0
-        and hist[-1]["nice"] < 2.0
+        and max(s["nice"] for s in hist[-1]["samples"]) < 2.0
         for hist in probe_histories.values()) if probe_histories else None
     line = {
         "metric": "scaling_efficiency",

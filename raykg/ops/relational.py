@@ -2139,12 +2139,20 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
                 "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
                 "o_custkey": pc.cast(t.column("o_custkey"), pa.int64())})
 
+        # materialize both join inputs and guard the all-filtered case:
+        # when EVERY block comes out of a filter empty, the blocks are
+        # schema-less and the hash join rejects them ("No match ... for
+        # key field reference") instead of producing an empty result
         cust_ds = _read(sf_dir, "customer",
                         ["c_custkey", "c_nationkey"]) \
-            .map_batches(cust_side, batch_format="pyarrow")
-        orders = _read(sf_dir, "orders",
-                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
-            .map_batches(order_filter, batch_format="pyarrow") \
+            .map_batches(cust_side, batch_format="pyarrow").materialize()
+        orders_f = _read(sf_dir, "orders",
+                         ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_filter, batch_format="pyarrow").materialize()
+        if cust_ds.count() == 0 or orders_f.count() == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        orders = orders_f \
             .join(cust_ds, join_type="inner",
                   num_partitions=num_partitions,
                   on=("o_custkey",), right_on=("c_custkey",)) \
@@ -2161,6 +2169,12 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
                 # (the second join rejects schema-less right-side blocks)
                 batch_format="pyarrow",
                 batch_size=262_144).materialize()
+        if orders.count() == 0:
+            # all blocks schema-less (nothing survived the date filter /
+            # region membership): the fact join below would reject them;
+            # the result is definitionally empty
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount"]) \

@@ -228,7 +228,13 @@ def unigram_logprob(documents: rd.Dataset,
         lambda t: t, "tok", fin, num_buckets=num_buckets)
     counts: dict[str, int] = {}
     if max_vocab is not None:
-        total = float(counts_ds.sum("n"))
+        # materialize: the truncation branch consumes counts_ds TWICE
+        # (total mass, then top-K) and the dataset is lazy — without this
+        # the whole distributed tokenize+aggregate pass runs twice. The
+        # materialized table is vocabulary-sized, inside the envelope.
+        # sum() returns None on an empty counts table (zero-token corpus).
+        counts_ds = counts_ds.materialize()
+        total = float(counts_ds.sum("n") or 0)
         top = counts_ds.sort(["n", "tok"],
                              descending=[True, False]).limit(max_vocab)
         for row in top.take_all():
@@ -910,9 +916,16 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
         cbg = {r["bg"]: r["n"] for r in bucketed_group_agg(
             probes, count_agg("bg"), "bg", count_agg("bg"),
             num_buckets=num_buckets).take_all()}
-        cw = {r["w1"]: r["n"] for r in bucketed_group_agg(
-            probes, count_agg("w1"), "w1", count_agg("w1"),
-            num_buckets=num_buckets).take_all()}
+        # w1 totals derive EXACTLY from the bigram table: every probe row
+        # carries the same n into both aggregations, so cw[w1] is the sum
+        # of cbg over bigrams starting with w1. Summing the broadcast-
+        # sized dict on the driver replaces a second corpus-wide exchange
+        # — which, because ``probes`` is lazy, would also re-execute the
+        # whole tokenize+bigram pass.
+        cw: dict[str, int] = {}
+        for bg, n in cbg.items():
+            w1 = bg.split(SEP, 1)[0]
+            cw[w1] = cw.get(w1, 0) + n
         ref = ray.put((cbg, cw))
 
         def score(t: pa.Table) -> pa.Table:

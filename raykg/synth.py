@@ -459,6 +459,16 @@ def gen_pg_rel_rows(indices: np.ndarray, cfg: NodeSynthConfig) -> pa.Table:
     """Edges between deterministic endpoints, including same-label edges
     (Person-KNOWS-Person) to exercise the reference's self-cluster-edge-drop
     quirk (src/main/scala/Clustering.scala:169)."""
+    if cfg.label_weights is not None:
+        # the KNOWS same-label trick below assumes the round-robin label
+        # layout; under a weighted draw (a + len(LABEL_SIGNATURES)) % n
+        # usually lands on a DIFFERENT label, silently corrupting the
+        # fixture's same-label-edge semantics — enforce the restriction
+        # the config comment documents
+        raise ValueError(
+            "gen_pg_rel_rows requires the round-robin label layout "
+            "(label_weights=None); weighted mixes are node-clustering "
+            "fixtures only")
     src, dst, rel, props = [], [], [], []
     n = cfg.n_nodes
     for i in indices:

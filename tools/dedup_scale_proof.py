@@ -94,27 +94,33 @@ def main() -> None:
             .map_batches(gen_batch, batch_format="pyarrow")
 
     n_clusters = n_docs // 32
+    # (lo, hi) bounds on the output row count from the planted structure:
+    # exact_dedup is EXACT; the near-dup families get bands because a few
+    # boundary clusters sit at the Jaccard threshold (measured ~0.3% at 1M)
     runs = [
         ("exact_dedup", lambda: exact_dedup(docs()),
-         n_docs - 2 * n_clusters),
+         (n_docs - 2 * n_clusters, n_docs - 2 * n_clusters)),
         ("minhash_dedup_fast",
-         lambda: minhash_dedup(docs(), hash_family="fast"), None),
+         lambda: minhash_dedup(docs(), hash_family="fast"),
+         (n_docs - 3 * n_clusters, n_docs - 2 * n_clusters)),
         ("lsh_candidate_pairs",
-         lambda: lsh_candidate_pairs(docs(), hash_family="fast"), None),
+         lambda: lsh_candidate_pairs(docs(), hash_family="fast"),
+         (int(5.4 * n_clusters), 7 * n_clusters)),  # 6 pairs/cluster ±10%
         ("neardup_components",
-         lambda: neardup_components(docs(), hash_family="fast"), None),
+         lambda: neardup_components(docs(), hash_family="fast"),
+         (int(3.6 * n_clusters), 4 * n_clusters)),  # 4 docs/cluster ±10%
     ]
     sampler = Sampler()
     sampler.start()
     results = {}
     checks_ok = True
-    for name, fn, expected in runs:
+    for name, fn, (lo, hi) in runs:
         t0 = time.perf_counter()
         n = fn().count()
         wall = time.perf_counter() - t0
         results[name] = {"wall_s": round(wall, 1), "rows": n}
-        if expected is not None and n != expected:
-            results[name]["expected"] = expected
+        if not lo <= n <= hi:
+            results[name]["expected_range"] = [lo, hi]
             checks_ok = False
     sampler.stop.set()
     sampler.join(timeout=5)

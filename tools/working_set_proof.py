@@ -62,6 +62,9 @@ class Sampler(threading.Thread):
         self.stop = threading.Event()
         self.base_shm = shutil.disk_usage("/dev/shm").used
         self.base_used = _meminfo_used()
+        # baseline like the other two: stale spill files from an earlier
+        # crashed session must not be attributed to THIS job
+        self.base_spill = _spill_bytes()
         self.peak_shm = 0
         self.peak_used = 0
         self.peak_spill = 0
@@ -74,7 +77,8 @@ class Sampler(threading.Thread):
                 shutil.disk_usage("/dev/shm").used - self.base_shm)
             self.peak_used = max(
                 self.peak_used, _meminfo_used() - self.base_used)
-            self.peak_spill = max(self.peak_spill, _spill_bytes())
+            self.peak_spill = max(self.peak_spill,
+                                  _spill_bytes() - self.base_spill)
             self.n_samples += 1
             self.stop.wait(1.0)
 
