@@ -186,6 +186,32 @@ def doc_length_histogram(documents: rd.Dataset, bin_width: int = 16) -> pa.Table
         _sum_combine(["bin"], ["n_docs"]))
 
 
+def _token_count_ds(documents: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """(tok, n) corpus token counts — per-batch Counter partials into one
+    bucketed exchange. Shared by unigram_logprob (the model itself) and
+    bigram_logprob's max_vocab selection so the two tokenize-and-count
+    implementations can never drift apart."""
+    from collections import Counter
+
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_tokens(s))
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by("tok").aggregate([("n", "sum")])
+        return pa.table({"tok": g.column("tok"), "n": g.column("n_sum")})
+
+    return bucketed_group_agg(
+        documents.select_columns(["text"]).map_batches(
+            count_batch, batch_format="pyarrow"),
+        lambda t: t, "tok", fin, num_buckets=num_buckets)
+
+
 def unigram_logprob(documents: rd.Dataset,
                     num_buckets: int = 256,
                     max_vocab: int | None = None) -> rd.Dataset:
@@ -211,21 +237,7 @@ def unigram_logprob(documents: rd.Dataset,
 
     from raykg.functions.shuffle import bucketed_group_agg
 
-    def count_batch(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(_tokens(s))
-        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
-
-    def fin(t: pa.Table) -> pa.Table:
-        g = t.group_by("tok").aggregate([("n", "sum")])
-        return pa.table({"tok": g.column("tok"), "n": g.column("n_sum")})
-
-    counts_ds = bucketed_group_agg(
-        documents.select_columns(["text"]).map_batches(
-            count_batch, batch_format="pyarrow"),
-        lambda t: t, "tok", fin, num_buckets=num_buckets)
+    counts_ds = _token_count_ds(documents, num_buckets)
     counts: dict[str, int] = {}
     if max_vocab is not None:
         # materialize: the truncation branch consumes counts_ds TWICE
@@ -857,23 +869,8 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
 
     vocab_ref = None
     if max_vocab is not None:
-        def tok_counts(t: pa.Table) -> pa.Table:
-            c: Counter = Counter()
-            for s in t.column("text").to_pylist():
-                c.update(_tokens(s))
-            return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
-                             "n": pa.array(list(c.values()), pa.int64())})
-
-        def tok_fin(t: pa.Table) -> pa.Table:
-            g = t.group_by("tok").aggregate([("n", "sum")])
-            return pa.table({"tok": g.column("tok"),
-                             "n": g.column("n_sum")})
-
-        top = bucketed_group_agg(
-            documents.select_columns(["text"]).map_batches(
-                tok_counts, batch_format="pyarrow"),
-            lambda t: t, "tok", tok_fin, num_buckets=num_buckets
-        ).sort(["n", "tok"], descending=[True, False]).limit(max_vocab)
+        top = _token_count_ds(documents, num_buckets) \
+            .sort(["n", "tok"], descending=[True, False]).limit(max_vocab)
         vocab_ref = ray.put(frozenset(
             r["tok"] for r in top.take_all()))
 
