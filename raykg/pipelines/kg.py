@@ -331,6 +331,24 @@ def _finish_kg(linked: rd.Dataset, documents: rd.Dataset, cfg: KGConfig,
                     canon_map=canon_map)
 
 
+def _link_cfg_hash(cfg: KGConfig) -> str:
+    """Corpus-size-free config hash shared by build_kg_resumable (stamped
+    into each shard manifest) and ingest_increment (validated before
+    extending a checkpoint): everything but n_docs, plus the DERIVED
+    num_entities — doc generation depends on it, so an append whose
+    corpus-size change shifts the vocabulary fails loudly instead of
+    silently linking a different corpus."""
+    import dataclasses
+    import json as _json
+
+    from raykg.functions.hashing import sha_hex
+
+    d = dataclasses.asdict(cfg)
+    d.pop("n_docs")
+    d["num_entities"] = cfg.num_entities
+    return sha_hex(_json.dumps(d, sort_keys=True))[:12]
+
+
 def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
                        n_shards: int = 8,
                        fail_after_shards: int | None = None,
@@ -366,8 +384,13 @@ def build_kg_resumable(cfg: KGConfig, checkpoint_dir: str,
             lambda lo=lo, hi=hi: linked_triples(
                 synth.documents_dataset_range(lo, hi, cfg), cfg),
             counters={"n_docs": hi - lo},
+            # link_cfg makes a checkpointed BATCH build appendable: it is
+            # the corpus-size-free hash ingest_increment validates, so a
+            # later append can extend this checkpoint instead of failing
+            # with "committed under config None"
             fingerprint={"lo": lo, "hi": hi, "n_docs": cfg.n_docs,
-                         "n_shards": n_shards, "cfg": cfg_hash})
+                         "n_shards": n_shards, "cfg": cfg_hash,
+                         "link_cfg": _link_cfg_hash(cfg)})
         if status == "ran":
             ran += 1
             if fail_after_shards is not None and ran >= fail_after_shards:
@@ -432,14 +455,7 @@ def ingest_increment(cfg: KGConfig, checkpoint_dir: str,
         def docs_for_range(lo, hi):
             return synth.documents_dataset_range(lo, hi, cfg)
 
-    d = dataclasses.asdict(cfg)
-    d.pop("n_docs")
-    # num_entities is DERIVED from n_docs when n_entities == 0, and doc
-    # generation depends on it — hash the derived value so an append whose
-    # corpus-size change shifts the vocabulary fails loudly instead of
-    # silently linking a different corpus
-    d["num_entities"] = cfg.num_entities
-    link_cfg = sha_hex(_json.dumps(d, sort_keys=True))[:12]
+    link_cfg = _link_cfg_hash(cfg)
 
     ckpt = LineageCheckpoint(f"{checkpoint_dir}/linked")
     parts = ckpt.committed_parts()

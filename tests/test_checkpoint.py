@@ -213,3 +213,29 @@ def test_ingest_increment_guards(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different\n?.*corpus|different "
                        "corpus"):
         ingest_increment(other, root, docs_for_range=rng(other))
+
+
+def test_batch_checkpoint_appendable(ray_session, tmp_path):
+    """A checkpointed BATCH build (build_kg_resumable) is extendable by
+    ingest_increment: batch shards carry the same corpus-size-free
+    link_cfg fingerprint the append validates, so the bootstrap of an
+    append chain can be either entry point. Appended output must equal a
+    from-scratch build of the larger corpus."""
+    import dataclasses
+
+    from raykg.pipelines.kg import ingest_increment
+
+    cfg160 = dataclasses.replace(CFG, n_entities=100)
+    cfg240 = dataclasses.replace(cfg160, n_docs=240)
+    root = str(tmp_path / "batch_append")
+
+    build_kg_resumable(cfg160, root, n_shards=2)
+    appended = ingest_increment(cfg240, root, n_shards=2)
+
+    parts = LineageCheckpoint(f"{root}/linked").committed_parts()
+    assert len(parts) == 4                      # 2 batch + 2 delta shards
+    assert [parts[p]["fingerprint"]["lo"] for p in sorted(parts)] == \
+        [0, 80, 160, 200]
+
+    batch = build_kg(synth.documents_dataset(cfg240), cfg240)
+    assert _triple_set(appended.triples) == _triple_set(batch.triples)
