@@ -188,6 +188,13 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 def revenue_by_priority(sf_dir: str) -> pa.Table:
     """lineitem ⋈ orders on orderkey (both sides large -> hash-partitioned
     shuffle join), then revenue per o_orderpriority."""
+    # metadata-only counts (no scan): an all-empty side reaches the hash
+    # join as schema-less blocks, which it rejects — the result is
+    # definitionally empty, so return it before shuffling anything
+    if _read(sf_dir, "lineitem", ["l_orderkey"]).count() == 0 or \
+            _read(sf_dir, "orders", ["o_orderkey"]).count() == 0:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
