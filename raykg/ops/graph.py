@@ -4279,10 +4279,14 @@ def _mis_prio(nodes: np.ndarray, seed: int) -> np.ndarray:
 
 
 def _undirected_distinct(edges: rd.Dataset, op_name: str,
-                         num_buckets: int) -> rd.Dataset:
-    """Materialized distinct undirected simple edge set as packed int64
-    keys pk = min*2^31 + max (self-loops dropped, sentinel-bearing) —
-    the shared front of the symmetry-breaking family."""
+                         num_buckets: int,
+                         materialize: bool = True) -> rd.Dataset:
+    """Distinct undirected simple edge set as packed int64 keys
+    pk = min*2^31 + max (self-loops dropped, sentinel-bearing) — the
+    shared front of the symmetry-breaking family. ``materialize`` (the
+    MIS/matching default — they re-scan the set every round) is off for
+    single-consumer callers like greedy_coloring, which derive their own
+    materialized state from it."""
     def canon(t: pa.Table) -> pa.Table:
         src, dst = _np(t.column("src")), _np(t.column("dst"))
         _check_ids(src, dst)
@@ -4301,8 +4305,9 @@ def _undirected_distinct(edges: rd.Dataset, op_name: str,
         return pa.table({"pk": pa.array(
             np.concatenate([pk[pk >= 0], [_SENT]]), pa.int64())})
 
-    return bucketed_group_agg(edges, canon, "pk", distinct,
-                              num_buckets=num_buckets).materialize()
+    out = bucketed_group_agg(edges, canon, "pk", distinct,
+                             num_buckets=num_buckets)
+    return out.materialize() if materialize else out
 
 
 def _count_pk(ds: rd.Dataset) -> int:
@@ -4383,10 +4388,12 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
 
     mis_parts: list[rd.Dataset] = []
     rounds = 0
-    while rounds < max_iters:
+    # carry the live-edge count across the loop: counting at the END of
+    # each body doubles as the next round's check, so the common
+    # convergent exit pays no redundant distributed recount
+    n_left = _count_pk(und_edges)
+    while rounds < max_iters and n_left > 0:
         rounds += 1
-        if _count_pk(und_edges) <= 0:
-            break
 
         # --- exchange 1: local-min winners + their knocked-out neighbors
         def adj_rows(t: pa.Table) -> pa.Table:
@@ -4417,9 +4424,10 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
                 out_node.append(winners)
                 out_role.append(np.ones(len(winners), np.int64))
                 # knocked-out neighbors: others in each winner's segment
-                wset = set(winners.tolist())
-                wmask = np.isin(node, np.array(sorted(wset), np.int64)) \
-                    if wset else np.zeros(len(node), np.bool_)
+                # (winners comes from sorted segment starts, so it is
+                # already unique and ascending — no Python set round-trip)
+                wmask = np.isin(node, winners) if len(winners) \
+                    else np.zeros(len(node), np.bool_)
                 dead = np.unique(other[wmask])
                 out_node.append(dead)
                 out_role.append(np.full(len(dead), 2, np.int64))
@@ -4516,10 +4524,10 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
                 lambda t: t.filter(pc.not_equal(t.column("pk"), -3))
                 .select(["pk", "kill"]),
                 batch_format="pyarrow"), num_buckets)
+        n_left = _count_pk(und_edges)
 
     import logging
 
-    n_left = _count_pk(und_edges)
     if n_left > 0:
         # round budget exhausted with live edges: appending every
         # undecided node would VIOLATE independence (pairs still joined
@@ -4558,9 +4566,9 @@ def maximal_independent_set(edges: rd.Dataset, seed: int = 42,
             .union(und_edges.map_batches(engaged_rows,
                                          batch_format="pyarrow")),
             lambda t: t, "node", free_only, num_buckets=num_buckets)
-
-    logging.getLogger("raykg").info(
-        "maximal_independent_set: settled after %d rounds", rounds)
+    else:
+        logging.getLogger("raykg").info(
+            "maximal_independent_set: settled after %d rounds", rounds)
 
     # isolated undecided survivors join the set
     mis_parts.append(und_nodes)
@@ -4609,10 +4617,11 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
 
     matched_parts: list[rd.Dataset] = []
     rounds = 0
-    while rounds < max_iters:
+    # end-of-body count doubles as the next round's check (no redundant
+    # distributed recount on the convergent exit — same shape as MIS)
+    n_left = _count_pk(und_edges)
+    while rounds < max_iters and n_left > 0:
         rounds += 1
-        if _count_pk(und_edges) <= 0:
-            break
 
         # --- exchange 1: per-vertex argmin nomination
         def side_rows(t: pa.Table) -> pa.Table:
@@ -4702,11 +4711,10 @@ def maximal_matching(edges: rd.Dataset, seed: int = 42,
             lambda t: t, "node", kill_tag, num_buckets=num_buckets)
 
         und_edges = _surviving_edges(tagged, num_buckets)
+        n_left = _count_pk(und_edges)
 
-    # warn only when edges genuinely remain — a final round that clears
-    # the graph exits via the while CONDITION, not the break, so the
-    # budget-exhausted path must re-check before claiming non-maximality
-    n_left = _count_pk(und_edges)
+    # warn only when edges genuinely remain — the loop condition re-reads
+    # the count taken after the final round, so n_left is current here
     if n_left > 0:
         import logging
 
@@ -4773,18 +4781,26 @@ def relation_stats(triples: rd.Dataset, num_buckets: int = 64
         return pa.concat_tables([dist, cnt_rows, sent])
 
     def fin(t: pa.Table) -> pa.Table:
+        # vectorized: dedup the distinct-value rows and count them per
+        # (pred, kind) in Arrow; only the register-sized per-predicate
+        # result (<= 3 rows per predicate, not per distinct VALUE) is
+        # ever touched in Python
         t = t.filter(pc.not_equal(t.column("pred"), ""))
+        dist = t.filter(pc.not_equal(t.column("kind"), 3)) \
+            .group_by(["pred", "kind", "val"]).aggregate([]) \
+            .group_by(["pred", "kind"]).aggregate([([], "count_all")])
+        c3 = t.filter(pc.equal(t.column("kind"), 3))
+        tri = pa.table({"pred": c3.column("pred"),
+                        "n": pc.cast(c3.column("val"), pa.int64())}) \
+            .group_by("pred").aggregate([("n", "sum")])
         stats: dict[str, list] = {}
-        seen: set[tuple] = set()
-        for p, k, v in zip(t.column("pred").to_pylist(),
-                           t.column("kind").to_pylist(),
-                           t.column("val").to_pylist()):
-            cur = stats.setdefault(p, [0, 0, 0, 0])
-            if k == 3:
-                cur[3] += int(v)
-            elif (p, k, v) not in seen:
-                seen.add((p, k, v))
-                cur[k] += 1
+        for p, nsum in zip(tri.column("pred").to_pylist(),
+                           tri.column("n_sum").to_pylist()):
+            stats.setdefault(p, [0, 0, 0, 0])[3] = int(nsum)
+        for p, k, c in zip(dist.column("pred").to_pylist(),
+                           dist.column("kind").to_pylist(),
+                           dist.column("count_all").to_pylist()):
+            stats.setdefault(p, [0, 0, 0, 0])[int(k)] = int(c)
         preds = sorted(stats)
         out = pa.table({
             "pred": pa.array(preds, pa.string()),
@@ -4833,7 +4849,8 @@ def greedy_coloring(edges: rd.Dataset, seed: int = 42,
     broadcast — priorities recompute from sha inside the bucket.
     Termination = a round that makes no announcements; the per-round
     announcement count is a register-sized sum."""
-    und = _undirected_distinct(edges, "greedy_coloring", num_buckets)
+    und = _undirected_distinct(edges, "greedy_coloring", num_buckets,
+                               materialize=False)
 
     # initial state rows: adjacency (node, other, color=-1 "unheard") and
     # one self row (node, -2, -1 "uncolored") per endpoint
@@ -4853,91 +4870,132 @@ def greedy_coloring(edges: rd.Dataset, seed: int = 42,
 
     state = und.map_batches(init_state, batch_format="pyarrow")         .materialize()
 
-    rounds = 0
-    while rounds < max_iters:
-        rounds += 1
+    def step(t: pa.Table) -> pa.Table:
+        """One Jones-Plassmann round, fully vectorized (no per-node
+        Python loop): fold announcements into per-(node, neighbor) max
+        colors, decide per-segment readiness via masked reduceat, and
+        compute each deciding node's smallest unused color (mex) with the
+        sorted-distinct-colors rank trick."""
+        node = _np(t.column("node"))
+        keep = node >= 0
+        node = node[keep]
+        other = _np(t.column("other"))[keep]
+        color = _np(t.column("color"))[keep]
+        sent = (pa.array([_SENT], pa.int64()), pa.array([-3], pa.int64()),
+                pa.array([-1], pa.int64()))
+        if not len(node):
+            return pa.table({"node": sent[0], "other": sent[1],
+                             "color": sent[2]})
+        BIG = np.iinfo(np.int64).max
 
-        def step(t: pa.Table) -> pa.Table:
-            node = _np(t.column("node"))
-            keep = node >= 0
-            node = node[keep]
-            other = _np(t.column("other"))[keep]
-            color = _np(t.column("color"))[keep]
-            o_n: list[int] = []
-            o_o: list[int] = []
-            o_c: list[int] = []
-            if len(node):
-                order = np.argsort(node, kind="stable")
-                node, other, color = (node[order], other[order],
-                                      color[order])
-                starts = np.flatnonzero(np.concatenate(
-                    ([True], node[1:] != node[:-1])))
-                ends = np.concatenate((starts[1:], [len(node)]))
-                self_pr = _mis_prio(node[starts], seed)
-                for i, (s, e) in enumerate(zip(starts, ends)):
-                    v = int(node[s])
-                    oth = other[s:e]
-                    col = color[s:e]
-                    # fold announcements (other >= 0 rows arriving twice:
-                    # one state row color -1 + one announcement row with
-                    # the color) into per-neighbor best-known color
-                    am = oth >= 0
-                    nb, nc = oth[am], col[am]
-                    if len(nb):
-                        no = np.lexsort((-nc, nb))
-                        nb, nc = nb[no], nc[no]
-                        ns = np.flatnonzero(np.concatenate(
-                            ([True], nb[1:] != nb[:-1])))
-                        nb, nc = nb[ns], nc[ns]   # max color per nbr
-                    sm = oth == -2
-                    scolor = int(col[sm].max()) if sm.any() else -1
-                    announced = False
-                    if scolor < 0:
-                        un = nc == -1
-                        ready = True
-                        if un.any():
-                            nb_pr = _mis_prio(nb[un], seed)
-                            ready = not (nb_pr < self_pr[i]).any()
-                        if ready:
-                            used = set(nc[nc >= 0].tolist())
-                            c = 0
-                            while c in used:
-                                c += 1
-                            scolor = c
-                            announced = True
-                    # next-round state
-                    o_n.extend([v] * len(nb))
-                    o_o.extend(nb.tolist())
-                    o_c.extend(nc.tolist())
-                    o_n.append(v)
-                    o_o.append(-2)
-                    o_c.append(scolor)
-                    if announced:
-                        # one announcement per neighbor, keyed by it
-                        o_n.extend(nb.tolist())
-                        o_o.extend([v] * len(nb))
-                        o_c.extend([scolor] * len(nb))
-            o_n.append(_SENT)
-            o_o.append(-3)
-            o_c.append(-1)
-            return pa.table({"node": pa.array(o_n, pa.int64()),
-                             "other": pa.array(o_o, pa.int64()),
-                             "color": pa.array(o_c, pa.int64())})
+        # fold adjacency + announcement rows -> best-known (max) color
+        # per (node, neighbor); lexsort keys are (primary) node, then
+        # neighbor, then DESCENDING color, so the first row of each
+        # (node, neighbor) run carries the max
+        am = other >= 0
+        n2, o2, c2 = node[am], other[am], color[am]
+        order = np.lexsort((-c2, o2, n2))
+        n2, o2, c2 = n2[order], o2[order], c2[order]
+        first = np.concatenate(
+            ([True], (n2[1:] != n2[:-1]) | (o2[1:] != o2[:-1])))
+        nb_node, nb_other, nb_color = n2[first], o2[first], c2[first]
 
-        state = bucketed_group_agg(state, lambda t: t, "node", step,
-                                   num_buckets=num_buckets).materialize()
-        # a round that decided nothing leaves no uncolored self rows
-        # reachable, i.e. no announcements: detect via remaining
-        # uncolored self rows (register-sized sum)
-        n_uncolored = int(state.map_batches(
+        # adjacency segments (one per node with neighbors)
+        if len(nb_node):
+            seg_starts = np.flatnonzero(np.concatenate(
+                ([True], nb_node[1:] != nb_node[:-1])))
+        else:
+            seg_starts = np.empty(0, np.int64)
+        seg_len = np.diff(np.concatenate([seg_starts, [len(nb_node)]]))
+        seg_nodes = nb_node[seg_starts]
+        seg_idx = np.repeat(np.arange(len(seg_starts)), seg_len)
+
+        # self rows -> current color per node (max folds duplicates)
+        s_nodes_all = node[other == -2]
+        s_colors_all = color[other == -2]
+        so = np.argsort(s_nodes_all, kind="stable")
+        s_nodes_all, s_colors_all = s_nodes_all[so], s_colors_all[so]
+        s_starts = np.flatnonzero(np.concatenate(
+            ([True], s_nodes_all[1:] != s_nodes_all[:-1]))) \
+            if len(s_nodes_all) else np.empty(0, np.int64)
+        su_nodes = s_nodes_all[s_starts]
+        su_color = np.maximum.reduceat(s_colors_all, s_starts) \
+            if len(s_nodes_all) else s_colors_all
+
+        # per-adjacency-segment terms, aligned onto the self-node axis
+        # (every node with rows carries a self row — init and each round
+        # emit one per segment; nodes could in principle arrive
+        # self-row-only, with vacuous ready=True / mex=0 defaults)
+        min_un_prio = np.full(len(su_nodes), BIG, np.int64)
+        mex = np.zeros(len(su_nodes), np.int64)
+        pos = np.searchsorted(su_nodes, seg_nodes)
+        # min priority over UNCOLORED neighbors (BIG where colored)
+        prio_nb = np.where(nb_color == -1, _mis_prio(nb_other, seed), BIG)
+        min_un_prio[pos] = np.minimum.reduceat(prio_nb, seg_starts)
+        # mex over DISTINCT colored-neighbor colors: sort distinct
+        # (segment, color) pairs ascending; within a segment the first
+        # rank where color != rank is the gap, else the distinct count
+        cm = nb_color >= 0
+        if cm.any():
+            cs_seg, cs_col = seg_idx[cm], nb_color[cm]
+            o3 = np.lexsort((cs_col, cs_seg))
+            cs_seg, cs_col = cs_seg[o3], cs_col[o3]
+            fu = np.concatenate(
+                ([True], (cs_seg[1:] != cs_seg[:-1])
+                 | (cs_col[1:] != cs_col[:-1])))
+            cs_seg, cs_col = cs_seg[fu], cs_col[fu]
+            cstarts = np.flatnonzero(np.concatenate(
+                ([True], cs_seg[1:] != cs_seg[:-1])))
+            clen = np.diff(np.concatenate([cstarts, [len(cs_seg)]]))
+            rank = np.arange(len(cs_seg)) - np.repeat(cstarts, clen)
+            gap = np.where(cs_col != rank, rank, BIG)
+            seg_mex = np.minimum.reduceat(gap, cstarts)
+            seg_mex = np.where(seg_mex == BIG, clen, seg_mex)
+            mex[pos[cs_seg[cstarts]]] = seg_mex
+
+        decide = (su_color < 0) & (_mis_prio(su_nodes, seed)
+                                   <= min_un_prio)
+        new_color = np.where(decide, mex, su_color)
+
+        # announcements: deciding nodes tell every folded neighbor their
+        # color, keyed BY the neighbor
+        dec_row = decide[np.searchsorted(su_nodes, nb_node)]
+        out_node = np.concatenate(
+            [nb_node, su_nodes, nb_other[dec_row]])
+        out_other = np.concatenate(
+            [nb_other, np.full(len(su_nodes), -2, np.int64),
+             nb_node[dec_row]])
+        out_color = np.concatenate(
+            [nb_color, new_color,
+             new_color[np.searchsorted(su_nodes, nb_node)][dec_row]])
+        return pa.table({
+            "node": pa.concat_arrays(
+                [pa.array(out_node, pa.int64()), sent[0]]),
+            "other": pa.concat_arrays(
+                [pa.array(out_other, pa.int64()), sent[1]]),
+            "color": pa.concat_arrays(
+                [pa.array(out_color, pa.int64()), sent[2]])})
+
+    def count_uncolored(st: rd.Dataset) -> int:
+        # remaining uncolored self rows (register-sized sum)
+        return int(st.map_batches(
             lambda t: pa.table({"n": pa.array([int((
                 (_np(t.column("other")) == -2)
                 & (_np(t.column("color")) < 0)
                 & (_np(t.column("node")) >= 0)).sum())], pa.int64())}),
             batch_format="pyarrow").sum("n") or 0)
-        if n_uncolored == 0:
-            break
-    else:
+
+    rounds = 0
+    # counting up front (instead of only inside the loop) keeps the
+    # max_iters=0 warning well-defined and skips the loop on an
+    # already-colored (edgeless) state
+    n_uncolored = count_uncolored(state)
+    while rounds < max_iters and n_uncolored > 0:
+        rounds += 1
+        state = bucketed_group_agg(state, lambda t: t, "node", step,
+                                   num_buckets=num_buckets).materialize()
+        n_uncolored = count_uncolored(state)
+    if n_uncolored > 0:
         import logging
 
         logging.getLogger("raykg").warning(
