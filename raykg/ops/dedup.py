@@ -32,9 +32,21 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from raykg.functions.hashing import (fast_hash64, fast_minhash_sigs,
-                                     round_half_away, sha_hex,
-                                     simhash_matrix)
+                                     minhash_sig_sha, round_half_away,
+                                     sha_hex, simhash_matrix)
 from raykg.ops.text import _tokens
+
+
+def _require_nonneg_ids(t: pa.Table, op_name: str) -> None:
+    """Negative doc ids collide with the -1 exchange sentinels the ops in
+    this file use to keep zero-row blocks typed — the same hazard
+    segment_dedup and the prefix-filter joins already reject loudly, so
+    every sentinel-bearing op validates, none silently drops rows."""
+    ids = np.asarray(t.column("doc_id").combine_chunks())
+    if len(ids) and int(ids.min()) < 0:
+        raise ValueError(
+            f"{op_name} requires non-negative doc ids (negative values "
+            f"collide with the -1 exchange sentinel), got {int(ids.min())}")
 
 
 def _grams(text: str, gram: int) -> list[str]:
@@ -70,15 +82,22 @@ def exact_dedup(documents: rd.Dataset) -> rd.Dataset:
 
 def minhash_signatures(documents: rd.Dataset, num_hashes: int = 8,
                        gram: int = 3, seed: int = 42,
-                       hash_family: str = "sha") -> rd.Dataset:
-    """(doc_id, sig = '_'-joined 8-hex MinHash over token n-grams, grams).
+                       hash_family: str = "sha",
+                       include_grams: bool = True) -> rd.Dataset:
+    """(doc_id, sig = '_'-joined 8-hex MinHash over token n-grams[, grams]).
 
     hash_family="sha" (default, SQL-replicable — see
-    __ray_entry__.oracle_sql): one Python sha256 per (gram, hash index).
+    __ray_entry__.oracle_sql): one Python sha256 per (gram, hash index),
+    delegated to hashing.minhash_sig_sha so this file and the discovery
+    pipeline can never drift from the one oracle-pinned definition.
     hash_family="fast" (production): one crc32 per gram, spread through
     the vectorized multiply-mod-Mersenne permutation family — the whole
     batch is a single numpy pass (measured >= 3x on minhash_dedup at
-    sf0.1; see BASELINE.md). Same output format, no DuckDB twin."""
+    sf0.1; see BASELINE.md). Same output format, no DuckDB twin.
+
+    ``include_grams=False`` skips materializing the n-gram list column —
+    it roughly doubles the batch payload and only the LSH verify joins
+    need it (minhash_dedup drops it immediately)."""
     if hash_family not in ("sha", "fast"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
@@ -88,19 +107,15 @@ def minhash_signatures(documents: rd.Dataset, num_hashes: int = 8,
         if hash_family == "fast":
             sigs = fast_minhash_sigs(grams_col, num_hashes, seed)
         else:
-            sigs = []
-            for gs in grams_col:
-                parts = []
-                for h in range(num_hashes):
-                    suffix = f"#{h}#{seed}"
-                    parts.append(min((sha_hex(g + suffix)[:8] for g in gs),
-                                     default="f" * 8))
-                sigs.append("_".join(parts))
-        return pa.table({
+            sigs = ["_".join(minhash_sig_sha(gs, num_hashes, seed))
+                    for gs in grams_col]
+        cols = {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "sig": pa.array(sigs, pa.string()),
-            "grams": pa.array(grams_col, pa.list_(pa.string())),
-        })
+        }
+        if include_grams:
+            cols["grams"] = pa.array(grams_col, pa.list_(pa.string()))
+        return pa.table(cols)
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         batch, batch_format="pyarrow")
@@ -112,8 +127,7 @@ def minhash_dedup(documents: rd.Dataset, num_hashes: int = 8,
     """(sig, doc_id=min surviving id) — near-dup dedup at full-signature
     granularity (identical MinHash signature -> duplicate)."""
     sigs = minhash_signatures(documents, num_hashes, gram, seed,
-                              hash_family) \
-        .select_columns(["doc_id", "sig"])
+                              hash_family, include_grams=False)
 
     def batch_min(t: pa.Table) -> pa.Table:
         best: dict[str, int] = {}
@@ -150,6 +164,14 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 4.
     Deterministic and SQL-replicable (band keys are sha-derived).
     """
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        # num_bands > num_hashes would make every band key the empty
+        # string (all docs collide into one bucket per band); a
+        # non-dividing num_bands would silently drop the trailing
+        # signature rows — both produce garbage, so fail loudly
+        raise ValueError(
+            f"lsh_candidate_pairs: num_bands={num_bands} must divide "
+            f"num_hashes={num_hashes}")
     rows_per_band = num_hashes // num_bands
     # materialized once: both the band explode and the two verify joins
     # consume it, and the sha MinHash pass must not run twice
@@ -157,6 +179,7 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
                               hash_family).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
+        _require_nonneg_ids(t, "lsh_candidate_pairs")
         doc_ids, bands, keys = [], [], []
         for d, sig in zip(t.column("doc_id").to_pylist(),
                           t.column("sig").to_pylist()):
@@ -325,8 +348,12 @@ def simhash(documents: rd.Dataset, seed: int = 42,
         flat = [f"{w}#{seed}" for ts in tok_lists for w in ts]
         vals = simhash_matrix(fast_hash64(flat), offsets)
         out = [format(int(v), "016x") for v in vals]
-        return pa.table({"doc_id": t.column("doc_id").combine_chunks(),
-                         "simhash_hex": pa.array(out, pa.string())})
+        # cast like the sha branch so both families emit one schema
+        # (an int32-doc_id corpus would otherwise make the families'
+        # outputs fail schema unification)
+        return pa.table({"doc_id": pc.cast(
+            t.column("doc_id").combine_chunks(), pa.int64()),
+            "simhash_hex": pa.array(out, pa.string())})
 
     def batch(t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_pylist()
@@ -371,15 +398,11 @@ def _cap_block(docs: list, label: object, max_block: int,
     return None
 
 
-def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
-                        threshold: float = 0.5,
-                        partition_col: str = "source",
-                        max_block: int = 20_000) -> rd.Dataset:
-    """Exact n-gram Jaccard similarity for all pairs within a partition key
-    (blocked all-pairs — the blocking key bounds the quadratic term; blocks
-    beyond ``max_block`` rows are capped WITH a warning, never silently).
-    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
-
+def _grams_stream(documents: rd.Dataset, partition_col: str,
+                  gram: int) -> rd.Dataset:
+    """(doc_id, part, grams) — the shared front of the blocked-all-pairs
+    gram ops (ngram_jaccard_pairs / containment_pairs), so the gram/
+    partition contract lives in exactly one place."""
     def add_grams(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t.column("doc_id"),
@@ -389,19 +412,39 @@ def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
                               pa.list_(pa.string())),
         })
 
-    with_grams = documents.select_columns(["doc_id", "text", partition_col]) \
+    return documents.select_columns(["doc_id", "text", partition_col]) \
         .map_batches(add_grams, batch_format="pyarrow")
 
+
+def _capped_docs_grams(t: pa.Table, max_block: int,
+                       op: str) -> tuple[list, list]:
+    """Shared per-block prologue: doc ids + gram SETS, hot blocks capped
+    with a warning via _cap_block."""
+    docs = t.column("doc_id").to_pylist()
+    grams = [set(g) for g in t.column("grams").to_pylist()]
+    capped = _cap_block(docs, t.column("part")[0].as_py() if t.num_rows
+                        else None, max_block, op)
+    if capped is not None:
+        keep = set(capped)
+        sel = [i for i, d in enumerate(docs) if d in keep]
+        docs = [docs[i] for i in sel]
+        grams = [grams[i] for i in sel]
+    return docs, grams
+
+
+def ngram_jaccard_pairs(documents: rd.Dataset, gram: int = 3,
+                        threshold: float = 0.5,
+                        partition_col: str = "source",
+                        max_block: int = 20_000) -> rd.Dataset:
+    """Exact n-gram Jaccard similarity for all pairs within a partition key
+    (blocked all-pairs — the blocking key bounds the quadratic term; blocks
+    beyond ``max_block`` rows are capped WITH a warning, never silently).
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
+    with_grams = _grams_stream(documents, partition_col, gram)
+
     def pairs(t: pa.Table) -> pa.Table:
-        docs = t.column("doc_id").to_pylist()
-        grams = [set(g) for g in t.column("grams").to_pylist()]
-        capped = _cap_block(docs, t.column("part")[0].as_py() if t.num_rows
-                            else None, max_block, "ngram_jaccard_pairs")
-        if capped is not None:
-            keep = set(capped)
-            sel = [i for i, d in enumerate(docs) if d in keep]
-            docs = [docs[i] for i in sel]
-            grams = [grams[i] for i in sel]
+        docs, grams = _capped_docs_grams(t, max_block,
+                                         "ngram_jaccard_pairs")
         order = sorted(range(len(docs)), key=lambda k: docs[k])
         a_col, b_col, j_col = [], [], []
         for x, y in combinations(order, 2):
@@ -433,28 +476,10 @@ def containment_pairs(documents: rd.Dataset, gram: int = 3,
     bounds the quadratic term; intersections are computed once per
     unordered pair and reused for both directions)."""
 
-    def add_grams(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "part": t.column(partition_col),
-            "grams": pa.array([_grams(s, gram)
-                               for s in t.column("text").to_pylist()],
-                              pa.list_(pa.string())),
-        })
-
-    with_grams = documents.select_columns(["doc_id", "text", partition_col]) \
-        .map_batches(add_grams, batch_format="pyarrow")
+    with_grams = _grams_stream(documents, partition_col, gram)
 
     def pairs(t: pa.Table) -> pa.Table:
-        docs = t.column("doc_id").to_pylist()
-        grams = [set(g) for g in t.column("grams").to_pylist()]
-        capped = _cap_block(docs, t.column("part")[0].as_py() if t.num_rows
-                            else None, max_block, "containment_pairs")
-        if capped is not None:
-            keep = set(capped)
-            sel = [i for i, d in enumerate(docs) if d in keep]
-            docs = [docs[i] for i in sel]
-            grams = [grams[i] for i in sel]
+        docs, grams = _capped_docs_grams(t, max_block, "containment_pairs")
         order = sorted(range(len(docs)), key=lambda k: docs[k])
         sub_col, sup_col, c_col = [], [], []
         for x, y in combinations(order, 2):
@@ -489,10 +514,12 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.35,
         if capped is not None:
             t = t.filter(pa.array(np.isin(ids, capped)))
             ids = np.array(t.column("vec_id").to_pylist())
+        from raykg.ops.ann import _unit
+
+        # the shared normalizer: the two near-dup ops (and ANN) must agree
+        # on cosine semantics, zero-norm guard included
         mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
+        unit = _unit(mat)
         order = np.argsort(ids)
         unit = unit[order]
         sorted_ids = ids[order]
@@ -596,13 +623,12 @@ def dup_span_stats(documents: rd.Dataset, span: int = 8,
     2. tag-join the dup flag back onto the per-doc window stream
        (vectorized ``index_in``);
     3. per-doc segment aggregate."""
-    import pyarrow.compute as pc
 
     from raykg.functions.shuffle import bucketed_group_agg
-    from raykg.ops.text import _tokens
 
     def windows(t: pa.Table) -> pa.Table:
         """every window occurrence, multiplicity kept"""
+        _require_nonneg_ids(t, "dup_span_stats")
         ids, hs = [], []
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
@@ -714,11 +740,20 @@ def segment_dedup(documents: rd.Dataset, span: int = 8,
        once (this pass), the register-sized (hash, min) pairs twice;
     3. per-doc ordered reassembly.
 
+    Collision envelope: the first-occurrence rule keys on the TRUNCATED
+    64-bit segment hash (sha256[:16]) with no text-equality confirmation
+    — two distinct segments sharing a hash would merge their occurrence
+    groups and strip all but one corpus-wide. Expected collisions are
+    ~n^2 / 2^65 (birthday): negligible through ~10^8 distinct segments,
+    ~10^4 at the 10^12-segment extreme — widen the hash slice (and the
+    DuckDB twin's, which replicates the same truncation) before running
+    at that scale. dup_span_stats shares the envelope (there a collision
+    only inflates counts, never deletes text).
+
     Occurrence keys pack as doc_id * 2^20 + idx, so doc_id must be in
     [0, 2^43) and docs are bounded at 2^20 segments (= 8M tokens at
     span 8) — both checked loudly per batch, same discipline as
     kg_edges' 30-bit guard."""
-    import pyarrow.compute as pc
 
     from raykg.functions.shuffle import bucketed_group_agg
 
@@ -863,11 +898,9 @@ def decontaminate(documents: rd.Dataset, span: int = 8,
     relative to train, so exchange volume is dominated by the one pass
     over the train windows — the decontamination shape that holds at
     100 TB."""
-    import pyarrow.compute as pc
 
     from raykg.functions.hashing import hex_threshold8
     from raykg.functions.shuffle import bucketed_group_agg
-    from raykg.ops.text import _tokens
 
     thr_val = hex_threshold8(val_frac)
     thr_test = hex_threshold8(val_frac + test_frac)
@@ -880,6 +913,7 @@ def decontaminate(documents: rd.Dataset, span: int = 8,
     def windows(t: pa.Table) -> pa.Table:
         """window occurrences of train/test docs, tagged with the split
         (is_test=1 for test windows, 0 for train; val docs are skipped)"""
+        _require_nonneg_ids(t, "decontaminate")
         ids, hs, tst = [], [], []
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
@@ -1053,7 +1087,6 @@ def fuzzy_name_pairs(names: rd.Dataset, col: str = "name",
     def pair_distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["name_a", "name_b"]).aggregate([])
 
-    import pyarrow.compute as pc
     return pairs.map_batches(pair_distinct, batch_format="pyarrow") \
         .groupby(["name_a", "name_b"]) \
         .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow") \
