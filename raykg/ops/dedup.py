@@ -180,40 +180,58 @@ def lsh_candidate_pairs(documents: rd.Dataset, num_hashes: int = 8,
 
     def explode(t: pa.Table) -> pa.Table:
         _require_nonneg_ids(t, "lsh_candidate_pairs")
-        doc_ids, bands, keys = [], [], []
+        doc_ids, keys = [], []
         for d, sig in zip(t.column("doc_id").to_pylist(),
                           t.column("sig").to_pylist()):
             parts = sig.split("_")
             for b in range(num_bands):
                 doc_ids.append(d)
-                bands.append(b)
-                keys.append("_".join(parts[b * rows_per_band:(b + 1) * rows_per_band]))
+                keys.append(f"{b}|" + "_".join(
+                    parts[b * rows_per_band:(b + 1) * rows_per_band]))
+        # sentinel keeps zero-row blocks typed through the exchange;
+        # dropped in bucket_pairs_fin
+        doc_ids.append(-1)
+        keys.append("")
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_key": pa.array(keys, pa.string()),
+            "bkey": pa.array(keys, pa.string()),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        docs = sorted(t.column("doc_id").to_pylist())
-        # skew guard: a degenerate band key (boilerplate-heavy corpora)
-        # would otherwise go quadratic silently within this bucket
-        label = (t.column("band")[0].as_py(),
-                 t.column("band_key")[0].as_py()) if t.num_rows else None
-        capped = _cap_block(docs, label, max_bucket, "lsh_candidate_pairs")
-        if capped is not None:
-            docs = capped
+    def bucket_pairs_fin(t: pa.Table) -> pa.Table:
+        # one crc-bucket holds MANY (band, band_key) groups: segment by
+        # key, all-pairs within each. The bucketed exchange replaces
+        # Ray's sort-based groupby on the high-cardinality band-key
+        # strings (functions/shuffle.py measures the sort path ~4x
+        # slower at 1M string keys).
+        groups: dict[str, list] = {}
+        for k, d in zip(t.column("bkey").to_pylist(),
+                        t.column("doc_id").to_pylist()):
+            if k:
+                groups.setdefault(k, []).append(d)
         a_col, b_col = [], []
-        for i, j in combinations(range(len(docs)), 2):
-            a_col.append(docs[i])
-            b_col.append(docs[j])
+        for k in sorted(groups):
+            docs = sorted(groups[k])
+            # skew guard: a degenerate band key (boilerplate-heavy
+            # corpora) would otherwise go quadratic silently
+            capped = _cap_block(docs, k, max_bucket,
+                                "lsh_candidate_pairs")
+            if capped is not None:
+                docs = capped
+            for i, j in combinations(range(len(docs)), 2):
+                a_col.append(docs[i])
+                b_col.append(docs[j])
+        # sentinel; _exact_jaccard_verify drops negative doc_a rows
+        a_col.append(-1)
+        b_col.append(-1)
         return pa.table({"doc_a": pa.array(a_col, pa.int64()),
                          "doc_b": pa.array(b_col, pa.int64())})
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    from raykg.functions.shuffle import bucketed_group_agg
+
+    pairs = bucketed_group_agg(exploded, lambda t: t, "bkey",
+                               bucket_pairs_fin, num_buckets=1024)
 
     return _exact_jaccard_verify(pairs, sigs, jaccard_threshold,
                                  num_partitions)
