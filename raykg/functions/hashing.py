@@ -44,7 +44,11 @@ def stable_frac_hex(key: str) -> float:
 
 
 def hex_threshold(p: float) -> str:
-    """The 4-hex-char threshold string for ``stable_frac_hex(k) < p``."""
+    """The 4-hex-char threshold string for ``stable_frac_hex(k) < p``.
+    p >= 1.0 returns 'g'*4 (> every hex digest) so probability 1.0 means
+    ALL draws fire — clamping to 'ffff' left a 2^-16 tail of survivors."""
+    if p >= 1.0:
+        return "g" * 4
     return format(min(65535, int(p * 65536)), "04x")
 
 
@@ -52,7 +56,13 @@ def hex_threshold8(p: float) -> str:
     """8-hex-char threshold: ``sha_hex(k)[:8] < hex_threshold8(p)`` is a
     deterministic Bernoulli(p) draw, bit-identical to DuckDB's
     ``substr(sha256(k), 1, 8) < '<thr>'`` (lowercase fixed-width hex compares
-    lexicographically == numerically)."""
+    lexicographically == numerically). p >= 1.0 returns 'g'*8 — strictly
+    above every hex digest in BOTH orderings, so rate 1.0 keeps ALL rows
+    (clamping to 'ffffffff' would drop a digest equal to it, a real
+    2^-32-per-row leak); the oracle twins embed this same literal, so
+    engine and SQL stay in lock-step."""
+    if p >= 1.0:
+        return "g" * 8
     return format(min((1 << 32) - 1, int(p * (1 << 32))), "08x")
 
 

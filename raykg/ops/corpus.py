@@ -63,8 +63,14 @@ def neardup_keep(documents: rd.Dataset, num_buckets: int = 1024,
             raise ValueError(
                 "neardup_keep requires non-negative doc ids (-1 is the "
                 "internal dropped-tag sentinel)")
-        return pa.table({"doc_id": ids,
-                         "dropped": pa.array([0] * t.num_rows, pa.int8())})
+        # sentinel -1 tagged DROPPED keeps zero-row blocks typed and can
+        # never surface in the keep output
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [ids.combine_chunks()
+                 if isinstance(ids, pa.ChunkedArray) else ids,
+                 pa.array([-1], pa.int64())]),
+            "dropped": pa.array([0] * t.num_rows + [1], pa.int8())})
 
     def drop_rows(t: pa.Table) -> pa.Table:
         # sentinel -1 per block (zero-row map outputs turn schema-less);
@@ -124,8 +130,13 @@ def neardup_components(documents: rd.Dataset, max_iters: int = 32,
         return pa.table({"src": t.column("doc_a"),
                          "dst": t.column("doc_b")})
 
-    cc = {"propagation": connected_components,
-          "star": connected_components_star}[algorithm]
+    algos = {"propagation": connected_components,
+             "star": connected_components_star}
+    if algorithm not in algos:
+        raise ValueError(
+            f"neardup_components: unknown algorithm {algorithm!r} "
+            f"(valid: {sorted(algos)})")
+    cc = algos[algorithm]
     comp = cc(pairs.map_batches(as_edges, batch_format="pyarrow"),
               max_iters=max_iters)
     return comp.map_batches(
@@ -218,39 +229,10 @@ def vocab_ids(documents: rd.Dataset,
             "bucket": pa.array(bucket + [-1], pa.int32()),
             "tok": pa.array(out + [""], pa.string())})
 
-    def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("bucket"), 0))
-        if not t.num_rows:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "pos": pa.array([], pa.int64()),
-                             "tok": pa.array([], pa.string())})
-        b = t.column("bucket")[0].as_py()
-        toks = sorted(set(t.column("tok").to_pylist()))
-        return pa.table({
-            "bucket": pa.array([b] * len(toks), pa.int32()),
-            "pos": pa.array(range(len(toks)), pa.int64()),
-            "tok": pa.array(toks, pa.string())})
-
-    positioned = documents.select_columns(["text"]) \
-        .map_batches(tok_rows, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
-        .materialize()
-
-    counts = {int(r["bucket"]): int(r["count()"])
-              for r in positioned.groupby("bucket").count().take_all()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-
-    def assign(t: pa.Table) -> pa.Table:
-        bs = t.column("bucket").to_pylist()
-        pos = t.column("pos").to_pylist()
-        ids = [offsets[b] + p for b, p in zip(bs, pos)]
-        return pa.table({"tok": t.column("tok"),
-                         "id": pa.array(ids, pa.int64())})
-
-    return positioned.map_batches(assign, batch_format="pyarrow")
+    return _dense_ids(
+        documents.select_columns(["text"])
+        .map_batches(tok_rows, batch_format="pyarrow"),
+        "tok", num_buckets)
 
 
 def encode_documents(documents: rd.Dataset,
@@ -453,8 +435,6 @@ def pack_sequences(documents: rd.Dataset, target_tokens: int = 256,
     import numpy as np
 
     import ray
-
-    from raykg.ops.text import _tokens
 
     def tok_rows(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
@@ -667,19 +647,34 @@ def top_ngrams(documents: rd.Dataset, k: int = 20,
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
             c.update(_grams(s, gram))
-        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # sentinel "" keeps zero-row blocks typed (all-empty-text batches
+        # yield no grams); grams are never "" — same convention as
+        # freq_spectrum's count_batch
+        return pa.table({
+            "gram": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
 
     def fin(t: pa.Table) -> pa.Table:
-        g = t.group_by("gram").aggregate([("n", "sum")])
-        return pa.table({"gram": g.column("gram"),
-                         "n": g.column("n_sum")})
+        g = t.filter(pc.not_equal(t.column("gram"), "")) \
+            .group_by("gram").aggregate([("n", "sum")])
+        # re-emit the sentinel (an all-sentinel bucket must stay typed);
+        # dropped just before the top-k sort
+        return pa.table({
+            "gram": pa.concat_arrays(
+                [g.column("gram").combine_chunks(),
+                 pa.array([""], pa.string())]),
+            "n": pa.concat_arrays(
+                [g.column("n_sum").combine_chunks(),
+                 pa.array([0], pa.int64())])})
 
     totals = bucketed_group_agg(
         documents.select_columns(["text"]).map_batches(
             count_batch, batch_format="pyarrow"),
         lambda t: t, "gram", fin)
-    return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+    return totals.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("gram"), "")),
+        batch_format="pyarrow") \
+        .sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
 def freq_spectrum(documents: rd.Dataset,
@@ -835,11 +830,23 @@ def source_unigram_kl(documents: rd.Dataset,
     counted = documents.select_columns(["source", "text"]).map_batches(
         count_batch, batch_format="pyarrow").materialize()
 
-    # pass A: per-source totals (source-count-sized -> driver, like
-    # temperature_mix's rate table)
-    tot_tbl = counted.groupby("source").sum("n").to_pandas()
-    totals = {r["source"]: int(r["sum(n)"])
-              for _, r in tot_tbl.iterrows() if r["source"]}
+    # pass A: per-source totals via small_key_agg (per-batch source-level
+    # pre-aggregate, register-sized remainder on the driver) — a raw
+    # groupby("source") over the vocabulary x batches partials table is
+    # the low-cardinality sort-shuffle pathology shuffle.py measures at
+    # ~6x (the temperature_mix precedent this docstring promises)
+    from raykg.ops.relational import small_key_agg
+
+    def src_sums(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("n_sum")})
+
+    tot_tbl = small_key_agg(counted.map_batches(
+        src_sums, batch_format="pyarrow"), src_sums)
+    totals = {s: int(n) for s, n in
+              zip(tot_tbl.column("source").to_pylist(),
+                  tot_tbl.column("n").to_pylist()) if s}
     grand = float(sum(totals.values()))
     if not grand:
         return rd.from_arrow(pa.table({
@@ -986,18 +993,20 @@ def hll_token_registers(documents: rd.Dataset) -> pa.Table:
     import numpy as np
 
     def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
-        toks = pc2.unique(pc2.list_flatten(pc2.split_pattern_regex(
-            t.column("text").combine_chunks(), pattern=r"\s+")))
-        toks = toks.filter(pc2.not_equal(toks, ""))
+        # tokenize via the engine-wide _tokens contract (Python re,
+        # Unicode \s) — the Arrow split_pattern_regex r"\s+" used here
+        # before is RE2/ASCII-only, so NBSP/vertical-tab text made the
+        # HLL estimate count a different token universe than the exact
+        # ops it approximates
+        toks = sorted({w for s in t.column("text").to_pylist()
+                       for w in _tokens(s)})
         if len(toks) == 0:
             # typed sentinel row (register -1, filtered by the combiner's
             # consumer never — max over {0} is harmless but keep it out
             # of the real id space)
             return pa.table({"register": pa.array([-1], pa.int64()),
                              "max_rank": pa.array([0], pa.int64())})
-        h = np.array([int(sha_hex(s)[:16], 16) for s in toks.to_pylist()],
+        h = np.array([int(sha_hex(s)[:16], 16) for s in toks],
                      dtype=np.uint64)
         reg = (h >> np.uint64(HLL_WBITS)).astype(np.int64)
         w = h & np.uint64((1 << HLL_WBITS) - 1)
@@ -1610,6 +1619,48 @@ def bpe_train(documents: rd.Dataset, n_merges: int = 6,
                      "cnt": pa.array(cnts, pa.int64())})
 
 
+def _dense_ids(stream: rd.Dataset, col: str,
+               num_buckets: int) -> rd.Dataset:
+    """Shared tail of vocab_ids / dense_string_ids: (bucket, col) rows
+    (sentinel bucket -1 per block) -> (col, id) dense consecutive ranks
+    in (bucket, col) order. Per-bucket local enumeration; only the
+    num_buckets bucket counts visit the driver to become exclusive
+    offsets. One implementation so the rank-assignment contract (which
+    the SQL twins replicate bit-for-bit) cannot drift between the two
+    callers."""
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("bucket"), 0))
+        if not t.num_rows:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "pos": pa.array([], pa.int64()),
+                             col: pa.array([], pa.string())})
+        b = t.column("bucket")[0].as_py()
+        vals = sorted(set(t.column(col).to_pylist()))
+        return pa.table({
+            "bucket": pa.array([b] * len(vals), pa.int32()),
+            "pos": pa.array(range(len(vals)), pa.int64()),
+            col: pa.array(vals, pa.string())})
+
+    positioned = stream.groupby("bucket") \
+        .map_groups(per_bucket, batch_format="pyarrow").materialize()
+
+    counts = {int(r["bucket"]): int(r["count()"])
+              for r in positioned.groupby("bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def assign(t: pa.Table) -> pa.Table:
+        bs = t.column("bucket").to_pylist()
+        pos = t.column("pos").to_pylist()
+        ids = [offsets[b] + p for b, p in zip(bs, pos)]
+        return pa.table({col: t.column(col),
+                         "id": pa.array(ids, pa.int64())})
+
+    return positioned.map_batches(assign, batch_format="pyarrow")
+
+
 def dense_string_ids(ds: rd.Dataset, col: str,
                      num_buckets: int = 256) -> rd.Dataset:
     """(col, id): dense consecutive ids 0..V-1 over the distinct values of
@@ -1630,39 +1681,10 @@ def dense_string_ids(ds: rd.Dataset, col: str,
             "bucket": pa.array(bucket + [-1], pa.int32()),
             col: pa.array(vals + [""], pa.string())})
 
-    def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("bucket"), 0))
-        if not t.num_rows:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "pos": pa.array([], pa.int64()),
-                             col: pa.array([], pa.string())})
-        b = t.column("bucket")[0].as_py()
-        vals = sorted(set(t.column(col).to_pylist()))
-        return pa.table({
-            "bucket": pa.array([b] * len(vals), pa.int32()),
-            "pos": pa.array(range(len(vals)), pa.int64()),
-            col: pa.array(vals, pa.string())})
-
-    positioned = ds.select_columns([col]) \
-        .map_batches(val_rows, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow") \
-        .materialize()
-
-    counts = {int(r["bucket"]): int(r["count()"])
-              for r in positioned.groupby("bucket").count().take_all()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-
-    def assign(t: pa.Table) -> pa.Table:
-        bs = t.column("bucket").to_pylist()
-        pos = t.column("pos").to_pylist()
-        ids = [offsets[b] + p for b, p in zip(bs, pos)]
-        return pa.table({col: t.column(col),
-                         "id": pa.array(ids, pa.int64())})
-
-    return positioned.map_batches(assign, batch_format="pyarrow")
+    return _dense_ids(
+        ds.select_columns([col])
+        .map_batches(val_rows, batch_format="pyarrow"),
+        col, num_buckets)
 
 
 def neardup_keep_best(documents: rd.Dataset, num_buckets: int = 1024,
