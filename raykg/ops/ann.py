@@ -26,19 +26,42 @@ import ray.data as rd
 from raykg.functions.hashing import round_half_away, sha_hex
 
 
-def _rows_for_ids(embeddings: rd.Dataset, ids: list[int]) -> list[dict]:
+def _rows_for_ids(embeddings: rd.Dataset, ids: list[int],
+                  require_all_for: str | None = None) -> list[dict]:
     """Fetch specific vec_id rows via a vectorized batch filter (portable —
-    no dependence on Dataset.filter expression support)."""
+    no dependence on Dataset.filter expression support).
+
+    ``require_all_for=<op name>``: raise a clear ValueError naming any id
+    absent from the corpus — the contract for QUERY fetches, which would
+    otherwise silently drop missing queries from the output (or die in an
+    opaque np.stack when none are found). Centroid/sample fetches
+    (``list(range(n))`` prefixes) stay lenient by design."""
     id_set = pa.array(ids, pa.int64())
-    return embeddings.map_batches(
+    rows = embeddings.map_batches(
         lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=id_set)),
         batch_format="pyarrow").take_all()
+    if require_all_for is not None:
+        found = {r["vec_id"] for r in rows}
+        missing = [i for i in ids if i not in found]
+        if missing:
+            raise ValueError(
+                f"{require_all_for}: query vec_id(s) "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''} "
+                "not found in the corpus")
+    return rows
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+# typed empty partial for the scan closures' zero-row-batch guards
+_EMPTY_PARTIAL = pa.table({
+    "query_id": pa.array([], pa.int64()),
+    "neighbor_id": pa.array([], pa.int64()),
+    "cos_sim": pa.array([], pa.float64())})
 
 
 def _merge_topk(partial: rd.Dataset, k: int) -> pa.Table:
@@ -77,7 +100,8 @@ def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
     """Exact top-k cosine neighbors for each query id (excluding self).
     Output: (query_id, neighbor_id, cos_sim rounded to 3).
     Ties broken by ascending neighbor_id (deterministic)."""
-    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_rows = _rows_for_ids(embeddings, query_ids,
+                           require_all_for="ann_bruteforce")
     q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
                for r in q_rows}
     q_ids = sorted(q_by_id)
@@ -89,6 +113,8 @@ def ann_bruteforce(embeddings: rd.Dataset, query_ids: list[int],
             self.q_ids, self.q_mat = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:      # empty block: 1-D np.array([])
+                return _EMPTY_PARTIAL    # would AxisError inside _unit
             ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
             mat = _unit(np.array(batch.column("embedding").to_pylist(),
                                  dtype=np.float64))
@@ -134,6 +160,12 @@ def kmeans_centroids(embeddings: rd.Dataset, k: int = 16, iters: int = 5
     def assign_sum(batch: pa.Table, cent_ref) -> pa.Table:
         c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
             else cent_ref
+        if batch.num_rows == 0:    # 1-D np.array([]) would AxisError
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int32()),
+                "vsum": pa.array(np.zeros_like(c).tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(np.zeros(len(c), np.int64), pa.int64())})
         mat = _unit(np.array(batch.column("embedding").to_pylist(),
                              dtype=np.float64))
         assign = np.argmax(mat @ c.T, axis=1)
@@ -170,7 +202,8 @@ def _ivf_scan(embeddings: rd.Dataset, query_ids: list[int],
     probing of the nprobe nearest lists, distributed top-k merge."""
     cent_ids = list(range(len(cent)))
 
-    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_rows = _rows_for_ids(embeddings, query_ids,
+                           require_all_for="ann_ivf")
     q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
                for r in q_rows}
     q_ids = sorted(q_by_id)
@@ -189,14 +222,17 @@ def _ivf_scan(embeddings: rd.Dataset, query_ids: list[int],
              self.probes) = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY_PARTIAL
             ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
             mat = _unit(np.array(batch.column("embedding").to_pylist(),
                                  dtype=np.float64))
             sims_c = mat @ self.cent.T
-            # assignment: max centroid sim, ties -> smaller centroid id
-            order = np.lexsort((self.cent_ids[None, :].repeat(len(ids), 0),
-                                -sims_c), axis=1)[:, 0]
-            assigned = self.cent_ids[order]
+            # assignment: max centroid sim, ties -> smaller centroid id.
+            # cent_ids is ascending (built from sorted dict keys), so
+            # argmax's first-occurrence tie rule IS the smaller id —
+            # no n x nlist lexsort needed (kmeans_centroids precedent)
+            assigned = self.cent_ids[np.argmax(sims_c, axis=1)]
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.q_ids):
                 mask = np.isin(assigned, list(self.probes[qid])) & (ids != qid)
@@ -274,7 +310,8 @@ def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     only its own bucket. Output schema matches ann_bruteforce. Recall < 1 by
     design (scale path; measured against the brute-force baseline in tests);
     bucket assignment is deterministic and SQL-exact (see sha_planes)."""
-    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_rows = _rows_for_ids(embeddings, query_ids,
+                           require_all_for="ann_lsh")
     dim = len(q_rows[0]["embedding"])
     q_ids = sorted(r["vec_id"] for r in q_rows)
     q_by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
@@ -289,6 +326,8 @@ def ann_lsh(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
             self.q_ids, self.q_unit, self.q_buckets = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:   # mat.shape[1] would IndexError
+                return _EMPTY_PARTIAL
             ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
             mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
             buckets = lsh_bucket_ids(mat, mat.shape[1], bits, seed)
@@ -357,6 +396,9 @@ def knn_graph_exact(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
 
     Ranking contract (shared with the SQL twin): cos_sim rounded to 3
     DESC, then neighbor_id ASC."""
+    # pinned: the corpus take_all AND the per-batch scan both consume the
+    # stream — a lazy upstream would otherwise execute twice
+    embeddings = embeddings.materialize()
     rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
@@ -493,16 +535,20 @@ def label_centroids(embeddings: rd.Dataset, dim: int = 64) -> pa.Table:
     from raykg.ops.relational import small_key_agg
 
     def partial(t: pa.Table) -> pa.Table:
-        labs = np.asarray(t.column("label").to_pylist(), np.int64)
-        mat = np.array(t.column("embedding").to_pylist(), np.float64)
         out_l, out_d, out_s, out_n = [], [], [], []
-        for lab in np.unique(labs):
-            sel = mat[labs == lab]
-            s = sel.sum(axis=0)
-            out_l.extend([int(lab)] * dim)
-            out_d.extend(range(1, dim + 1))
-            out_s.extend(s.tolist())
-            out_n.extend([sel.shape[0]] * dim)
+        if t.num_rows:
+            labs = np.asarray(t.column("label").to_pylist(), np.int64)
+            mat = np.array(t.column("embedding").to_pylist(), np.float64)
+            # the REAL width, not the dim parameter: a mismatched default
+            # previously died in an opaque Arrow column-length error
+            d = mat.shape[1] if mat.ndim == 2 else dim
+            for lab in np.unique(labs):
+                sel = mat[labs == lab]
+                s = sel.sum(axis=0)
+                out_l.extend([int(lab)] * d)
+                out_d.extend(range(1, d + 1))
+                out_s.extend(s.tolist())
+                out_n.extend([sel.shape[0]] * d)
         return pa.table({"label": pa.array(out_l, pa.int64()),
                          "dim": pa.array(out_d, pa.int64()),
                          "s": pa.array(out_s, pa.float64()),
@@ -532,10 +578,14 @@ def prototypicality(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
     (SemDeDup/DataComp-style curation). The centroid matrix
     (labels x dim floats) is broadcast once via ``ray.put``; scoring is
     a stateless vectorized map, so the op is one streamed pass."""
+    # pinned: label_centroids and the scoring pass both consume the
+    # stream — a lazy upstream would otherwise execute twice
+    embeddings = embeddings.materialize()
     cent = label_centroids(embeddings, dim=dim)
     labs = sorted(set(cent.column("label").to_pylist()))
     lab_ix = {lab: i for i, lab in enumerate(labs)}
-    C = np.zeros((len(labs), dim), np.float64)
+    dim_c = max(cent.column("dim").to_pylist(), default=dim)
+    C = np.zeros((len(labs), dim_c), np.float64)
     for lab, d, c in zip(cent.column("label").to_pylist(),
                          cent.column("dim").to_pylist(),
                          cent.column("c").to_pylist()):
@@ -543,6 +593,9 @@ def prototypicality(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
     ref = ray.put((lab_ix, C))
 
     def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "proto": pa.array([], pa.float64())})
         lmap, cm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         mat = np.array(t.column("embedding").to_pylist(), np.float64)
         rows = np.array([lmap[v] for v in t.column("label").to_pylist()],
@@ -551,6 +604,10 @@ def prototypicality(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
         dot = (mat * cvec).sum(axis=1)
         denom = np.sqrt((mat * mat).sum(axis=1)) \
             * np.sqrt((cvec * cvec).sum(axis=1))
+        # zero vector / zero-norm centroid -> proto 0.0, the _unit
+        # zero-norm convention (a raw divide propagated NaN rows into
+        # downstream curation ranking)
+        denom[denom == 0] = 1.0
         proto = [round_half_away(float(x), 4) for x in dot / denom]
         return pa.table({"vec_id": t.column("vec_id"),
                          "proto": pa.array(proto, pa.float64())})
@@ -654,6 +711,9 @@ def mmr_select(embeddings: rd.Dataset, query_id: int = 0, k: int = 8,
     variants trade that away."""
     if not (0 < lam_num <= lam_den):
         raise ValueError("need 0 < lam_num <= lam_den")
+    # pinned: the query fetch plus k per-step scans — a lazy upstream
+    # would otherwise re-execute its whole pipeline k+1 times
+    embeddings = embeddings.materialize()
 
     def quant_rows(ids: list[int]) -> dict[int, np.ndarray]:
         rows = _rows_for_ids(embeddings, ids)
@@ -675,6 +735,11 @@ def mmr_select(embeddings: rd.Dataset, query_id: int = 0, k: int = 8,
 
         def best(t: pa.Table, q=q, sel_ids=sel_ids, smat=smat,
                  a=a, b=b) -> pa.Table:
+            if t.num_rows == 0:   # reshape(0, -1) cannot infer a width
+                return pa.table({"vec_id": pa.array([-1], pa.int64()),
+                                 "score": pa.array([0], pa.int64()),
+                                 "vec": pa.array([[]],
+                                                 pa.list_(pa.int64()))})
             ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(
                 zero_copy_only=False)
             emb = t.column("embedding").combine_chunks()
@@ -759,8 +824,11 @@ def pq_codes(embeddings: rd.Dataset, m_sub: int = 8, k_cent: int = 16,
         ids = pc.cast(t.column("vec_id"), pa.int64())
         mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
         if mat.size == 0:
+            # n rows of zero-size embeddings still need n code rows, or
+            # Arrow rejects the column-length mismatch
             return pa.table({"vec_id": ids,
-                             "pq_code": pa.array([], pa.string())})
+                             "pq_code": pa.array([""] * len(ids),
+                                                 pa.string())})
         dim = mat.shape[1]
         if dim % m_sub:
             raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -800,7 +868,8 @@ def ann_pq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     via ray.put (LUT is nq × m × k int64 — register-sized), per-batch
     local top-k, then the groupby(query_id) merge so the driver sees
     k rows per query."""
-    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_rows = _rows_for_ids(embeddings, query_ids,
+                           require_all_for="ann_pq")
     dim = len(q_rows[0]["embedding"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -887,6 +956,13 @@ def pq_train_codebook(embeddings: rd.Dataset, m_sub: int = 8,
     (iterative float means, same status as ann_ivf_kmeans) and is
     recall-tested against :func:`ann_bruteforce` instead."""
     rows = _rows_for_ids(embeddings, list(range(sample)))
+    if len(rows) < k_cent:
+        # cent = x[:k_cent] below needs k_cent rows; fewer would die in
+        # an opaque broadcast error at out[m] = cent
+        raise ValueError(
+            f"pq_train_codebook: corpus has only {len(rows)} of the "
+            f"first {sample} vec_ids, fewer than k_cent={k_cent} — "
+            "shrink k_cent or grow the corpus")
     mat = np.stack([np.asarray(r["embedding"], np.float64)
                     for r in sorted(rows, key=lambda r: r["vec_id"])])
     dim = mat.shape[1]
@@ -938,7 +1014,8 @@ def ann_ivfpq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     coarse = _unit(np.stack([cent_by[i] for i in sorted(cent_by)]))
     cent_ids = np.arange(len(coarse))
 
-    q_rows = _rows_for_ids(embeddings, query_ids)
+    q_rows = _rows_for_ids(embeddings, query_ids,
+                           require_all_for="ann_ivfpq")
     dim = len(q_rows[0]["embedding"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -972,10 +1049,9 @@ def ann_ivfpq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
                 raw = np.array(batch.column("embedding").to_pylist(),
                                np.float64)
                 sims_c = _unit(raw) @ self.coarse.T
-                order = np.lexsort(
-                    (self.cent_ids[None, :].repeat(len(ids), 0), -sims_c),
-                    axis=1)[:, 0]
-                assigned = self.cent_ids[order]
+                # cent_ids ascending -> argmax first-occurrence tie rule
+                # IS the smaller centroid id (see _ivf_scan)
+                assigned = self.cent_ids[np.argmax(sims_c, axis=1)]
                 q = np.floor(raw * 1_000_000.0).astype(np.int64) \
                     .reshape(len(raw), m_sub, 1, sub)
                 diff = q - cb[None]

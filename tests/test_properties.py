@@ -86,6 +86,13 @@ def test_hex_thresholds_consistent(p):
     fixed key population."""
     thr4, thr8 = hex_threshold(p), hex_threshold8(p)
     assert len(thr4) == 4 and len(thr8) == 8
+    if p >= 1.0:
+        # the keep-all contract: 'g'*n compares strictly above EVERY hex
+        # digest (clamping to 'ff..f' used to drop digest == clamp rows)
+        for i in range(50):
+            k = f"key|{i}"
+            assert sha_hex(k)[:4] < thr4 and sha_hex(k)[:8] < thr8
+        return
     for i in range(50):
         k = f"key|{i}"
         assert (sha_hex(k)[:4] < thr4) == \
