@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -26,6 +27,15 @@ EN_MARKERS = ("the", "a")
 
 def _tokens(text: str) -> list[str]:
     return [t for t in _WS.split(text) if t]
+
+
+# Arrow/RE2 equivalent of Python re's Unicode \s (verified to split
+# identically on every codepoint Python classifies as whitespace) — for
+# vectorized split_pattern_regex paths that must honor the module's
+# _tokens contract. RE2's bare \s is ASCII-only and would silently
+# tokenize NBSP/\v/U+2028 text differently from every other op.
+_WS_RE2 = (r"[\t-\r\x{001c}-\x{001f} \x{0085}\x{00a0}\x{1680}"
+           r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+")
 
 
 def token_stats(documents: rd.Dataset) -> rd.Dataset:
@@ -113,6 +123,9 @@ def chunk_documents(documents: rd.Dataset, chunk_tokens: int = 64,
     so a short tail is absorbed into the last chunk instead of emitting a
     fully-contained duplicate. Empty documents emit no chunks. Stateless
     map_batches — scales by adding blocks, no shuffle."""
+    if overlap < 0:
+        # step > chunk_tokens would skip tokens between windows silently
+        raise ValueError("overlap must be >= 0")
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("chunk_tokens must exceed overlap")
@@ -199,8 +212,12 @@ def _token_count_ds(documents: rd.Dataset, num_buckets: int) -> rd.Dataset:
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
             c.update(_tokens(s))
-        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # sentinel "" keeps zero-row blocks typed (a batch of all-empty
+        # texts yields no tokens); real tokens are never "" and the one
+        # ""->0 row is inert in every consumer (zero mass, never queried)
+        return pa.table({
+            "tok": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [0], pa.int64())})
 
     def fin(t: pa.Table) -> pa.Table:
         g = t.group_by("tok").aggregate([("n", "sum")])
@@ -231,11 +248,7 @@ def unigram_logprob(documents: rd.Dataset,
     driver nor any worker ever holds more than K+1 vocabulary rows.
     With ``max_vocab >= |V|`` (or None) results are byte-identical to
     the untruncated model."""
-    from collections import Counter
-
     import ray
-
-    from raykg.functions.shuffle import bucketed_group_agg
 
     counts_ds = _token_count_ds(documents, num_buckets)
     counts: dict[str, int] = {}
@@ -250,11 +263,13 @@ def unigram_logprob(documents: rd.Dataset,
         top = counts_ds.sort(["n", "tok"],
                              descending=[True, False]).limit(max_vocab)
         for row in top.take_all():
-            counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
+            if row["tok"]:      # drop the "" exchange sentinel
+                counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
         oov_n = int(total) - sum(counts.values())
     else:
         for row in counts_ds.take_all():
-            counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
+            if row["tok"]:      # drop the "" exchange sentinel
+                counts[row["tok"]] = counts.get(row["tok"], 0) + row["n"]
         total = float(sum(counts.values()))
         oov_n = 0
     ref = ray.put((counts, total, oov_n))
@@ -507,6 +522,11 @@ def inverted_index(documents: rd.Dataset, max_postings: int = 32,
             terms.append(w)
             dfs.append(len(docs))
             posts.append(",".join(map(str, docs[:max_postings])))
+        # sentinel "" keeps all-empty-text batches typed through the
+        # exchange; terms are never "" and df 0 merges to df 0
+        terms.append("")
+        dfs.append(0)
+        posts.append("")
         return pa.table({"term": pa.array(terms, pa.string()),
                          "df": pa.array(dfs, pa.int64()),
                          "postings": pa.array(posts, pa.string())})
@@ -534,10 +554,13 @@ def inverted_index(documents: rd.Dataset, max_postings: int = 32,
                          "df": pa.array(dfs, pa.int64()),
                          "postings": pa.array(posts, pa.string())})
 
-    return bucketed_group_agg(documents.select_columns(["doc_id", "text"])
-                              .map_batches(explode, batch_format="pyarrow"),
-                              merge, "term", merge,
-                              num_buckets=num_buckets)
+    out = bucketed_group_agg(documents.select_columns(["doc_id", "text"])
+                             .map_batches(explode, batch_format="pyarrow"),
+                             merge, "term", merge,
+                             num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("term"), "")),
+        batch_format="pyarrow")
 
 
 def cooccurrence_pmi(documents: rd.Dataset, window: int = 4,
@@ -618,8 +641,20 @@ def cooccurrence_pmi(documents: rd.Dataset, window: int = 4,
         keep = pc.and_(pc.greater_equal(g.column("n_sum"), min_count),
                        pc.not_equal(g.column("pair"), ""))
         g = g.filter(keep)
-        return pa.table({"w1": g.column("w1_max"), "w2": g.column("w2_max"),
-                         "c12": g.column("n_sum")})
+        # re-emit a sentinel: a bucket whose every pair is sub-min_count
+        # would otherwise finalize to zero rows (schema-less downstream);
+        # w1 "" rows carry zero mass and attach_count's probe side is
+        # filtered on real keys by the final top-k
+        return pa.table({
+            "w1": pa.concat_arrays(
+                [g.column("w1_max").combine_chunks(),
+                 pa.array([""], pa.string())]),
+            "w2": pa.concat_arrays(
+                [g.column("w2_max").combine_chunks(),
+                 pa.array([""], pa.string())]),
+            "c12": pa.concat_arrays(
+                [g.column("n_sum").combine_chunks(),
+                 pa.array([0], pa.int64())])})
 
     pairs = bucketed_group_agg(probes, lambda t: t, "pair", pair_fin,
                                num_buckets=num_buckets)
@@ -739,7 +774,7 @@ def tfidf_top_terms(documents: rd.Dataset,
         ids = t.column("doc_id").combine_chunks() \
             .to_numpy(zero_copy_only=False)
         lst = pc.split_pattern_regex(
-            t.column("text").combine_chunks(), pattern=r"\s+")
+            t.column("text").combine_chunks(), pattern=_WS_RE2)
         flat = lst.flatten()
         doc = np.repeat(ids, pc.list_value_length(lst)
                         .to_numpy(zero_copy_only=False))
@@ -872,7 +907,7 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
         top = _token_count_ds(documents, num_buckets) \
             .sort(["n", "tok"], descending=[True, False]).limit(max_vocab)
         vocab_ref = ray.put(frozenset(
-            r["tok"] for r in top.take_all()))
+            r["tok"] for r in top.take_all() if r["tok"]))
 
     def doc_bigrams(t: pa.Table):
         vocab = (ray.get(vocab_ref)
@@ -894,6 +929,13 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
                 w1s.append(w1)
                 bgs.append(w1 + SEP + w2)
                 ns.append(n)
+        # sentinel row keeps a batch of sub-2-token docs typed through
+        # the keyed exchanges; doc_id -1 carries n=0 (zero mass in every
+        # count) and is dropped with the per_doc_part sentinel group
+        ids.append(-1)
+        w1s.append("")
+        bgs.append("")
+        ns.append(0)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "w1": pa.array(w1s, pa.string()),
                          "bg": pa.array(bgs, pa.string()),
@@ -952,6 +994,11 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
         per-batch count partials travel tagged 1 with the count in
         ``cnt``; the bucket finalize sums the partials per key and
         attaches via vectorized ``index_in``."""
+        # pinned: the probe (tag0) and partial (tag1) branches both
+        # consume ds — a lazy input would re-execute its whole upstream
+        # (the corpus tokenize+bigram pass, or the previous tag_join's
+        # exchange) once per branch
+        ds = ds.materialize()
         carry_t = {c: ds.schema().base_schema.field(c).type
                    for c in carry}
 
@@ -1007,11 +1054,16 @@ def bigram_logprob(documents: rd.Dataset, mode: str = "broadcast",
 
     def per_doc_part(t: pa.Table) -> pa.Table:
         d = np.asarray(t.column("doc_id").combine_chunks())
-        n = np.asarray(t.column("n").combine_chunks(), dtype=np.float64)
+        # drop upstream probe sentinels (doc_id -1, counts 0) before the
+        # log — 0/0 would manufacture a nan even in the discarded group
+        keep0 = d >= 0
+        d = d[keep0]
+        n = np.asarray(t.column("n").combine_chunks(),
+                       dtype=np.float64)[keep0]
         cb = np.asarray(t.column("c_bg").combine_chunks(),
-                        dtype=np.float64)
+                        dtype=np.float64)[keep0]
         cw = np.asarray(t.column("c_w1").combine_chunks(),
-                        dtype=np.float64)
+                        dtype=np.float64)[keep0]
         if not len(d):
             return pa.table({"doc_id": pa.array([-1], pa.int64()),
                              "s_nll": pa.array([0.0], pa.float64()),
@@ -1234,7 +1286,9 @@ def bm25_scores(documents: rd.Dataset,
 
     from raykg.ops.relational import small_key_agg
 
-    tset = list(terms)
+    # dedup, order-preserving: a repeated query term would double-count
+    # its df partials (deflating idf) while scoring counts it once
+    tset = list(dict.fromkeys(terms))
 
     def partial(t: pa.Table) -> pa.Table:
         df: Counter = Counter()
